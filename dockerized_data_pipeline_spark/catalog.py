@@ -1,0 +1,113 @@
+"""Table catalog: load driver parquet fixtures and register temp views.
+
+Replaces the reference's DDL task (``create_stock_table``,
+dags/stock_data_pipeline.py:23-41) and its implicit "tables live in Postgres"
+catalog with Spark temp views over columnar parquet. Schema presence checks
+(Makefile:137-138) become ``spark.catalog`` lookups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The reference's target table, re-expressed (dags/stock_data_pipeline.py:25-39).
+# PRIMARY KEY (symbol, timestamp) becomes a uniqueness-by-construction
+# invariant enforced by operators.merge.merge_upsert.
+STOCK_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("open_price", T.DecimalType(15, 4), True),
+        T.StructField("high_price", T.DecimalType(15, 4), True),
+        T.StructField("low_price", T.DecimalType(15, 4), True),
+        T.StructField("close_price", T.DecimalType(15, 4), True),
+        T.StructField("volume", T.LongType(), True),
+        T.StructField("last_refreshed", T.TimestampType(), True),
+        T.StructField("time_zone", T.StringType(), True),
+        T.StructField("created_at", T.TimestampType(), True),
+    ]
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as raw
+# nano longs (session conf legacy.parquet.nanosAsLong); we convert to
+# microsecond TimestampType at the edge. ``div 1000`` floors, matching how
+# micro-resolution engines truncate nano timestamps.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime confs the engine depends on, set here so queries also work on a
+    # caller-built SparkSession (e.g. the verify driver's): nano-timestamp
+    # parquet columns surface as longs (converted below), and timestamp
+    # semantics are pinned to UTC.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view; returns name -> DataFrame."""
+    out = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def create_table_if_not_exists(
+    spark: SparkSession,
+    name: str,
+    schema: T.StructType,
+    location: str,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """CREATE TABLE IF NOT EXISTS analog of the reference DDL task
+    (dags/stock_data_pipeline.py:25-39): an empty partitioned parquet layout.
+
+    Partitioning by the entity key replaces the Postgres PK b-tree for
+    pruning: at 100 TB a per-symbol/date layout keeps point and range
+    queries O(partitions touched).
+    """
+    if os.path.exists(location) and os.listdir(location):
+        return
+    empty = spark.createDataFrame([], schema)
+    writer = empty.write.mode("ignore")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(location)
+
+
+def tables_present(spark: SparkSession, names: tuple[str, ...]) -> int:
+    """Schema-presence check (Makefile:137-138): count of expected temp views."""
+    existing = {t.name for t in spark.catalog.listTables()}
+    return sum(1 for n in names if n in existing)

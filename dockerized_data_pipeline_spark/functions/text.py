@@ -1,0 +1,131 @@
+"""Text-analysis column expressions (SURVEY section 2.11 X5): token counting,
+quality scoring, language-ID heuristic, fingerprinting.
+
+Everything here is a pure built-in-function composition (JVM-side,
+whole-stage-codegen) -- no Python UDFs. Each expression is embarrassingly
+parallel per row: at 100 TB these run at scan speed with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopword sets for the n-gram-free language-ID heuristic. Scoring by
+# marker-token overlap is deliberately simple and SQL-portable so the DuckDB
+# oracle can replicate it exactly.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a", "in"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "fr": ("le", "la", "de", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+}
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space separated corpora)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column | str, pattern: str = "[a-z]+|[0-9]+") -> Column:
+    """BPE-ish regex token count: runs of letters / digits as atoms."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def marker_score(text: Column | str, markers: tuple[str, ...]) -> Column:
+    """Count of tokens belonging to a marker set."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*markers)))
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Language-ID heuristic: argmax of marker-set overlap, 'und' when no
+    marker hits. Ties broken by fixed language order (en > es > fr > de)."""
+    scores = {lang: marker_score(text, m) for lang, m in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reverse priority so earlier langs win ties via >=.
+    for lang in reversed(list(LANG_MARKERS)):
+        s = scores[lang]
+        cond = (s > 0) & (s >= best_score)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords, rounded to 6 places.
+
+    The division happens in double with identical operands in any engine
+    (exact int counts), so the rounded value is portable.
+    """
+    stop = marker_score(text, STOPWORDS)
+    total = token_count(text)
+    return F.round(stop.cast("double") / total, 6).cast("decimal(18,6)")
+
+
+def quality_score(text: Column | str, n_chars: Column | str | None = None) -> Column:
+    """Composite document quality score in [0, 1]: rewards mid-length docs,
+    penalizes very short ones and stopword-free token soup. Deterministic
+    integer/double arithmetic only."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = token_count(t).cast("double")
+    length_component = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop = marker_score(t, STOPWORDS).cast("double")
+    stop_component = F.least(stop / F.greatest(n * F.lit(0.05), F.lit(1.0)), F.lit(1.0))
+    return F.round(F.lit(0.5) * length_component + F.lit(0.5) * stop_component, 6).cast(
+        "decimal(18,6)"
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens, mod a prime.
+
+    Portable across engines (plain integer arithmetic, no engine hash
+    functions): token -> len(token)*17 + ascii(first char), folded as
+    acc = (acc*31 + v) % FINGERPRINT_MOD.
+    """
+    vals = F.transform(
+        tokens(text),
+        lambda tok: (F.length(tok) * 17 + F.ascii(F.substring(tok, 1, 1))).cast("long"),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % FINGERPRINT_MOD,
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens using xxhash64 (engine-specific;
+    rows-only checkable). Bit i of the result is 1 iff the sum over tokens of
+    (+1 / -1 by token-hash bit i) is positive.
+
+    Composed entirely of higher-order array functions -- per-row, no shuffle;
+    near-dup candidates then cluster by hamming distance on the output.
+    """
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(mask):
+        def fold(acc, h):
+            return acc + F.when(
+                h.bitwiseAND(mask) != F.lit(0).cast("long"), 1
+            ).otherwise(-1)
+
+        return fold
+
+    out = F.lit(0).cast("long")
+    for idx in range(64):
+        mask = F.expr(f"shiftleft(1L, {idx})")
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(mask))
+        out = out.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    return out

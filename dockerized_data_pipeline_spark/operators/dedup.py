@@ -1,0 +1,156 @@
+"""Deduplication operators (SURVEY section 2.11 X1/X2): exact, MinHash-LSH,
+SimHash, exact n-gram Jaccard.
+
+Scale notes:
+  * exact dedup is a hash-aggregate on the dedup key -- one shuffle, AQE
+    handles skew; for 100 TB prefer dedup on a digest (xxhash64/sha2 of the
+    payload) so the shuffle carries 8-32 bytes per row, not documents.
+  * MinHash-LSH turns the quadratic all-pairs problem into
+    shingle->minhash->band->bucket-join: candidate pairs only form inside a
+    bucket, so cost tracks true-duplicate density instead of n^2.
+  * exact n-gram Jaccard (shingle inverted-index self-join) is the
+    verification pass over LSH candidates; running it standalone is only for
+    modest corpora / oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import simhash64, tokens
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """X1: drop exact duplicates (hash-groupBy under the hood)."""
+    return df.dropDuplicates(subset)
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, dedup_cols: list[str], order_by: list[str]
+) -> DataFrame:
+    """Deterministic exact dedup: keep the first row per dedup key ordered by
+    ``order_by`` ascending (e.g. smallest doc_id)."""
+    w = Window.partitionBy(*dedup_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str, n: int, out_col: str = "shingle") -> DataFrame:
+    """One row per distinct token n-gram per document. Documents shorter than
+    n tokens produce no shingles (guarded -- sequence() would wrap)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out_col, F.explode(F.array_distinct(grams)))
+
+
+def ngram_jaccard_pairs_ppm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Inverted-index self-join: explode distinct shingles, join on shingle with
+    id_a < id_b, count intersections, Jaccard = |A&B| / (|A|+|B|-|A&B|).
+
+    The threshold is a rational (num/den) compared by exact integer
+    cross-multiplication, and the output similarity is an integer
+    FLOOR(jaccard * 1e6) -- both engine-portable (no float rounding ties).
+    Returns (doc_a, doc_b, jaccard_ppm BIGINT) for pairs >= num/den.
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingle"
+    )
+    counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    union_size = F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc"))
+        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc"))
+        .filter(F.col("n_common") * threshold_den >= union_size * threshold_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("n_common") * F.lit(1000000.0) / union_size)
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X2 (SimHash flavor): 64-bit signature per document; near-dups have
+    small hamming distance. Per-row compute only."""
+    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_distance_threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """X2 (MinHash-LSH flavor): approximate near-duplicate pairs via
+    pyspark.ml MinHashLSH over hashed shingle sets.
+
+    Deterministic for a fixed seed. Returns (doc_a, doc_b, jaccard_dist).
+    At scale the approxSimilarityJoin is the band-bucket join: candidates
+    only materialize within LSH buckets.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_tok - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    with_sets = docs.withColumn("grams", grams)
+    htf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = htf.transform(with_sets)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc") < F.col("datasetB.doc"))
+        .select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.round("jaccard_dist", 6).cast("decimal(18,6)").alias("jaccard_dist"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Keyed MERGE / upsert (SURVEY section 2.1 S4, section 2.3 J1) -- the
+reference's ``INSERT ... ON CONFLICT (symbol, timestamp) DO UPDATE``
+(scripts/fetch_stock_data.py:90-102) re-expressed for a file-based engine.
+
+Semantics preserved exactly:
+  * batch rows matching an existing key UPDATE the listed columns
+    (OHLCV + last_refreshed, SET list at scripts/fetch_stock_data.py:96-101);
+  * ``preserve_cols`` (created_at, time_zone) keep the TARGET value on match
+    -- the reference deliberately excludes them from the SET list;
+  * unmatched batch rows INSERT;
+  * re-running the same batch is a no-op (idempotence, the property that
+    makes at-least-once fetch + upsert effectively-once, SURVEY T3).
+
+Scale design: the join shuffles both sides on the merge keys once; AQE
+broadcasts the batch side automatically when it is small (the common
+incremental-ingest case: a few thousand new rows against a 100 TB target).
+For the path-based variant, partition the target by a key prefix (e.g.
+symbol or date) so a future optimization can rewrite only affected
+partitions instead of the whole table; Delta/Iceberg MERGE INTO can slot in
+behind the same signature when those jars are available.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_MATCH_MARKER = "__ddp_batch_present"
+
+
+def dedup_keep_newest(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """Collapse a batch to one row per key, keeping the newest by ``order_by``
+    (descending, ties broken by all remaining columns for determinism).
+
+    This is the window-dedup the reference gets implicitly from upserting
+    rows one at a time in arrival order (scripts/fetch_stock_data.py:104-115).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    preserve_cols: list[str] | None = None,
+    batch_order_by: list[str] | None = None,
+) -> DataFrame:
+    """Return target MERGE batch on ``keys`` (pure DataFrame transform).
+
+    update_cols: columns taken from the batch when the key matches
+                 (default: every non-key column not in preserve_cols).
+    preserve_cols: columns that keep the target value on match and take the
+                 batch value only for brand-new keys (created_at semantics).
+    batch_order_by: if given, the batch is first deduped per key keeping the
+                 newest by these columns.
+    """
+    non_keys = [c for c in target.columns if c not in keys]
+    preserve_cols = preserve_cols or []
+    if update_cols is None:
+        update_cols = [c for c in non_keys if c not in preserve_cols]
+    if batch_order_by:
+        batch = dedup_keep_newest(batch, keys, batch_order_by)
+
+    b = batch.withColumn(_MATCH_MARKER, F.lit(True)).alias("b")
+    t = target.alias("t")
+    joined = t.join(b, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys], how="full_outer")
+
+    matched = F.col(f"b.{_MATCH_MARKER}").isNotNull()
+    in_target = F.col(f"t.{keys[0]}").isNotNull()
+
+    out_cols = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
+    ]
+    for c in non_keys:
+        if c in update_cols:
+            # ON CONFLICT DO UPDATE SET c = EXCLUDED.c -- batch wins even if null.
+            expr = F.when(matched, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}"))
+        elif c in preserve_cols:
+            expr = F.when(in_target, F.col(f"t.{c}")).otherwise(F.col(f"b.{c}"))
+        else:
+            expr = F.coalesce(F.col(f"t.{c}"), F.col(f"b.{c}"))
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)
+
+
+def merge_upsert_path(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    preserve_cols: list[str] | None = None,
+    batch_order_by: list[str] | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """MERGE a batch into a parquet table directory with an atomic swap
+    (single commit per batch, scripts/fetch_stock_data.py:117 analog).
+
+    Writes the merged table to a staging dir, then atomically renames over
+    the target -- readers see either the old or the new table, never a
+    partial write.
+    """
+    if not os.path.exists(target_path):
+        if batch_order_by:
+            batch = dedup_keep_newest(batch, keys, batch_order_by)
+        writer = batch.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+    merged = merge_upsert(target, batch, keys, update_cols, preserve_cols, batch_order_by)
+
+    staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+    backup = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (SURVEY section 2.11 X3).
+
+Baseline: brute-force cosine top-k -- a single scan with per-row
+higher-order-function math and a TakeOrderedAndProject (distributed top-k,
+no global sort). This is the exact answer and scales linearly.
+
+Scale path: LSH bucketing (BucketedRandomProjectionLSH) so only same-bucket
+pairs are scored -- candidate generation cost tracks bucket density, not n^2.
+An IVF-style variant (cluster assignment + probe) can reuse the same probe
+interface later.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, literal_vector
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Scores are rounded before ordering so ranking is stable across engines
+    and runs; ties broken by id. Returns (id, cos_sim DECIMAL(18,4))."""
+    q = literal_vector(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_digits)
+        .cast(f"decimal(18,{round_digits})")
+        .alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs by brute-force self-join.
+
+    Exact but quadratic: only for modest partitions / oracle checks. The
+    production path for 100 TB is lsh_neardup_pairs below.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits).cast(
+        f"decimal(18,{round_digits})"
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold_euclidean: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-neighbor pairs via random-projection LSH: the scale
+    path for X3 (bucket join instead of cross join). For unit-normalized
+    vectors, euclidean distance d maps to cosine 1 - d^2/2."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+    )
+    normed = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normed)
+    pairs = model.approxSimilarityJoin(normed, normed, threshold_euclidean, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1 - F.col("dist") * F.col("dist") / 2, 4)
+            .cast("decimal(18,4)")
+            .alias("cos_sim_approx"),
+        )
+    )

@@ -1,0 +1,14 @@
+"""Registered query surface: every SURVEY.md section-2 operator has a named
+DataFrame query here, most with a DuckDB oracle SQL counterpart.
+
+Importing this package populates the registry.
+"""
+
+from . import registry  # noqa: F401
+from . import monitoring  # noqa: F401
+from . import relational  # noqa: F401
+from . import ingest_queries  # noqa: F401
+from . import llm  # noqa: F401
+
+QUERIES = registry.QUERIES
+ORACLES = registry.ORACLES

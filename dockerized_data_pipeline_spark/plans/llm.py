@@ -1,0 +1,329 @@
+"""LLM-data-pipeline queries (SURVEY section 2.11, BASELINE north_star):
+dedup, similarity search, text analysis, JSON-props analytics over the
+``documents`` / ``embeddings`` / ``events`` fixtures.
+
+Ratio outputs use FLOOR(x * 1e6) "parts-per-million" integers instead of
+decimal rounding: floor of an identical IEEE double is engine-portable,
+while round() at a representable tie (dyadic rationals like 1/128) is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as TX
+from ..functions.vectors import cosine
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from .registry import query
+
+_STOP_SQL = "('" + "','".join(TX.STOPWORDS) + "')"
+
+
+# ---------------------------------------------------------------------------
+# X1 -- exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_exact_dedup_docs",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def x1_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate collapse keyed on content, keeping the smallest id.
+    At 100 TB: group on xxhash64(text) first so the shuffle carries digests,
+    then verify within hash groups."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "x1_dedup_union_self",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type FROM events
+    )
+    """,
+)
+def x1_dedup_union_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates over a corpus with planted exact dupes (self-union)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return DD.exact_dedup(ev.unionByName(ev))
+
+
+# ---------------------------------------------------------------------------
+# X5 -- text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_text_stats",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           LENGTH(text) AS len_chars,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LEN(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_regex_tokens
+    FROM documents
+    """,
+)
+def x5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").alias("len_chars"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.regex_token_count(F.col("text")).alias("n_regex_tokens"),
+    )
+
+
+@query(
+    "x5_source_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def x5_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "x5_stopword_ppm",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(FLOOR(
+             LEN(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+             * 1000000.0 / LEN(string_split(text, ' '))
+           ) AS BIGINT) AS stop_ppm
+    FROM documents
+    """,
+)
+def x5_stopword_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring building block: stopword density in ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
+    total = TX.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.floor(stop * F.lit(1000000.0) / total).cast("bigint").alias("stop_ppm"),
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: f"LEN(list_filter(string_split(text, ' '), t -> t IN ('"
+    + "','".join(markers)
+    + "')))"
+    for lang, markers in TX.LANG_MARKERS.items()
+}
+
+
+@query(
+    "x5_lang_guess",
+    oracle=f"""
+    SELECT doc_id, lang,
+      CASE
+        WHEN GREATEST(en_s, es_s, fr_s, de_s) = 0 THEN 'und'
+        WHEN en_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'en'
+        WHEN es_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'es'
+        WHEN fr_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'fr'
+        ELSE 'de'
+      END AS guessed_lang
+    FROM (
+      SELECT doc_id, lang,
+             {_LANG_SCORE_SQL['en']} AS en_s,
+             {_LANG_SCORE_SQL['es']} AS es_s,
+             {_LANG_SCORE_SQL['fr']} AS fr_s,
+             {_LANG_SCORE_SQL['de']} AS de_s
+      FROM documents
+    )
+    """,
+)
+def x5_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (argmax with en>es>fr>de priority)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_guess(F.col("text")).alias("guessed_lang"))
+
+
+@query(
+    "x5_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(LENGTH(t) * 17 + ascii(t[1:1]) AS BIGINT))),
+             (acc, v) -> (acc * 31 + v) % {TX.FINGERPRINT_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def x5_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (portable integer
+    arithmetic, no engine hash builtins)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# X6 -- JSON props analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x6_props_analytics",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def x6_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 -- similarity search
+# ---------------------------------------------------------------------------
+
+_PROBE_VEC_ID = 0
+
+
+def _probe_vector(spark: SparkSession, sf_dir: str):
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _PROBE_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    return list(row[0])
+
+
+@query(
+    "x3_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {_PROBE_VEC_ID}
+    )
+    SELECT vec_id,
+           CAST(ROUND(
+             list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))), 4) AS DECIMAL(18,4)) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k against a probe vector (the baseline
+    ANN answer; TakeOrderedAndProject, no global sort)."""
+    return SIM.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), _probe_vector(spark, sf_dir), k=10
+    )
+
+
+@query(
+    "x3_cosine_neardup_pairs",
+    oracle="""
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(ROUND(
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+               4) AS DECIMAL(18,4)) AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.60
+    """,
+)
+def x3_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact quadratic baseline; the scale
+    path is operators.similarity.lsh_neardup_pairs)."""
+    return SIM.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.60
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 -- near-duplicate text detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x2_ngram_jaccard_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE lang = 'de' AND LEN(string_split(text, ' ')) >= 4
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, LEN(toks) - 3),
+                      i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS shingle
+        FROM d)
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(n_common * 1000000.0
+                      / (ca.n_sh + cb.n_sh - n_common)) AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 20 >= (ca.n_sh + cb.n_sh - n_common)
+    """,
+)
+def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram Jaccard pairs over the 'de' slice (the verification pass
+    for LSH candidates; integer threshold compare, ppm output)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    return DD.ngram_jaccard_pairs_ppm(docs, "doc_id", "text", n=4, threshold_num=1, threshold_den=20)
+
+
+# Engine-hash-based ops: deterministic but not SQL-portable -> rows-only.
+
+
+@query("x2_simhash_signatures")
+def x2_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("x2_minhash_neardup_pairs")
+def x2_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_a", "doc_b")

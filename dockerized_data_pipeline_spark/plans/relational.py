@@ -1,0 +1,463 @@
+"""Relational parity surface: join family (SURVEY section 2.3 J3), set ops
+(section 2.7), window functions (section 2.5), and the hash-aggregation
+family (section 2.4) exercised TPC-H-style over the star schema.
+
+The reference delegates all of this to Postgres (README.md:193-208 invites
+ad-hoc SQL); here each shape is a declarative Catalyst plan. Scale notes per
+query: dimension joins are broadcast (region/nation/supplier are tiny at any
+scale factor), fact-fact joins shuffle on their keys and rely on AQE for
+skew, top-k plans become TakeOrderedAndProject (no global sort).
+
+Numeric convention (see plans.registry): aggregated money amounts are cast to
+DECIMAL *before* summing on both engine and oracle sides -- decimal addition
+is exact and associative, so the result is independent of partition order;
+double summation is not. Averages divide the exact decimal sum (as double) by
+the count: identical operands -> identical IEEE result in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# Tight decimal widths keep multi-factor decimal products within precision 38
+# (exact in both Spark and DuckDB): prices < 1e8, rates < 10.
+PRICE_DEC = "decimal(12,4)"
+RATE_DEC = "decimal(7,4)"
+
+
+def _revenue_col() -> F.Column:
+    """sum(l_extendedprice * (1 - l_discount)) -- exact decimal arithmetic."""
+    ext = F.col("l_extendedprice").cast(PRICE_DEC)
+    disc = F.col("l_discount").cast(RATE_DEC)
+    return F.sum(ext * (F.lit(1).cast(RATE_DEC) - disc))
+
+
+_REVENUE_SQL = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A-family generalized; flagship = TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(38,6)) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: the reference's A1 monitoring aggregate generalized to
+    the TPC-H Q1 shape (multi-measure partial+final hash agg after a pushed
+    scan filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(PRICE_DEC)
+    ext = F.col("l_extendedprice").cast(PRICE_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(ext).cast("decimal(38,4)").alias("sum_base_price"),
+            _revenue_col().cast("decimal(38,8)").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count("*")).cast("decimal(38,6)").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct_customers_per_status",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(PRICE_DEC)).cast("decimal(38,4)").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (J3) -- every Spark join type over the star schema
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_unshipped_revenue_top10",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'FURNITURE'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_unshipped_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two equi-joins -> agg -> top-k.
+    customer is small relative to the facts; Catalyst/AQE broadcasts it."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "FURNITURE")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_col().cast("decimal(38,8)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_nation_revenue",
+    oracle=f"""
+    SELECT n_name, CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. Dims (region/nation/supplier/customer) are
+    broadcast; only orders><lineitem shuffles, on the join key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue_col().cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_outer_order_sizes",
+    oracle="""
+    SELECT o_orderkey, COUNT(l_orderkey) AS n_lines
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def join_left_outer_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.nk == s.nk, "full_outer").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY section 2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all_status_split",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_union_all_status_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    f = orders.filter(F.col("o_orderstatus") == "F")
+    o = orders.filter(F.col("o_orderstatus") == "O")
+    return f.unionByName(o)
+
+
+@query(
+    "set_intersect_active_buyers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_intersect_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey")
+    )
+    buyers = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return pos.intersect(buyers)
+
+
+@query(
+    "set_except_never_ordered",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    buyers = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return all_c.exceptAll(buyers).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY section 2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_dedup_keep_newest",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference upsert's keep-newest-per-key semantics
+    (scripts/fetch_stock_data.py:94-101) as a ranking-window dedup."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "window_topk_orders_per_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,4)) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast(PRICE_DEC)).over(w).cast("decimal(38,4)").alias("running_value"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(value AS DECIMAL(12,4)) - LAG(CAST(value AS DECIMAL(12,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS DECIMAL(38,4)) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast(PRICE_DEC)
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (v - F.lag(v).over(w)).cast("decimal(38,4)").alias("delta"),
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Defaults tuned for the test harness (local[N], single JVM) but every knob is
+cluster-appropriate: AQE handles runtime re-planning and skew on a real
+cluster, UTC session timezone makes timestamp semantics deterministic, and
+shuffle partitions are sized from the env rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def get_session(
+    app_name: str = "ddp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    AQE is left on: at 100 TB it coalesces small shuffle partitions, re-plans
+    sort-merge joins into broadcast joins when runtime stats allow, and splits
+    skewed partitions -- all decisions we'd otherwise hand-tune per query.
+    """
+    cpus = default_cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Read parquet TIMESTAMP(NANOS) (unsupported natively) as raw nanos;
+        # catalog.load_table converts them to TimestampType at the edge.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,77 @@
+"""LLM-data operator self-tests (SURVEY section 5.2 item 5): planted
+near-duplicates recovered at known thresholds, similarity sanity, simhash
+locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dockerized_data_pipeline_spark.catalog import load_table
+from dockerized_data_pipeline_spark.operators.dedup import (
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs_ppm,
+    simhash_signatures,
+)
+from dockerized_data_pipeline_spark.operators.similarity import cosine_topk, lsh_neardup_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "bird fly over the green field near the old barn"
+)
+
+
+def test_minhash_recovers_planted_neardup(spark):
+    near = BASE.replace("green", "blue")  # one-token edit = high jaccard
+    far = "completely different content about spark query engines and shuffles here"
+    df = _docs(spark, [(1, BASE), (2, near), (3, far)])
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(df, "doc_id", "text", jaccard_distance_threshold=0.6).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_jaccard_planted_pair(spark):
+    near = BASE + " extra tail tokens"
+    df = _docs(spark, [(1, BASE), (2, near), (3, "unrelated words entirely about nothing shared")])
+    out = {(r.doc_a, r.doc_b): r.jaccard_ppm for r in ngram_jaccard_pairs_ppm(df, "doc_id", "text", n=3, threshold_num=1, threshold_den=2).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)] > 500_000  # > 0.5 jaccard
+
+
+def test_simhash_locality(spark):
+    near = BASE.replace("green", "blue")
+    far = "totally disjoint vocabulary set describing databases and optimizers"
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(_docs(spark, [(1, BASE), (2, near), (3, far)]), "doc_id", "text").collect()
+    }
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+def test_cosine_topk_self_is_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+    top = cosine_topk(emb, probe, k=5).collect()
+    assert top[0].vec_id == 7
+    assert float(top[0].cos_sim) == 1.0
+    sims = [float(r.cos_sim) for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_neardup_finds_duplicated_vector(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    clone = emb.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
+    pairs = lsh_neardup_pairs(emb.unionByName(clone), threshold_euclidean=0.1)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (3, 100003) in found

@@ -1,0 +1,79 @@
+"""Registry contract tests: every query runs, has stable schema, and the
+SQL-expressible ones match the DuckDB oracle at smoke scale (the driver
+repeats this at sf0.01)."""
+
+from __future__ import annotations
+
+import collections
+import datetime
+import decimal
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    return v
+
+
+def _multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return collections.Counter(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_every_query_has_callable_and_runs(spark, sf_dir):
+    qs = entry_mod.queries()
+    assert len(qs) >= 40
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_oracle_match(spark, sf_dir, duck, name):
+    qs = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    sdf = qs[name](spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(sql)
+    d_rows = rel.fetchall()
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in rel.columns
+    ), name
+    assert len(s_rows) == len(d_rows), name
+    assert _multiset(sdf.columns, s_rows) == _multiset(rel.columns, d_rows), name

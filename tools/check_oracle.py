@@ -1,0 +1,124 @@
+"""Local replica of the driver's oracle-differential check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` counterpart
+on DuckDB at the given scale factor, then compares row count, column names,
+and an order-insensitive multiset of normalized row values. Flags queries
+with raw float/double outputs produced by aggregation (hash-fragile).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_value(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_value(x) for x in v)
+    return v
+
+
+def rows_multiset(cols, rows):
+    import collections
+
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return collections.Counter(
+        tuple(norm_value(r[i]) for i in idx) for r in rows
+    ), [cols[i] for i in idx]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = SF_DIR
+    if args and "/" in args[0]:
+        sf_dir, args = args[0], args[1:]
+
+    import __spark_entry__ as entry_mod
+    from dockerized_data_pipeline_spark.session import get_session
+
+    spark = get_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args or list(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        s_ms, s_sorted_cols = rows_multiset([c.lower() for c in s_cols], s_rows)
+        d_ms, d_sorted_cols = rows_multiset(d_cols, d_rows)
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if s_sorted_cols != d_sorted_cols:
+            problems.append(f"cols spark={s_sorted_cols} duck={d_sorted_cols}")
+        elif s_ms != d_ms:
+            only_s = list((s_ms - d_ms).keys())[:2]
+            only_d = list((d_ms - s_ms).keys())[:2]
+            problems.append(f"values differ; spark-only={only_s} duck-only={only_d}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
