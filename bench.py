@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full materialization with a noop sink (no driver
+collect -- executor-side completion only), matching how a cluster job would
+be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dockerized_data_pipeline_spark import plans
+from dockerized_data_pipeline_spark.session import get_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_unshipped_revenue_top10",
+    "q5_region_nation_revenue",
+    "a1_records_per_key",
+    "agg_rollup_revenue",
+    "window_dedup_keep_newest",
+    "s4_merge_upsert_events",
+    "p1_json_map_flatten",
+    "x1_exact_dedup_docs",
+    "x5_text_stats",
+    "x3_cosine_topk",
+    "x2_minhash_neardup_pairs",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_session("ddp-bench")
+
+    # Warm up the JVM / codegen path so query timings measure the plans,
+    # not session startup.
+    materialize(spark.range(1_000_000).selectExpr("sum(id) as s"))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = plans.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
