@@ -64,6 +64,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # semantics are pinned to UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

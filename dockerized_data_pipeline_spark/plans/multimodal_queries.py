@@ -1,0 +1,55 @@
+"""Multimodal-column queries (SURVEY section 2.11 X4): the mapInPandas
+decode/frame-sample paths, oracle-checked -- the stub codec's arithmetic is
+replicated in SQL, so the Arrow batch plumbing itself is what gets verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions.multimodal import (
+    decode_media,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+from .registry import query
+
+
+@query(
+    "x4_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(64 + strlen(text) % 192 AS INTEGER) AS width,
+           CAST(64 + (strlen(text) * 7) % 192 AS INTEGER) AS height,
+           CAST((64 + strlen(text) % 192) * 1000000
+                // (64 + (strlen(text) * 7) % 192) AS BIGINT) AS aspect_ppm
+    FROM documents
+    """,
+)
+def x4_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs))
+
+
+@query(
+    "x4_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(generate_series(0, strlen(text) % 4)) AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+)
+def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(media_from_documents(docs)).select("media_id", "frame_idx")
+
+
+@query("x4_feature_extract")
+def x4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature vectors from blobs (rows-only: array output feeds the
+    similarity operators)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(media_from_documents(docs))

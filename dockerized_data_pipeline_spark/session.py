@@ -9,6 +9,8 @@ shuffle partitions are sized from the env rather than the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -53,4 +55,32 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_on_workers(spark)
     return spark
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via addPyFile.
+
+    Python-UDF closures (mapInPandas batch fns) pickle references to this
+    module; workers deserializing them must be able to import it even when
+    the driver process was launched outside the repo directory. Safe to call
+    repeatedly (once per SparkContext)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_ddp_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, arc)
+    sc.addPyFile(zpath)
+    sc._ddp_pkg_shipped = True

@@ -1,0 +1,111 @@
+"""Structured Streaming re-expression of the reference's scheduled
+micro-batch pipeline (SURVEY section 2.9 T1-T7).
+
+The reference's semantics -- hourly trigger (dags/stock_data_pipeline.py:47),
+no backfill (catchup=False, :49), at-least-once fetch + idempotent keyed
+upsert = effectively-once (retries :19-20 + PK upsert
+scripts/fetch_stock_data.py:94-101) -- map onto:
+
+    readStream (file source)
+      -> transformations
+      -> writeStream.foreachBatch(merge_upsert_path)   # idempotent MERGE
+      -> Trigger.AvailableNow / processingTime
+
+``foreachBatch`` + an idempotent keyed MERGE is the canonical Spark
+exactly-once sink pattern: a replayed batch upserts the same keys to the
+same values. Late/updated data is handled by upsert-on-key (T4), and
+watermarked tumbling windows cover windowed aggregation over event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_upsert_path
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based stream source (the test stand-in for a message bus; T6
+    rate limiting maps to maxFilesPerTrigger)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str],
+    update_cols: list[str] | None = None,
+    preserve_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Start the exactly-once ingest: every micro-batch MERGEs into the
+    target by key (T3). Returns the StreamingQuery.
+
+    ``Trigger.AvailableNow`` drains what exists and stops -- the testable,
+    batch-like analog of the reference's scheduled runs; pass
+    available_now=False for a continuous processing-time trigger.
+    """
+    spark = stream_df.sparkSession
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # S6 empty-batch guard (scripts/fetch_stock_data.py:82-83).
+        if batch_df.isEmpty():
+            return
+        merge_upsert_path(
+            spark,
+            target_path,
+            batch_df,
+            keys=keys,
+            update_cols=update_cols,
+            preserve_cols=preserve_cols,
+            batch_order_by=order_by,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 hour")
+    return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (T4 late-data handling for
+    windowed aggs): counts + exact decimal value sums per (window, key).
+
+    The batch-equivalent plan (F.window over a static frame) is
+    oracle-checked by plans.streaming_queries.t_tumbling_window_hourly.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("decimal(38,4)").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,161 @@
+"""Tests for config, HTTP source (fake transport), snapshots, retention,
+quality checks, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from dockerized_data_pipeline_spark.catalog import load_table
+from dockerized_data_pipeline_spark.config import PipelineConfig, symbols_from_env
+from dockerized_data_pipeline_spark.functions.multimodal import (
+    decode_media,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+from dockerized_data_pipeline_spark.operators.quality import (
+    duplicate_key_count,
+    observe_quality,
+    quality_violations,
+)
+from dockerized_data_pipeline_spark.operators.retention import (
+    apply_retention_partitioned,
+    retention_filter,
+)
+from dockerized_data_pipeline_spark.sources.http import (
+    fetch_payloads,
+    payloads_to_df,
+    preflight,
+)
+from dockerized_data_pipeline_spark.sources.parse import parse_timeseries
+from dockerized_data_pipeline_spark.sources.snapshot import backup, restore
+
+
+def test_symbols_from_env_normalization():
+    assert symbols_from_env({"STOCK_SYMBOLS": " aapl, ,msft ,"}) == ["AAPL", "MSFT"]
+    assert symbols_from_env({}) == ["AAPL", "GOOGL", "MSFT", "AMZN", "TSLA"]
+
+
+def test_config_validate_flags_placeholder_key():
+    cfg = PipelineConfig(symbols=["AAPL"], api_key="demo")
+    assert cfg.validate()
+    cfg2 = PipelineConfig(symbols=["AAPL"], api_key="real-key-123")
+    assert cfg2.validate() == []
+
+
+def _payload(symbol):
+    return json.dumps(
+        {
+            "Meta Data": {"3. Last Refreshed": "2024-01-05 16:00:00", "5. Time Zone": "UTC"},
+            "Time Series (60min)": {
+                "2024-01-05 16:00:00": {
+                    "1. open": "1.0", "2. high": "2.0", "3. low": "0.5",
+                    "4. close": "1.5", "5. volume": "100",
+                }
+            },
+        }
+    )
+
+
+def test_fetch_with_fake_transport_isolation_and_rate_limit(spark):
+    calls, sleeps = [], []
+
+    def transport(url, params):
+        calls.append(params["symbol"])
+        if params["symbol"] == "BAD":
+            raise RuntimeError("boom")
+        return _payload(params["symbol"])
+
+    cfg = PipelineConfig(symbols=[], api_key="k", request_delay_sec=12.0)
+    results = fetch_payloads([" aapl", "BAD", "msft"], transport, cfg, sleep=sleeps.append)
+    assert [r.symbol for r in results] == ["AAPL", "BAD", "MSFT"]
+    assert results[1].error is not None  # isolated, not raised (T7)
+    assert sleeps == [12.0, 12.0]  # inter-request delay (T6)
+    df = payloads_to_df(spark, results)
+    assert df.count() == 2
+    assert parse_timeseries(df).count() == 2  # end-to-end fetch -> parse
+
+
+def test_preflight_health_check():
+    ok = lambda url, p: json.dumps({"Global Quote": {"01. symbol": "AAPL"}})
+    bad = lambda url, p: json.dumps({"Note": "rate limited"})
+    assert preflight(ok, PipelineConfig(api_key="k")) is True
+    assert preflight(bad, PipelineConfig(api_key="k")) is False
+
+
+def test_snapshot_backup_restore_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    snap, target = str(tmp_path / "snap"), str(tmp_path / "restored")
+    backup(df, snap)
+    restore(spark, snap, target)
+    assert spark.read.parquet(target).count() == df.count()
+
+
+def test_retention_partitioned_drop_and_boundary(spark, tmp_path):
+    path = str(tmp_path / "events_by_date")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), "2024-01-01"),
+        (2, dt.datetime(2024, 1, 2, 5), "2024-01-02"),
+        (3, dt.datetime(2024, 1, 3, 5), "2024-01-03"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, dt string")
+    df.write.partitionBy("dt").parquet(path)
+    stats = apply_retention_partitioned(spark, path, "dt", "2024-01-02", ts_col="ts")
+    assert stats == {"dropped_partitions": 1, "rewritten_partitions": 1}
+    left = spark.read.parquet(path).select("id").collect()
+    assert sorted(r.id for r in left) == [2, 3]
+
+
+def test_retention_filter_matches_manual(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    n = retention_filter(ev, "ts", cutoff).count()
+    assert n == ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp")).count()
+
+
+def test_quality_observe_and_duplicates(spark):
+    rows = [
+        ("A", 1, 10.0, 5.0, 100),
+        ("A", 1, 10.0, 5.0, 100),  # duplicate key
+        (None, 2, 3.0, 9.0, -5),  # null key, high<low, negative volume
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts long, high double, low double, volume long")
+    obs = Observation("q")
+    observed = observe_quality(df, obs, ["symbol", "ts"], "high", "low", ["volume"])
+    observed.count()
+    v = quality_violations(obs)
+    assert v == {"null_symbol": 1, "high_lt_low": 1, "neg_volume": 1}
+    assert duplicate_key_count(df, ["symbol", "ts"]) == 1
+
+
+def test_multimodal_decode_matches_blob_length(spark, sf_dir):
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    decoded = {r.media_id: r for r in decode_media(media).collect()}
+    src = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(decoded) == set(src)
+    some = next(iter(decoded))
+    n = len(src[some].encode())
+    assert decoded[some].n_bytes == n
+    assert decoded[some].width == 64 + n % 192
+
+
+def test_multimodal_frame_sampler_multiplies_rows(spark, sf_dir):
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per_media)
+    assert frames.count() >= media.count()
+
+
+def test_multimodal_features_feed_similarity(spark, sf_dir):
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    row = feats.first()
+    assert len(row.feature) == 8
+    assert all(0.0 <= x < 1.0 for x in row.feature)
