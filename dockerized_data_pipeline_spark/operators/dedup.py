@@ -106,6 +106,100 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature: num_hashes columns mh0..mh{k-1},
+    where mh_i = min over shingles of xxhash64(shingle, i).
+
+    One explode + one groupBy: the signature of a 100 TB corpus costs a
+    single shuffle keyed on doc id, carrying k longs per row.
+    """
+    sh = shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingle"
+    )
+    return sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_neardup_pairs_native(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    min_est_jaccard_ppm: int = 300_000,
+) -> DataFrame:
+    """Spark-native MinHash-LSH near-duplicate pairs:
+    shingle -> minhash signature -> band -> bucket self-join -> estimate.
+
+    Banding: the signature splits into ``bands`` bands of ``rows_per_band``
+    hashes; docs agreeing on ALL hashes of any band land in the same bucket
+    (P[candidate] = 1-(1-j^r)^b -- the S-curve that makes cost track true
+    duplicate density instead of n^2). Candidate pairs are verified by the
+    signature-agreement Jaccard estimate (fraction of equal minhashes);
+    feed survivors to ngram_jaccard_pairs_ppm for exact confirmation.
+
+    Fully deterministic (xxhash64, no seeds to manage) and shuffle-frugal:
+    one shuffle for signatures, one for the bucket join.
+    Returns (doc_a, doc_b, est_jaccard_ppm BIGINT).
+    """
+    num_hashes = bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    # Slim bucket join: the exploded band table carries only (doc, band,
+    # sig) -- 24 bytes/row -- so the n*bands shuffle stays cheap at corpus
+    # scale; full signatures rejoin only for the (few) candidate pairs.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est_ppm = F.floor(matches * F.lit(1_000_000.0) / F.lit(num_hashes)).cast("bigint")
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select("doc_a", "doc_b", est_ppm.alias("est_jaccard_ppm"))
+        .filter(F.col("est_jaccard_ppm") >= min_est_jaccard_ppm)
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,

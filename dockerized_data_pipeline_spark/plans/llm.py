@@ -324,6 +324,9 @@ def x2_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x2_minhash_neardup_pairs")
 def x2_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_neardup_pairs(
+    """Native banding MinHash-LSH (deterministic xxhash64; the ml-backed
+    variant operators.dedup.minhash_neardup_pairs is the API-compatible
+    alternative)."""
+    return DD.minhash_neardup_pairs_native(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
-    ).select("doc_a", "doc_b")
+    )

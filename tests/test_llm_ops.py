@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from dockerized_data_pipeline_spark.catalog import load_table
 from dockerized_data_pipeline_spark.operators.dedup import (
     minhash_neardup_pairs,
+    minhash_neardup_pairs_native,
     ngram_jaccard_pairs_ppm,
     simhash_signatures,
 )
@@ -34,6 +35,19 @@ def test_minhash_recovers_planted_neardup(spark):
         for r in minhash_neardup_pairs(df, "doc_id", "text", jaccard_distance_threshold=0.6).collect()
     }
     assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_native_minhash_recovers_planted_neardup(spark):
+    near = BASE.replace("green", "blue")
+    far = "completely different content about spark query engines and shuffles here"
+    df = _docs(spark, [(1, BASE), (2, near), (3, far)])
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard_ppm
+        for r in minhash_neardup_pairs_native(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= 300_000
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
