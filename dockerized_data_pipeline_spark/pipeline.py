@@ -1,0 +1,94 @@
+"""End-to-end ingest pipeline: the reference's scheduled DAG run re-expressed
+as one Spark batch job (SURVEY section 3.1).
+
+Reference control flow (per hourly tick):
+    create_stock_table (DDL)            dags/stock_data_pipeline.py:53-56
+    for symbol: fetch -> parse -> store scripts/fetch_stock_data.py:139-163
+
+Engine re-expression -- one declarative job, not a per-symbol loop:
+    fetch all payloads (driver-side HTTP, failure-isolated)
+      -> one DataFrame of (symbol, payload)
+      -> parse_timeseries (from_json/explode/cast, observe quality counters)
+      -> stamp created_at (DDL DEFAULT CURRENT_TIMESTAMP analog)
+      -> merge_upsert_path keyed (symbol, timestamp), newest-last_refreshed
+         wins, preserving created_at/time_zone on update
+
+The per-symbol UNION-loop becomes a single partition-parallel plan; retry &
+idempotence come from the keyed MERGE (running the same tick twice is a
+no-op). Returns the run summary the reference logs
+(scripts/fetch_stock_data.py:160-166) plus quality metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .operators.merge import merge_upsert_path
+from .sources.http import Transport, fetch_payloads, payloads_to_df
+from .sources.parse import parse_timeseries
+
+MERGE_KEYS = ["symbol", "timestamp"]
+# SET list per scripts/fetch_stock_data.py:96-101: OHLCV + last_refreshed
+# update; time_zone and created_at are deliberately preserved.
+UPDATE_COLS = [
+    "open_price",
+    "high_price",
+    "low_price",
+    "close_price",
+    "volume",
+    "last_refreshed",
+]
+PRESERVE_COLS = ["time_zone", "created_at"]
+
+
+@dataclass
+class IngestSummary:
+    symbols_attempted: int = 0
+    symbols_fetched: int = 0
+    symbols_failed: int = 0
+    rows_parsed: int = 0
+    quality: dict = field(default_factory=dict)
+
+
+def ingest(
+    spark: SparkSession,
+    symbols: list[str],
+    transport: Transport,
+    target_path: str,
+    config: PipelineConfig | None = None,
+    as_of=None,
+) -> IngestSummary:
+    """Run one ingest tick: fetch -> parse -> MERGE into target_path.
+
+    ``as_of`` pins created_at for deterministic testing; defaults to
+    current_timestamp() (the DDL default, dags/stock_data_pipeline.py:36).
+    """
+    summary = IngestSummary(symbols_attempted=len(symbols))
+    results = fetch_payloads(symbols, transport, config)
+    summary.symbols_failed = sum(1 for r in results if r.error is not None)
+    summary.symbols_fetched = len(results) - summary.symbols_failed
+    if summary.symbols_fetched == 0:
+        return summary  # S6 empty guard (scripts/fetch_stock_data.py:82-83)
+
+    payload_df = payloads_to_df(spark, results)
+    obs = Observation("ingest_quality")
+    parsed = parse_timeseries(payload_df, observation=obs)
+    created = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+    batch = parsed.withColumn("created_at", created)
+
+    merge_upsert_path(
+        spark,
+        target_path,
+        batch,
+        keys=MERGE_KEYS,
+        update_cols=UPDATE_COLS,
+        preserve_cols=PRESERVE_COLS,
+        batch_order_by=["last_refreshed"],
+    )
+    summary.quality = dict(obs.get)
+    summary.rows_parsed = summary.quality.get("rows_total", 0)
+    return summary

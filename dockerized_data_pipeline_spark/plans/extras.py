@@ -1,0 +1,267 @@
+"""Extended engine-surface queries: as-of join, sessionization, pivot,
+grouping sets, exact percentile, scalar-function galleries (SURVEY section
+2.8 F-family breadth + 'Common OLAP patterns' from the build guide).
+
+The reference exposes ad-hoc SQL against its store (README.md:193-208);
+these queries demonstrate that surface is fully covered, each with a DuckDB
+oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..operators.sessionize import sessionize
+from .registry import query
+
+
+# As-of join: for each click, the most recent prior purchase by the same
+# user. Oracle uses DuckDB's native ASOF JOIN; the engine uses the
+# union+window pattern (operators.asof).
+@query(
+    "asof_click_to_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS asof_event_id, r.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases.withColumnRenamed("ts", "p_ts"),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        payload_cols=["event_id", "value"],
+    )
+
+
+@query(
+    "sessionize_user_events",
+    oracle="""
+    SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
+      SELECT event_id, user_id,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > CAST(3600 AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    )
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        ev, ["user_id"], "ts", gap_seconds=3600, order_tiebreak=["event_id"]
+    ).select("event_id", "user_id", F.col("session_id").cast("bigint").alias("session_id"))
+
+
+@query(
+    "agg_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (SURVEY section 3.2): the same Catalyst pipeline via
+    spark.sql over a registered view."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(FLOOR(quantile_cont(l_quantity, 0.5) * 1000000) AS BIGINT) AS median_qty_ppm,
+           CAST(FLOOR(quantile_cont(l_quantity, 0.9) * 1000000) AS BIGINT) AS p90_qty_ppm
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles; approx_percentile is the sketch
+    variant for 100 TB but is not engine-portable for oracle checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.floor(F.expr("percentile(l_quantity, 0.5)") * 1_000_000)
+        .cast("bigint")
+        .alias("median_qty_ppm"),
+        F.floor(F.expr("percentile(l_quantity, 0.9)") * 1_000_000)
+        .cast("bigint")
+        .alias("p90_qty_ppm"),
+    )
+
+
+@query(
+    "f_string_gallery",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS uname,
+           LOWER(c_mktsegment) AS lseg,
+           SUBSTR(c_name, 10, 6) AS name_mid,
+           LENGTH(c_name) AS name_len,
+           CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           REPLACE(c_name, 'Customer', 'C') AS short_name,
+           REVERSE(c_mktsegment) AS rseg,
+           regexp_replace(c_name, '[0-9]+', '#') AS name_hashed,
+           CONTAINS(c_name, '0000') AS has_zeros
+    FROM customer
+    """,
+)
+def f_string_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 10, 6).alias("name_mid"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_hashed"),
+        F.contains(F.col("c_name"), F.lit("0000")).alias("has_zeros"),
+    )
+
+
+@query(
+    "f_datetime_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+    FROM orders
+    """,
+)
+def f_datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+@query(
+    "f_math_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           ABS(o_totalprice - 100000) AS abs_centered,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+           CAST(CEIL(o_totalprice) AS BIGINT) AS ceil_price,
+           CAST(FLOOR(sqrt(o_totalprice) * 1000000) AS BIGINT) AS sqrt_ppm,
+           CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 97 AS cents_mod97,
+           GREATEST(o_totalprice, 50000.0) AS floored_at_50k,
+           LEAST(o_totalprice, 200000.0) AS capped_at_200k,
+           CAST(SIGN(o_totalprice - 100000) AS INTEGER) AS side
+    FROM orders
+    """,
+)
+def f_math_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 100000).alias("abs_centered"),
+        F.floor(p).cast("bigint").alias("floor_price"),
+        F.ceil(p).cast("bigint").alias("ceil_price"),
+        F.floor(F.sqrt(p) * 1_000_000).cast("bigint").alias("sqrt_ppm"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("mod7"),
+        (F.floor(p * 100).cast("bigint") % 97).alias("cents_mod97"),
+        F.greatest(p, F.lit(50000.0)).alias("floored_at_50k"),
+        F.least(p, F.lit(200000.0)).alias("capped_at_200k"),
+        F.signum(p - 100000).cast("int").alias("side"),
+    )
+
+
+@query(
+    "f_conditional_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_urgent,
+           IF(o_custkey % 2 = 0, 'even', 'odd') AS custkey_parity
+    FROM orders
+    """,
+)
+def f_conditional_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+        F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("custkey_parity"),
+    )
