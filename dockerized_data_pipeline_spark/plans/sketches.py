@@ -1,0 +1,38 @@
+"""Sketch/approximate aggregates (engine surface; the 100 TB substitutes for
+exact distinct/percentile): HyperLogLog++ distinct counts and GK-sketch
+percentiles. Deterministic for fixed input (rows-only checks: the sketch
+algorithms are engine-specific, so no cross-engine oracle), with exact
+counterparts asserted in tests at small scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query("sketch_approx_distinct")
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd=1%) per order status -- the
+    shuffle-light distinct for 100 TB (fixed-size sketch vs exact's
+    per-value shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@query("sketch_approx_percentiles")
+def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna) -- single-pass mergeable
+    quantiles; accuracy 10000 keeps it exact-ish at this scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
+            "price_quartiles"
+        ),
+        F.count("*").alias("n"),
+    )

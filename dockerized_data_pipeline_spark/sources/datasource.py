@@ -1,0 +1,94 @@
+"""Python DataSource V2 for the stock REST API (SURVEY section 2.1 S1 scale
+path): ``spark.read.format("stock_api")`` with one input partition per
+symbol, so fetch parallelism scales with the symbol universe instead of
+looping in the driver (scripts/fetch_stock_data.py:139-163).
+
+Modes:
+  * ``payload_dir`` option: offline mode -- each partition reads
+    ``{payload_dir}/{symbol}.json`` (fixtures; no network). This is the
+    tested path in this container.
+  * no ``payload_dir``: live mode -- each partition GETs the Alpha Vantage
+    endpoint (requests, 30 s timeout per scripts/fetch_stock_data.py:27).
+
+The source emits raw (symbol, payload, error) rows; parsing stays in
+sources.parse.parse_timeseries so the typed-row logic exists exactly once.
+Per-symbol failure isolation (T7): a failed fetch yields an error row, the
+scan never aborts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+RAW_SCHEMA_DDL = "symbol string, payload string, error string"
+
+
+@dataclass
+class SymbolPartition(InputPartition):
+    symbol: str
+
+
+class StockApiDataSource(DataSource):
+    """register with spark.dataSource.register(StockApiDataSource), then
+    spark.read.format("stock_api").option("symbols", "AAPL,MSFT")...load()."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "stock_api"
+
+    def schema(self) -> str:
+        return RAW_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> "StockApiReader":
+        return StockApiReader(self.options)
+
+
+class StockApiReader(DataSourceReader):
+    def __init__(self, options):
+        raw = options.get("symbols", "")
+        self.symbols = [s.strip().upper() for s in raw.split(",") if s.strip()]
+        self.payload_dir = options.get("payload_dir")
+        self.api_key = options.get("api_key", "demo")
+
+    def partitions(self):
+        if not self.symbols:
+            raise ValueError(
+                "stock_api requires a non-empty 'symbols' option, e.g. "
+                ".option('symbols', 'AAPL,MSFT')"
+            )
+        # dedupe, preserving order: one fetch per distinct symbol
+        seen = dict.fromkeys(self.symbols)
+        return [SymbolPartition(s) for s in seen]
+
+    def read(self, partition: SymbolPartition):
+        sym = partition.symbol
+        try:
+            if self.payload_dir:
+                path = f"{self.payload_dir}/{sym}.json"
+                with open(path, encoding="utf-8") as fh:
+                    yield (sym, fh.read(), None)
+            else:
+                import requests
+
+                resp = requests.get(
+                    "https://www.alphavantage.co/query",
+                    params={
+                        "function": "TIME_SERIES_INTRADAY",
+                        "symbol": sym,
+                        "interval": "60min",
+                        "apikey": self.api_key,
+                        "outputsize": "compact",
+                    },
+                    timeout=30,
+                )
+                resp.raise_for_status()
+                yield (sym, resp.text, None)
+        except Exception as exc:
+            yield (sym, None, str(exc))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(StockApiDataSource)
