@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_events_range, load_table
 from .registry import AS_OF, ONE_DAY_BEFORE_AS_OF, query
 
 
@@ -50,8 +50,7 @@ def a1_records_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a2_multikey_counts_last_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") >= F.lit(ONE_DAY_BEFORE_AS_OF).cast("timestamp"))
+        load_events_range(spark, sf_dir, ts_from=ONE_DAY_BEFORE_AS_OF)
         .groupBy("event_type", "user_id")
         .agg(F.count("*").alias("runs"))
     )
@@ -147,10 +146,8 @@ def o2_recent_events_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p7_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("ts") >= F.lit(ONE_DAY_BEFORE_AS_OF).cast("timestamp"))
-        .select("event_id", "ts", "user_id", "event_type", "value")
+    return load_events_range(spark, sf_dir, ts_from=ONE_DAY_BEFORE_AS_OF).select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
 
 

@@ -1,0 +1,224 @@
+"""TPC-H-shaped analytical queries beyond the reference's own SQL (SURVEY
+section 2.4 engine surface): selective-filter aggregation, conditional
+aggregation over joins, ratio-of-sums, HAVING, and correlated subqueries
+(Catalyst decorrelation). Each oracle-checked against DuckDB.
+
+Numeric convention as elsewhere: decimal casts before sums, ppm integers
+for ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+_DEC = "decimal(12,4)"
+_RATE = "decimal(7,4)"
+
+
+# Q6 shape: highly selective scan filter -> single-group aggregate. The
+# entire query folds into one scan with pushed predicates.
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(38,8)) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 25
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_RATE))
+            .cast("decimal(38,8)")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# Q12 shape: join + conditional (CASE) aggregation by category.
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# Q14 shape: ratio of conditional sum to total sum (promo revenue share).
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(FLOOR(
+             CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                       * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))
+                  ELSE CAST(0 AS DECIMAL(20,8)) END) AS DOUBLE) * 1000000
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS DOUBLE)
+           ) AS BIGINT) AS promo_share_ppm
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE)
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(20,8)"))
+    )
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.floor(promo.cast("double") * 1_000_000 / total.cast("double"))
+            .cast("bigint")
+            .alias("promo_share_ppm")
+        )
+    )
+
+
+# Q18 shape: HAVING on an aggregate (large-volume orders), join back to detail.
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 150
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,4)").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+# Q17-like correlated scalar subquery: parts priced near their brand's
+# ceiling -- written as real correlated SQL so Catalyst's decorrelation
+# (rewrite to aggregate + join) is exercised, not hand-rolled. MAX (not
+# AVG) keeps the threshold exact: double averages accumulate in
+# engine-specific order, MAX of identical doubles is bit-identical.
+@query(
+    "q17_near_brand_ceiling",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > (
+      SELECT 0.99 * MAX(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def q17_near_brand_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice > (
+          SELECT 0.99 * MAX(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+# Q2-like: min-per-group join-back (cheapest supplier account balance per
+# nation, reported with supplier names).
+@query(
+    "q2_min_per_group_joinback",
+    oracle="""
+    WITH mins AS (
+      SELECT s_nationkey AS nk, MIN(s_acctbal) AS min_bal
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n_name, s_name, s_acctbal
+    FROM supplier
+    JOIN mins ON s_nationkey = mins.nk AND s_acctbal = mins.min_bal
+    JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q2_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    mins = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(
+            F.broadcast(mins),
+            (s.s_nationkey == mins.nk) & (s.s_acctbal == mins.min_bal),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_name", "s_acctbal")
+    )
+
+
+# EXISTS-with-correlated-predicate (Q4 shape): orders with at least one
+# late-shipped lineitem.
+@query(
+    "q4_orders_with_late_lines",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )

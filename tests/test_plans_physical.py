@@ -1,0 +1,67 @@
+"""Physical-plan regression tests (SURVEY section 4 scale posture): assert
+the optimizations we rely on at 100 TB actually appear in the plans --
+predicate pushdown to the parquet scan, column pruning, broadcast joins for
+dims, distributed top-k, and no Python row-UDFs on relational paths."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from dockerized_data_pipeline_spark import plans
+
+
+def _formatted_plan(spark, sf_dir, name):
+    df = plans.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: only the 6 needed columns, not all 11
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # two-phase hash aggregation (map-side partials)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_dims_are_broadcast(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "q5_region_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_o1_topk_is_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "o1_latest_orders_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_p7_time_filter_pushed_to_scan(spark, sf_dir):
+    """Time filters on the nano-timestamp events table must push the
+    equivalent raw-nanos predicate to the parquet scan (load_events_range);
+    filtering the converted column would read the whole table."""
+    plan = _formatted_plan(spark, sf_dir, "p7_time_range_filter")
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+def test_no_python_row_udfs_on_relational_paths(spark, sf_dir):
+    """BatchEvalPython (row-at-a-time Python UDF) must not appear anywhere;
+    ArrowEvalPython/mapInPandas is allowed only for multimodal ops."""
+    for name in plans.QUERIES:
+        plan = _formatted_plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        if not name.startswith("x4_"):
+            assert "ArrowEvalPython" not in plan, name
+
+
+def test_merge_plan_has_single_shuffle_per_side(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "s4_merge_upsert_events")
+    # full-outer merge: at most one exchange per input branch plus AQE reads
+    assert plan.count("Exchange hashpartitioning") <= 4
