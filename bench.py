@@ -24,9 +24,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_unshipped_revenue_top10",
     "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "a1_records_per_key",
     "agg_rollup_revenue",
     "window_dedup_keep_newest",
+    "asof_click_to_purchase",
     "s4_merge_upsert_events",
     "p1_json_map_flatten",
     "x1_exact_dedup_docs",

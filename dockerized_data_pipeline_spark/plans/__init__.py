@@ -14,6 +14,7 @@ from . import multimodal_queries  # noqa: F401
 from . import extras  # noqa: F401
 from . import sketches  # noqa: F401
 from . import tpch_like  # noqa: F401
+from . import collections  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

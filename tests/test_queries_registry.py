@@ -32,6 +32,8 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, bool):
         return f"bool:{v}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return v
 
 
