@@ -33,15 +33,15 @@ TABLES = (
 STOCK_DATA_SCHEMA = T.StructType(
     [
         T.StructField("symbol", T.StringType(), False),
-        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("timestamp", T.TimestampNTZType(), False),
         T.StructField("open_price", T.DecimalType(15, 4), True),
         T.StructField("high_price", T.DecimalType(15, 4), True),
         T.StructField("low_price", T.DecimalType(15, 4), True),
         T.StructField("close_price", T.DecimalType(15, 4), True),
         T.StructField("volume", T.LongType(), True),
-        T.StructField("last_refreshed", T.TimestampType(), True),
+        T.StructField("last_refreshed", T.TimestampNTZType(), True),
         T.StructField("time_zone", T.StringType(), True),
-        T.StructField("created_at", T.TimestampType(), True),
+        T.StructField("created_at", T.TimestampNTZType(), True),
     ]
 )
 
@@ -52,9 +52,13 @@ def table_path(sf_dir: str, name: str) -> str:
 
 # Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as raw
 # nano longs (session conf legacy.parquet.nanosAsLong); we convert to
-# microsecond TimestampType at the edge. ``div 1000`` floors, matching how
-# micro-resolution engines truncate nano timestamps.
+# microsecond TimestampNTZ at the edge. ``div 1000`` floors, matching how
+# micro-resolution engines truncate nano timestamps. NTZ (not TimestampType)
+# so every engine table has uniform naive-UTC timestamp semantics -- the
+# other parquet columns (isAdjustedToUTC=false) already load as NTZ.
 _NANO_TS_COLS = {"events": ("ts",)}
+
+_NANOS_TO_NTZ = "cast(timestamp_micros({col} div 1000) as timestamp_ntz)"
 
 
 def _prepare_session(spark: SparkSession) -> None:
@@ -74,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            df = df.withColumn(col, F.expr(_NANOS_TO_NTZ.format(col=col)))
     return df
 
 
@@ -110,7 +114,7 @@ def load_events_range(
             df = df.filter(F.col("ts") >= to_nanos(ts_from))
         if ts_to is not None:
             df = df.filter(F.col("ts") < to_nanos(ts_to))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ.format(col="ts")))
     else:
         if ts_from is not None:
             df = df.filter(F.col("ts") >= F.lit(ts_from).cast("timestamp"))

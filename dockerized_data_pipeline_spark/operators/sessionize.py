@@ -22,8 +22,10 @@ def sessionize(
     the gap to the previous event exceeds gap_seconds."""
     order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    # unix_micros needs TIMESTAMP; session tz is UTC so the NTZ cast is exact
+    ts = F.col(ts_col).cast("timestamp")
+    prev_ts = F.lag(ts).over(w)
+    gap_us = F.unix_micros(ts) - F.unix_micros(prev_ts)
     new_session = F.when(
         prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)

@@ -78,7 +78,7 @@ def ingest(
     obs = Observation("ingest_quality")
     parsed = parse_timeseries(payload_df, observation=obs)
     created = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
-    batch = parsed.withColumn("created_at", created)
+    batch = parsed.withColumn("created_at", created.cast("timestamp_ntz"))
 
     merge_upsert_path(
         spark,

@@ -75,7 +75,12 @@ def a3_freshness_age(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("latest_data"))
         .withColumn(
             "age_sec",
-            F.expr(f"(unix_micros(TIMESTAMP '{AS_OF}') - unix_micros(latest_data)) div 1000000"),
+            # latest_data is NTZ; session tz is pinned UTC so the cast back
+            # to TIMESTAMP for unix_micros is exact.
+            F.expr(
+                f"(unix_micros(TIMESTAMP '{AS_OF}')"
+                " - unix_micros(cast(latest_data as timestamp))) div 1000000"
+            ),
         )
     )
 

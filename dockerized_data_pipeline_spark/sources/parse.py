@@ -93,9 +93,9 @@ def parse_timeseries(
         # P3: per-response scalar metadata broadcast onto every series row
         # (scripts/fetch_stock_data.py:53, :66-67). try_* variants give
         # malformed->null under ANSI mode (the reference's skip-and-warn).
-        F.try_to_timestamp(F.element_at(meta, "3. Last Refreshed"), F.lit(TS_FORMAT)).alias(
-            "last_refreshed"
-        ),
+        F.try_to_timestamp(F.element_at(meta, "3. Last Refreshed"), F.lit(TS_FORMAT))
+        .cast("timestamp_ntz")
+        .alias("last_refreshed"),
         F.element_at(meta, "5. Time Zone").alias("time_zone"),
         # P1: map -> rows generator (scripts/fetch_stock_data.py:56-69).
         F.explode(F.col("`__parsed`.`Time Series (60min)`")).alias("ts_str", "vals"),
@@ -104,7 +104,11 @@ def parse_timeseries(
     projected = exploded.select(
         "symbol",
         # F1/P4: typed casts; malformed -> null (scripts/fetch_stock_data.py:60-65).
-        F.try_to_timestamp(F.col("ts_str"), F.lit(TS_FORMAT)).alias("timestamp"),
+        # NTZ end-to-end (catalog.STOCK_DATA_SCHEMA): wall-clock timestamps
+        # with session tz pinned UTC.
+        F.try_to_timestamp(F.col("ts_str"), F.lit(TS_FORMAT)).cast("timestamp_ntz").alias(
+            "timestamp"
+        ),
         *[
             F.element_at(F.col("vals"), k).try_cast(PRICE_TYPE).alias(alias)
             for k, alias in FIELD_MAP.items()
