@@ -65,6 +65,78 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_assignments(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are a literal array-of-arrays broadcast into the plan as a
+    constant -- for a few-hundred-centroid codebook this is a pure per-row
+    projection, no join, no shuffle. Deterministic argmax (ties -> lowest
+    centroid id).
+    """
+    from ..functions.vectors import literal_vector
+
+    best_id = F.lit(0)
+    best_dot = cosine(F.col(vec_col), literal_vector(centroids[0]))
+    for cid in range(1, len(centroids)):
+        d = cosine(F.col(vec_col), literal_vector(centroids[cid]))
+        better = d > best_dot
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_dot = F.when(better, d).otherwise(best_dot)
+    return df.select(F.col(id_col), F.col(vec_col), best_id.alias("cluster_id"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style ANN top-k: score only vectors whose cluster is among the
+    n_probe clusters nearest the query (the scale path: with a pre-computed
+    ``cluster_id`` partition column this prunes the scan to n_probe/n_lists
+    of the corpus; here assignment is computed inline).
+
+    Deterministic; recall depends on n_probe (exact when n_probe = #lists).
+    """
+    from ..functions.vectors import literal_vector
+
+    # rank clusters by centroid similarity to the query (driver-side, tiny)
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centroids)), key=lambda c: (-cos(query_vec, centroids[c]), c)
+    )[:n_probe]
+
+    assigned = ivf_assignments(df, centroids, id_col, vec_col)
+    q = literal_vector(query_vec)
+    return (
+        assigned.filter(F.col("cluster_id").isin(*probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_digits)
+            .cast(f"decimal(18,{round_digits})")
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold_euclidean: float = 0.5,

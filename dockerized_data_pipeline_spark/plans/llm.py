@@ -317,6 +317,19 @@ def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine-hash-based ops: deterministic but not SQL-portable -> rows-only.
 
 
+@query("x3_ivf_topk")
+def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k (rows-only: cluster pruning is engine-side).
+    Codebook = first 8 vectors by id (deterministic stand-in for trained
+    centroids), probing the 3 nearest lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        list(r[0])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    return SIM.ivf_topk(emb, _probe_vector(spark, sf_dir), cents, k=10, n_probe=3)
+
+
 @query("x2_simhash_signatures")
 def x2_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -83,6 +83,25 @@ def test_cosine_topk_self_is_first(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from dockerized_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+    cents = [
+        list(r[0])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    ]
+    exact_ids = [r.vec_id for r in cosine_topk(emb, probe, k=10).collect()]
+    # full probe = exact
+    all_probe = [r.vec_id for r in ivf_topk(emb, probe, cents, k=10, n_probe=8).collect()]
+    assert all_probe == exact_ids
+    # partial probe: the query's own vector (cluster 7, similarity 1.0) found
+    partial = [r.vec_id for r in ivf_topk(emb, probe, cents, k=10, n_probe=2).collect()]
+    assert partial[0] == 7
+    assert len(set(partial) & set(exact_ids)) >= 3  # reasonable recall
+
+
 def test_lsh_neardup_finds_duplicated_vector(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     clone = emb.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
