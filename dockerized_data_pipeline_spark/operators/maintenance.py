@@ -1,0 +1,140 @@
+"""Table maintenance operators for the 100 TB posture: small-file
+compaction, sort-clustering for data skipping, and incremental rollup
+maintenance.
+
+These are the background jobs a large ingest pipeline needs: streaming
+micro-batches produce many small files (each foreachBatch MERGE writes
+some), point queries need min/max pruning, and dashboards need pre-
+aggregated rollups that update incrementally instead of rescanning the
+fact table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # ~128 MB parquet files (SURVEY 4.3)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict[str, int]:
+    """Rewrite a parquet directory into ~target-sized files (atomic swap).
+
+    File count is sized from the current on-disk bytes; coalesce (no
+    shuffle) merges small files. Returns before/after file counts.
+    """
+    def parquet_files(p):
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = parquet_files(table_path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(table_path)
+    staging = f"{table_path}.compact-{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    backup = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, backup)
+    os.rename(staging, table_path)
+    shutil.rmtree(backup)
+    return {"files_before": len(before), "files_after": len(parquet_files(table_path))}
+
+
+def cluster_table(
+    spark: SparkSession,
+    table_path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Rewrite a table range-partitioned + sorted on ``cluster_cols`` so
+    parquet row-group min/max statistics become disjoint ranges: a point or
+    range predicate on the cluster key then skips every non-matching file
+    (data skipping: the file-layout substitute for an index). Atomic swap."""
+    df = spark.read.parquet(table_path)
+    parts = num_files or df.rdd.getNumPartitions()
+    clustered = df.repartitionByRange(parts, *[F.col(c) for c in cluster_cols]).sortWithinPartitions(
+        *cluster_cols
+    )
+    staging = f"{table_path}.cluster-{uuid.uuid4().hex[:8]}"
+    clustered.write.mode("overwrite").parquet(staging)
+    backup = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, backup)
+    os.rename(staging, table_path)
+    shutil.rmtree(backup)
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket: str = "1 hour",
+    value_col: str = "value",
+) -> None:
+    """Maintain a pre-aggregated time-bucket rollup incrementally (the
+    hypertable-rollup pattern): aggregate ONLY the incoming batch, then
+    additively merge into the stored rollup by (bucket, keys).
+
+    Cost per batch is O(batch) + a keyed merge touching only the buckets
+    the batch lands in -- never a rescan of the fact table. Counts and
+    decimal sums are additive; min/max merge via greatest/least.
+    NOTE: additive merging assumes each fact row is delivered exactly once
+    (pair with the idempotent MERGE ingest, or dedup the batch upstream).
+    """
+    delta = (
+        batch.groupBy(
+            F.window(ts_col, bucket).getField("start").alias("bucket_start"),
+            *key_cols,
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(20,4)")).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    keys = ["bucket_start", *key_cols]
+    if not os.path.exists(rollup_path):
+        delta.write.mode("overwrite").parquet(rollup_path)
+        return
+    current = spark.read.parquet(rollup_path)
+    c = current.alias("c")
+    d = delta.alias("d")
+    joined = c.join(d, [c[k].eqNullSafe(d[k]) for k in keys], "full_outer")
+    merged = joined.select(
+        *[F.coalesce(c[k], d[k]).alias(k) for k in keys],
+        (F.coalesce(c["n_events"], F.lit(0)) + F.coalesce(d["n_events"], F.lit(0))).alias(
+            "n_events"
+        ),
+        (
+            F.coalesce(c["sum_value"], F.lit(0).cast("decimal(20,4)"))
+            + F.coalesce(d["sum_value"], F.lit(0).cast("decimal(20,4)"))
+        ).alias("sum_value"),
+        F.when(c["min_value"].isNull(), d["min_value"])
+        .when(d["min_value"].isNull(), c["min_value"])
+        .otherwise(F.least(c["min_value"], d["min_value"]))
+        .alias("min_value"),
+        F.when(c["max_value"].isNull(), d["max_value"])
+        .when(d["max_value"].isNull(), c["max_value"])
+        .otherwise(F.greatest(c["max_value"], d["max_value"]))
+        .alias("max_value"),
+    )
+    staging = f"{rollup_path}.staging-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{rollup_path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(rollup_path, backup)
+    os.rename(staging, rollup_path)
+    shutil.rmtree(backup)

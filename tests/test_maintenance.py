@@ -1,0 +1,96 @@
+"""Maintenance operator tests: compaction preserves data and shrinks file
+count; clustering produces disjoint per-file ranges (data skipping);
+incremental rollup equals the from-scratch aggregate after multiple
+batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from dockerized_data_pipeline_spark.catalog import load_table
+from dockerized_data_pipeline_spark.operators.maintenance import (
+    cluster_table,
+    compact_table,
+    incremental_rollup,
+)
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compact_many_small_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(20).write.parquet(path)  # simulate micro-batch fragmentation
+    assert len(_parquet_files(path)) >= 20
+    before_rows = spark.read.parquet(path).count()
+    stats = compact_table(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny table -> single target file
+    assert spark.read.parquet(path).count() == before_rows
+
+
+def test_cluster_table_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "clustered")
+    load_table(spark, sf_dir, "orders").repartition(8).write.parquet(path)
+    cluster_table(spark, path, ["o_orderkey"], num_files=4)
+    ranges = []
+    for f in _parquet_files(path):
+        md = pq.read_metadata(f)
+        col_idx = md.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: a point predicate prunes all but 1 file
+    assert spark.read.parquet(path).count() == 1500  # all rows preserved
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    rollup = str(tmp_path / "rollup")
+    schema = "ts timestamp, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 10, 5), "click", 1.0),
+            (dt.datetime(2024, 1, 1, 10, 45), "click", 2.0),
+            (dt.datetime(2024, 1, 1, 11, 5), "view", 7.0),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 10, 59), "click", 4.0),  # same bucket as b1
+            (dt.datetime(2024, 1, 1, 12, 0), "click", 9.0),  # new bucket
+        ],
+        schema,
+    )
+    incremental_rollup(spark, rollup, b1, ["event_type"], "ts")
+    incremental_rollup(spark, rollup, b2, ["event_type"], "ts")
+
+    full = (
+        b1.unionByName(b2)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("bucket_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    got = {tuple(r) for r in spark.read.parquet(rollup).collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
