@@ -61,34 +61,72 @@ def ingest(
     target_path: str,
     config: PipelineConfig | None = None,
     as_of=None,
+    logs_path: str | None = None,
+    metadata_path: str | None = None,
 ) -> IngestSummary:
     """Run one ingest tick: fetch -> parse -> MERGE into target_path.
 
     ``as_of`` pins created_at for deterministic testing; defaults to
     current_timestamp() (the DDL default, dags/stock_data_pipeline.py:36).
+    When ``logs_path`` / ``metadata_path`` are given, the run also maintains
+    the documented operational tables (oplog.py): one pipeline_logs row per
+    tick, and a per-symbol fetch-state upsert into stock_metadata.
     """
+    import datetime as _dt
+    import time as _time
+
+    t0 = _time.perf_counter()
     summary = IngestSummary(symbols_attempted=len(symbols))
     results = fetch_payloads(symbols, transport, config)
     summary.symbols_failed = sum(1 for r in results if r.error is not None)
     summary.symbols_fetched = len(results) - summary.symbols_failed
-    if summary.symbols_fetched == 0:
-        return summary  # S6 empty guard (scripts/fetch_stock_data.py:82-83)
 
-    payload_df = payloads_to_df(spark, results)
-    obs = Observation("ingest_quality")
-    parsed = parse_timeseries(payload_df, observation=obs)
-    created = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
-    batch = parsed.withColumn("created_at", created.cast("timestamp_ntz"))
+    if summary.symbols_fetched > 0:
+        payload_df = payloads_to_df(spark, results)
+        obs = Observation("ingest_quality")
+        parsed = parse_timeseries(payload_df, observation=obs)
+        created = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+        batch = parsed.withColumn("created_at", created.cast("timestamp_ntz"))
+        merge_upsert_path(
+            spark,
+            target_path,
+            batch,
+            keys=MERGE_KEYS,
+            update_cols=UPDATE_COLS,
+            preserve_cols=PRESERVE_COLS,
+            batch_order_by=["last_refreshed"],
+        )
+        summary.quality = dict(obs.get)
+        summary.rows_parsed = summary.quality.get("rows_total", 0)
 
-    merge_upsert_path(
-        spark,
-        target_path,
-        batch,
-        keys=MERGE_KEYS,
-        update_cols=UPDATE_COLS,
-        preserve_cols=PRESERVE_COLS,
-        batch_order_by=["last_refreshed"],
+    exec_date = (
+        _dt.datetime.fromisoformat(as_of) if as_of else _dt.datetime.utcnow()
     )
-    summary.quality = dict(obs.get)
-    summary.rows_parsed = summary.quality.get("rows_total", 0)
+    if logs_path is not None:
+        from .oplog import append_run_log
+
+        append_run_log(
+            spark,
+            logs_path,
+            dag_id="stock_data_pipeline",
+            task_id="fetch_and_process_stock_data",
+            execution_date=exec_date,
+            status="success" if summary.symbols_failed == 0 else "partial_failure",
+            duration=_time.perf_counter() - t0,
+            records_processed=summary.rows_parsed,
+            error_message=None
+            if summary.symbols_failed == 0
+            else f"{summary.symbols_failed} symbol(s) failed",
+        )
+    if metadata_path is not None:
+        from .oplog import STOCK_METADATA_SCHEMA, upsert_stock_metadata
+
+        meta_rows = [
+            (r.symbol, exec_date, r.error is None, r.error, None) for r in results
+        ]
+        upsert_stock_metadata(
+            spark,
+            metadata_path,
+            spark.createDataFrame(meta_rows, STOCK_METADATA_SCHEMA),
+        )
     return summary

@@ -1,0 +1,42 @@
+"""Data-profiling query (T8 completeness checking generalized): per-column
+null counts, distinct counts, and ranges in ONE scan -- the batch shape of
+the quality checks a pipeline runs after every load. All-exact arithmetic,
+oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "t8_profile_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS custkey_nonnull,
+           COUNT(DISTINCT o_custkey) AS custkey_distinct,
+           COUNT(DISTINCT o_orderstatus) AS status_distinct,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_prices,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = '' THEN 1 ELSE 0 END) AS BIGINT) AS blank_priorities
+    FROM orders
+    """,
+)
+def t8_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpositive_prices"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull() | (F.col("o_orderpriority") == ""), 1).otherwise(0)
+        ).alias("blank_priorities"),
+    )

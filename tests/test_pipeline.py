@@ -87,6 +87,34 @@ def _failing(transport, bad_symbols):
     return t
 
 
+def test_ingest_maintains_operational_tables(spark, tmp_path):
+    cfg = PipelineConfig(api_key="k", request_delay_sec=0)
+    tick = {"AAPL": _payload({"2024-01-05 15:00:00": _point("1", "2", "0.5", "1.5", "100")},
+                             "2024-01-05 15:00:00")}
+    logs, meta = str(tmp_path / "logs"), str(tmp_path / "meta")
+    ingest(spark, ["AAPL", "BAD"], _failing(lambda u, p: tick[p["symbol"]], {"BAD"}),
+           str(tmp_path / "t"), cfg, as_of="2024-01-05 15:30:00",
+           logs_path=logs, metadata_path=meta)
+    log = spark.read.parquet(logs).collect()
+    assert len(log) == 1
+    assert log[0].status == "partial_failure"
+    assert log[0].records_processed == 1
+    md = {r.symbol: r for r in spark.read.parquet(meta).collect()}
+    assert md["AAPL"].last_fetch_success is True
+    assert md["BAD"].last_fetch_success is False and md["BAD"].error_message
+
+    # second tick flips BAD to success; metadata upserts, logs append
+    tick["BAD"] = _payload({"2024-01-05 16:00:00": _point("1", "2", "0.5", "1.5", "9")},
+                           "2024-01-05 16:00:00")
+    ingest(spark, ["AAPL", "BAD"], lambda u, p: tick[p["symbol"]],
+           str(tmp_path / "t"), cfg, as_of="2024-01-05 16:30:00",
+           logs_path=logs, metadata_path=meta)
+    assert spark.read.parquet(logs).count() == 2
+    md2 = {r.symbol: r for r in spark.read.parquet(meta).collect()}
+    assert len(md2) == 2
+    assert md2["BAD"].last_fetch_success is True
+
+
 def test_ingest_all_failed_is_guarded(spark, tmp_path):
     cfg = PipelineConfig(api_key="k", request_delay_sec=0)
 
