@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
+from .relational import _REVENUE_SQL
 
 _DEC = "decimal(12,4)"
 _RATE = "decimal(7,4)"
@@ -162,6 +163,101 @@ def q17_near_brand_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT 0.99 * MAX(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
         )
         """
+    )
+
+
+# Q10 shape: returned-item revenue per customer, top-k with dims joined in.
+@query(
+    "q10_returned_revenue_top20",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_revenue_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.cast("decimal(38,8)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# Q16 shape: distinct-count with NOT IN exclusion over a dim attribute.
+@query(
+    "q16_brand_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2') AND p_size >= 10
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2") & (F.col("p_size") >= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# Q19 shape: disjunctive multi-attribute predicates (OR of ANDs) across a
+# join -- the optimizer must keep the join key while pushing the rest.
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 5)
+    ) | (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+    )
+    return joined.filter(cond).agg(
+        rev.cast("decimal(38,8)").alias("revenue"), F.count("*").alias("n")
     )
 
 

@@ -82,6 +82,21 @@ def ingest_stream(
     return writer.start()
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (state is bounded by the watermark -- the streaming
+    twin of X1 exact dedup; re-deliveries older than the watermark are
+    already handled by the idempotent MERGE sink)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -79,6 +79,34 @@ def test_stream_ingest_merges_batches_exactly_once(spark, tmp_path):
     assert out[t("2024-01-05 15:00:00")] == 100.0  # untouched
 
 
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    from dockerized_data_pipeline_spark.streaming.ingest import stream_dedup
+
+    src = str(tmp_path / "src")
+    rows = [
+        ("AAPL", t("2024-01-05 15:00:00"), 1.0, t("2024-01-05 15:00:00")),
+        ("AAPL", t("2024-01-05 15:00:00"), 1.0, t("2024-01-05 15:00:00")),  # dup
+        ("MSFT", t("2024-01-05 15:01:00"), 2.0, t("2024-01-05 15:01:00")),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = stream_events(spark, src, SCHEMA)
+    q = (
+        stream_dedup(stream, ["symbol", "ts"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT symbol, ts FROM dedup_out").collect()
+    assert sorted((r.symbol, r.ts) for r in out) == [
+        ("AAPL", t("2024-01-05 15:00:00")),
+        ("MSFT", t("2024-01-05 15:01:00")),
+    ]
+
+
 def test_windowed_counts_batch_equivalence(spark, sf_dir):
     """The watermarked streaming agg over a bounded source equals the batch
     window aggregation (no late data beyond watermark in the fixture)."""
