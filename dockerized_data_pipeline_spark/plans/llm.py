@@ -183,6 +183,57 @@ def x5_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@query(
+    "x7_corpus_prep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             LEN(string_split(text, ' ')) AS n_tokens,
+             LEN(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS n_stop
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 1000
+        AND n_stop * 50 >= n_tokens          -- stopword density >= 2%
+        AND lang IN ('en', 'de', 'fr', 'es')
+    ), deduped AS (
+      SELECT lang, source, text, MIN(doc_id) AS keep_id,
+             MAX(n_tokens) AS n_tokens
+      FROM filtered GROUP BY lang, source, text
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(keep_id) AS first_doc
+    FROM deduped GROUP BY lang
+    """,
+)
+def x7_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data prep: quality gates (token count + stopword
+    density) -> language allowlist -> exact dedup -> per-language corpus
+    stats. The whole pipeline is one declarative plan: scan-side filters,
+    one dedup shuffle, one aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = TX.token_count(F.col("text"))
+    n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
+    filtered = (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("n_stop", n_stop)
+        .filter(
+            F.col("n_tokens").between(20, 1000)
+            & (F.col("n_stop") * 50 >= F.col("n_tokens"))
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+    )
+    deduped = filtered.groupBy("lang", "source", "text").agg(
+        F.min("doc_id").alias("keep_id"), F.max("n_tokens").alias("n_tokens")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("keep_id").alias("first_doc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X6 -- JSON props analytics
 # ---------------------------------------------------------------------------
