@@ -114,17 +114,22 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """Per-document MinHash signature: num_hashes columns mh0..mh{k-1},
-    where mh_i = min over shingles of xxhash64(shingle, i).
+    where mh_i = min over shingles of xxhash64(base_hash(shingle), i).
+
+    Double hashing: each shingle string is hashed ONCE, then the k hash
+    functions mix the 8-byte base with the seed -- measured ~2x faster
+    than re-hashing shingle strings per seed, and faster than hashing the
+    n tokens positionally (element_at-in-lambda defeats codegen).
 
     One explode + one groupBy: the signature of a 100 TB corpus costs a
-    single shuffle keyed on doc id, carrying k longs per row.
+    single shuffle keyed on doc id, carrying one long per shingle.
     """
     sh = shingles(df.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("doc"), "shingle"
+        F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("h")
     )
     return sh.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )

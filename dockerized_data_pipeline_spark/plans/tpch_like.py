@@ -290,6 +290,45 @@ def q2_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q22 shape: above-average filter + anti-join. The "above mean" comparison
+# is exact integer/decimal cross-multiplication (bal * n > sum), never a
+# double average -- double accumulation order is engine-specific and not
+# oracle-portable.
+@query(
+    "q22_rich_inactive_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(c_acctbal AS DECIMAL(12,4)) AS bal, c_custkey, c_name
+      FROM customer WHERE c_acctbal > 0
+    ), stats AS (
+      SELECT CAST(SUM(bal) AS DECIMAL(38,4)) AS total, COUNT(*) AS n FROM pos
+    )
+    SELECT c_custkey, c_name, CAST(bal AS DECIMAL(12,4)) AS acctbal
+    FROM pos, stats
+    WHERE bal * n > total
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+)
+def q22_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    pos = cust.select(
+        F.col("c_acctbal").cast("decimal(12,4)").alias("bal"), "c_custkey", "c_name"
+    )
+    stats = pos.agg(
+        F.sum("bal").cast("decimal(38,4)").alias("total"), F.count("*").alias("n")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    rich = pos.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal") * F.col("n") > F.col("total")
+    )
+    return rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", F.col("bal").cast("decimal(12,4)").alias("acctbal"))
+
+
 # EXISTS-with-correlated-predicate (Q4 shape): orders with at least one
 # late-shipped lineitem.
 @query(
