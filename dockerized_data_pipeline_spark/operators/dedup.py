@@ -100,6 +100,72 @@ def ngram_jaccard_pairs_ppm(
     )
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs: every doc
+    in a transitively-connected group gets the group's minimum id as
+    ``cluster_id`` (the canonical survivor).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; chains of length L
+    converge in <= L rounds (diameter bound). Each round is one join + one
+    aggregate over the edge list -- no driver-side graph, so it scales to
+    edge lists that don't fit one machine. Stops early at fixpoint.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_id"))
+
+
+def collapse_neardups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the minimum id); documents in
+    no pair survive untouched. Anti-join on the non-canonical members."""
+    clusters = neardup_clusters(pairs)
+    losers = clusters.filter(F.col("doc") != F.col("cluster_id")).select(
+        F.col("doc").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """X2 (SimHash flavor): 64-bit signature per document; near-dups have
     small hamming distance. Per-row compute only."""

@@ -381,6 +381,16 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, _probe_vector(spark, sf_dir), cents, k=10, n_probe=3)
 
 
+@query("x2_neardup_collapse")
+def x2_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup flow: LSH candidate pairs -> connected-component
+    clusters -> keep one canonical doc per cluster (rows-only: LSH is
+    engine-side). Returns the surviving corpus ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_neardup_pairs_native(docs, "doc_id", "text")
+    return DD.collapse_neardups(docs, pairs).select("doc_id", "lang", "source")
+
+
 @query("x2_simhash_signatures")
 def x2_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
