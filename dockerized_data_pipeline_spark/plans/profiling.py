@@ -13,6 +13,32 @@ from .registry import query
 
 
 @query(
+    "t8_histogram_totalprice",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS lo,
+           CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def t8_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer bucket arithmetic (portable; the
+    one-scan shape of distribution profiling)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("decimal(12,2)").alias("lo"),
+            F.max("o_totalprice").cast("decimal(12,2)").alias("hi"),
+        )
+    )
+
+
+@query(
     "t8_profile_orders",
     oracle="""
     SELECT COUNT(*) AS n_rows,
