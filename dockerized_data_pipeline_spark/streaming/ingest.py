@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import merge_upsert_path
+from ..operators.merge import merge_upsert_partitioned, merge_upsert_path
 
 
 def stream_events(
@@ -48,6 +48,7 @@ def ingest_stream(
     preserve_cols: list[str] | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    partition_col: str | None = None,
 ):
     """Start the exactly-once ingest: every micro-batch MERGEs into the
     target by key (T3). Returns the StreamingQuery.
@@ -55,6 +56,9 @@ def ingest_stream(
     ``Trigger.AvailableNow`` drains what exists and stops -- the testable,
     batch-like analog of the reference's scheduled runs; pass
     available_now=False for a continuous processing-time trigger.
+    With ``partition_col`` (must be a merge key) each micro-batch rewrites
+    only the partitions it touches -- the sustainable shape for a
+    continuously-merging 100 TB target.
     """
     spark = stream_df.sparkSession
 
@@ -62,15 +66,27 @@ def ingest_stream(
         # S6 empty-batch guard (scripts/fetch_stock_data.py:82-83).
         if batch_df.isEmpty():
             return
-        merge_upsert_path(
-            spark,
-            target_path,
-            batch_df,
-            keys=keys,
-            update_cols=update_cols,
-            preserve_cols=preserve_cols,
-            batch_order_by=order_by,
-        )
+        if partition_col is not None:
+            merge_upsert_partitioned(
+                spark,
+                target_path,
+                batch_df,
+                keys=keys,
+                partition_col=partition_col,
+                update_cols=update_cols,
+                preserve_cols=preserve_cols,
+                batch_order_by=order_by,
+            )
+        else:
+            merge_upsert_path(
+                spark,
+                target_path,
+                batch_df,
+                keys=keys,
+                update_cols=update_cols,
+                preserve_cols=preserve_cols,
+                batch_order_by=order_by,
+            )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")
     if checkpoint_dir:

@@ -79,6 +79,34 @@ def test_stream_ingest_merges_batches_exactly_once(spark, tmp_path):
     assert out[t("2024-01-05 15:00:00")] == 100.0  # untouched
 
 
+def test_stream_ingest_with_partitioned_merge(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("AAPL", t("2024-01-05 15:00:00"), 100.0, t("2024-01-05 15:00:00")),
+            ("MSFT", t("2024-01-05 15:00:00"), 200.0, t("2024-01-05 15:00:00")),
+        ],
+    )
+    q = ingest_stream(
+        stream_events(spark, src, SCHEMA),
+        target,
+        keys=["symbol", "ts"],
+        order_by=["last_refreshed"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        partition_col="symbol",
+    )
+    q.awaitTermination(120)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(target) if d.startswith("symbol=")
+    ) == ["symbol=AAPL", "symbol=MSFT"]
+    assert spark.read.parquet(target).count() == 2
+
+
 def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     from dockerized_data_pipeline_spark.streaming.ingest import stream_dedup
 
