@@ -368,6 +368,41 @@ def set_except_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.exceptAll(buyers).distinct()
 
 
+@query(
+    "set_except_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: per-row (not per-value) subtraction."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_custkey").exceptAll(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+@query(
+    "set_intersect_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O')
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_custkey")
+        .intersectAll(
+            orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY section 2.5)
 # ---------------------------------------------------------------------------
@@ -440,6 +475,32 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.sum(F.col("value").cast(PRICE_DEC)).over(w).cast("decimal(38,4)").alias("running_value"),
+    )
+
+
+@query(
+    "window_rank_gallery",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           LEAD(o_orderkey) OVER w AS next_key,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
     )
 
 
