@@ -34,6 +34,10 @@ class PipelineConfig:
     request_delay_sec: float = 12.0
     request_timeout_sec: float = 30.0
     max_retries: int = 3
+    # Delay before the first retry; doubles each attempt (exponential
+    # backoff, README.md:379; the reference's Airflow retry_delay is 5 min,
+    # dags/stock_data_pipeline.py:20).
+    retry_delay_sec: float = 300.0
 
     def validate(self) -> list[str]:
         """make validate-env analog (Makefile:141-151): non-empty,

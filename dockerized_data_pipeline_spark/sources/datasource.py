@@ -23,6 +23,8 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
 
+from .retry import call_with_retry
+
 RAW_SCHEMA_DDL = "symbol string, payload string, error string"
 
 
@@ -52,6 +54,11 @@ class StockApiReader(DataSourceReader):
         self.symbols = [s.strip().upper() for s in raw.split(",") if s.strip()]
         self.payload_dir = options.get("payload_dir")
         self.api_key = options.get("api_key", "demo")
+        # T5 retry policy (options arrive as strings from .option(...)).
+        # Defaults mirror PipelineConfig: 3 retries, 5-min first delay
+        # (dags/stock_data_pipeline.py:19-20), exponential backoff.
+        self.max_retries = int(options.get("max_retries", "3"))
+        self.retry_delay_sec = float(options.get("retry_delay_sec", "300"))
 
     def partitions(self):
         if not self.symbols:
@@ -71,23 +78,35 @@ class StockApiReader(DataSourceReader):
                 with open(path, encoding="utf-8") as fh:
                     yield (sym, fh.read(), None)
             else:
-                import requests
-
-                resp = requests.get(
-                    "https://www.alphavantage.co/query",
-                    params={
-                        "function": "TIME_SERIES_INTRADAY",
-                        "symbol": sym,
-                        "interval": "60min",
-                        "apikey": self.api_key,
-                        "outputsize": "compact",
-                    },
-                    timeout=30,
+                # T5: retry transient HTTP failures with exponential
+                # backoff before emitting an error row. The offline
+                # payload_dir path above is NOT retried: local file errors
+                # are deterministic, so retrying only burns time.
+                body = call_with_retry(
+                    lambda: self._get(sym),
+                    max_retries=self.max_retries,
+                    delay_sec=self.retry_delay_sec,
                 )
-                resp.raise_for_status()
-                yield (sym, resp.text, None)
+                yield (sym, body, None)
         except Exception as exc:
             yield (sym, None, str(exc))
+
+    def _get(self, sym: str) -> str:
+        import requests
+
+        resp = requests.get(
+            "https://www.alphavantage.co/query",
+            params={
+                "function": "TIME_SERIES_INTRADAY",
+                "symbol": sym,
+                "interval": "60min",
+                "apikey": self.api_key,
+                "outputsize": "compact",
+            },
+            timeout=30,
+        )
+        resp.raise_for_status()
+        return resp.text
 
 
 def register(spark) -> None:

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import PipelineConfig
+from .retry import call_with_retry
 
 Transport = Callable[[str, dict], str]
 """(url, params) -> response body text. Raise on HTTP error."""
@@ -78,7 +79,14 @@ def fetch_payloads(
             "outputsize": "compact",
         }
         try:
-            body = transport(BASE_URL, params)
+            # T5: retry transient failures with exponential backoff
+            # (dags/stock_data_pipeline.py:19-20) before giving up.
+            body = call_with_retry(
+                lambda: transport(BASE_URL, params),
+                max_retries=config.max_retries,
+                delay_sec=config.retry_delay_sec,
+                sleep=sleep,
+            )
             out.append(FetchResult(sym, body, None))
         except Exception as exc:  # T7: isolate, don't abort (ref :148-156)
             out.append(FetchResult(sym, None, str(exc)))

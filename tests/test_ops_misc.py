@@ -72,7 +72,7 @@ def test_fetch_with_fake_transport_isolation_and_rate_limit(spark):
             raise RuntimeError("boom")
         return _payload(params["symbol"])
 
-    cfg = PipelineConfig(symbols=[], api_key="k", request_delay_sec=12.0)
+    cfg = PipelineConfig(symbols=[], api_key="k", request_delay_sec=12.0, max_retries=0)
     results = fetch_payloads([" aapl", "BAD", "msft"], transport, cfg, sleep=sleeps.append)
     assert [r.symbol for r in results] == ["AAPL", "BAD", "MSFT"]
     assert results[1].error is not None  # isolated, not raised (T7)
@@ -80,6 +80,68 @@ def test_fetch_with_fake_transport_isolation_and_rate_limit(spark):
     df = payloads_to_df(spark, results)
     assert df.count() == 2
     assert parse_timeseries(df).count() == 2  # end-to-end fetch -> parse
+
+
+def test_call_with_retry_succeeds_after_transient_failures():
+    from dockerized_data_pipeline_spark.sources.retry import call_with_retry
+
+    attempts, sleeps = [], []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = call_with_retry(flaky, max_retries=3, delay_sec=5.0, sleep=sleeps.append)
+    assert out == "ok"
+    assert len(attempts) == 3
+    assert sleeps == [5.0, 10.0]  # exponential backoff between attempts
+
+
+def test_call_with_retry_raises_after_exhaustion():
+    from dockerized_data_pipeline_spark.sources.retry import call_with_retry
+
+    attempts, sleeps = [], []
+
+    def always_fails():
+        attempts.append(1)
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError, match="down"):
+        call_with_retry(always_fails, max_retries=2, delay_sec=1.0, sleep=sleeps.append)
+    assert len(attempts) == 3  # 1 initial + 2 retries
+    assert sleeps == [1.0, 2.0]
+
+
+def test_fetch_payloads_retries_then_succeeds(spark):
+    """T5: a transient failure recovers; only exhausted retries become an
+    error row (dags/stock_data_pipeline.py:19-20)."""
+    calls = {"FLAKY": 0, "DEAD": 0}
+
+    def transport(url, params):
+        sym = params["symbol"]
+        if sym == "FLAKY":
+            calls[sym] += 1
+            if calls[sym] < 3:
+                raise RuntimeError("rate limited")
+            return _payload(sym)
+        if sym == "DEAD":
+            calls[sym] += 1
+            raise RuntimeError("hard down")
+        return _payload(sym)
+
+    sleeps = []
+    cfg = PipelineConfig(
+        symbols=[], api_key="k", request_delay_sec=0.0, max_retries=2, retry_delay_sec=1.0
+    )
+    results = fetch_payloads(["FLAKY", "DEAD", "AAPL"], transport, cfg, sleep=sleeps.append)
+    assert results[0].error is None and results[0].payload is not None  # recovered
+    assert calls["FLAKY"] == 3
+    assert results[1].error is not None  # exhausted -> isolated error row
+    assert calls["DEAD"] == 3  # 1 initial + 2 retries
+    assert results[2].error is None
+    assert sleeps == [1.0, 2.0, 1.0, 2.0]  # backoff for FLAKY then DEAD
 
 
 def test_preflight_health_check():
