@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced to full materialization with a noop sink (no driver
 collect -- executor-side completion only), matching how a cluster job would
 be measured.
+
+Scan-parallelism mode: the sf0.1 fixtures are single-row-group files, so
+the default run measures plan shape, not scan/shuffle behavior. Set
+SPARK_GRAFT_BENCH_FILES=N to re-lay each table out as N parquet files
+(cached under /tmp) and bench against that layout -- N input splits per
+scan exercises real parallel-scan + shuffle paths. Layout prep time is
+excluded from timings; the JSON then carries "layout_files": N.
 """
 
 from __future__ import annotations
@@ -43,10 +50,38 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def multifile_layout(spark, sf_dir: str, n_files: int) -> str:
+    """Rewrite each fixture table as n_files parquet files (idempotent:
+    cached per (sf, n) under /tmp and reused across runs)."""
+    from dockerized_data_pipeline_spark.catalog import TABLES, load_table, table_path
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = f"/tmp/spark_graft_bench_files/{tag}-files{n_files}"
+    done_marker = os.path.join(out_dir, "_LAYOUT_DONE")
+    if os.path.exists(done_marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        src = table_path(sf_dir, name)
+        if not os.path.exists(src):
+            continue
+        # load_table normalizes the nano-timestamp events column; the
+        # rewritten copy stores plain timestamp_ntz, which load_table
+        # passes through untouched.
+        load_table(spark, sf_dir, name).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(table_path(out_dir, name))
+    open(done_marker, "a").close()
+    return out_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "0"))
     spark = get_session("ddp-bench")
+    if n_files > 0:
+        sf_dir = multifile_layout(spark, sf_dir, n_files)
 
     # Warm up the JVM, codegen, and parquet-reader paths so query timings
     # measure the plans, not session startup.
@@ -67,17 +102,16 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if n_files > 0:
+        result["layout_files"] = n_files
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

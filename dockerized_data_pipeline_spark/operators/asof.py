@@ -13,8 +13,11 @@ with ignoreNulls carries the most recent right-side payload forward:
 At 100 TB this scales like any keyed window: one exchange per side, no
 driver involvement, AQE handles key skew. Semantics: for each left row,
 the right row with the greatest right_ts <= left_ts (ties: right row wins
-over the left row at the same instant, duplicated right timestamps resolved
-by the ordered last write)."""
+over the left row at the same instant; duplicate right timestamps resolve
+deterministically to the greatest payload tuple -- the payload columns are
+the final window-order tiebreak, so repeated runs and engine/oracle
+comparisons always pick the same row; payload columns must therefore be
+orderable types)."""
 
 from __future__ import annotations
 
@@ -49,7 +52,13 @@ def asof_join(
     u = l.unionByName(r)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__t"), F.desc("__is_right"))
+        # deterministic tiebreak: among right rows sharing (key, ts), the
+        # greatest payload tuple sorts last and is the one last() carries.
+        .orderBy(
+            F.col("__t"),
+            F.desc("__is_right"),
+            *[F.col(f"__p_{p}") for p in payload_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(

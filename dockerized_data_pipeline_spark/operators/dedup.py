@@ -110,11 +110,14 @@ def neardup_clusters(
     in a transitively-connected group gets the group's minimum id as
     ``cluster_id`` (the canonical survivor).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; chains of length L
-    converge in <= L rounds (diameter bound). Each round is one join + one
-    aggregate over the edge list -- no driver-side graph, so it scales to
-    edge lists that don't fit one machine. Stops early at fixpoint.
+    Iterative min-label propagation with pointer jumping: each round every
+    node adopts the smallest label among itself and its neighbors, then
+    follows its label's label (path halving), so convergence is
+    O(log diameter) rounds instead of O(diameter). Each round is two joins
+    over the edge/label lists -- no driver-side graph, so it scales to
+    edge lists that don't fit one machine. Stops early at fixpoint and
+    RAISES if max_iterations rounds pass without one (a silent
+    non-converged result would split clusters and keep extra duplicates).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -126,6 +129,7 @@ def neardup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -141,16 +145,36 @@ def neardup_clusters(
                 ).alias("label"),
             )
         )
+        # pointer jumping (path halving): every label is itself a node id,
+        # so follow label -> label's label; chain depth halves per round.
+        jumped = (
+            new_labels.alias("l")
+            .join(new_labels.alias("m"), F.col("l.label") == F.col("m.node"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("m.label"), F.col("l.label")),
+                ).alias("label"),
+            )
+        )
         changed = (
-            new_labels.alias("n")
+            jumped.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = jumped.localCheckpoint(eager=True)  # truncate lineage per round
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters did not reach a fixpoint within {max_iterations} "
+            "iterations; raise max_iterations (components converge in "
+            "O(log diameter) rounds with pointer jumping)"
+        )
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_id"))
 
 
@@ -269,6 +293,45 @@ def minhash_neardup_pairs_native(
         .select("doc_a", "doc_b", est_ppm.alias("est_jaccard_ppm"))
         .filter(F.col("est_jaccard_ppm") >= min_est_jaccard_ppm)
     )
+
+
+def verified_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    min_est_jaccard_ppm: int = 300_000,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """LSH candidates -> EXACT verification: the full 100 TB near-dup
+    recipe promised at minhash_neardup_pairs_native.
+
+    Banded MinHash generates candidate pairs cheaply (cost tracks dup
+    density); the exact n-gram Jaccard inverted-index pass then runs ONLY
+    over documents that appear in some candidate pair (left-semi
+    restriction), and its output is intersected with the candidate set --
+    so the expensive exact join touches O(candidates) documents, never the
+    corpus. Returns (doc_a, doc_b, jaccard_ppm) for verified pairs with
+    exact Jaccard >= threshold_num/threshold_den.
+    """
+    candidates = minhash_neardup_pairs_native(
+        df, id_col, text_col, n, bands, rows_per_band, min_est_jaccard_ppm
+    ).select("doc_a", "doc_b")
+    member_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    members = df.join(member_ids, on=id_col, how="left_semi")
+    exact = ngram_jaccard_pairs_ppm(
+        members, id_col, text_col, n, threshold_num, threshold_den
+    )
+    # keep only pairs LSH proposed (the subset jaccard may also score
+    # incidental pairs between members of different candidate pairs)
+    return exact.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
 
 
 def minhash_neardup_pairs(

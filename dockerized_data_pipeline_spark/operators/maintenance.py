@@ -12,11 +12,11 @@ fact table.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .atomic import publish_table
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # ~128 MB parquet files (SURVEY 4.3)
 
@@ -43,12 +43,10 @@ def compact_table(
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_files = max(1, round(total_bytes / target_file_bytes))
     df = spark.read.parquet(table_path)
-    staging = f"{table_path}.compact-{uuid.uuid4().hex[:8]}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
-    backup = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(table_path, backup)
-    os.rename(staging, table_path)
-    shutil.rmtree(backup)
+    publish_table(
+        table_path,
+        lambda v: df.coalesce(n_files).write.mode("overwrite").parquet(v),
+    )
     return {"files_before": len(before), "files_after": len(parquet_files(table_path))}
 
 
@@ -67,12 +65,7 @@ def cluster_table(
     clustered = df.repartitionByRange(parts, *[F.col(c) for c in cluster_cols]).sortWithinPartitions(
         *cluster_cols
     )
-    staging = f"{table_path}.cluster-{uuid.uuid4().hex[:8]}"
-    clustered.write.mode("overwrite").parquet(staging)
-    backup = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(table_path, backup)
-    os.rename(staging, table_path)
-    shutil.rmtree(backup)
+    publish_table(table_path, lambda v: clustered.write.mode("overwrite").parquet(v))
 
 
 def incremental_rollup(
@@ -108,7 +101,7 @@ def incremental_rollup(
     )
     keys = ["bucket_start", *key_cols]
     if not os.path.exists(rollup_path):
-        delta.write.mode("overwrite").parquet(rollup_path)
+        publish_table(rollup_path, lambda v: delta.write.mode("overwrite").parquet(v))
         return
     current = spark.read.parquet(rollup_path)
     c = current.alias("c")
@@ -132,9 +125,4 @@ def incremental_rollup(
         .otherwise(F.greatest(c["max_value"], d["max_value"]))
         .alias("max_value"),
     )
-    staging = f"{rollup_path}.staging-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
-    backup = f"{rollup_path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(rollup_path, backup)
-    os.rename(staging, rollup_path)
-    shutil.rmtree(backup)
+    publish_table(rollup_path, lambda v: merged.write.mode("overwrite").parquet(v))

@@ -23,13 +23,14 @@ behind the same signature when those jars are available.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .atomic import publish_table
+
 _MATCH_MARKER = "__ddp_batch_present"
+_TARGET_MARKER = "__ddp_target_present"
 
 
 def dedup_keep_newest(
@@ -74,11 +75,14 @@ def merge_upsert(
         batch = dedup_keep_newest(batch, keys, batch_order_by)
 
     b = batch.withColumn(_MATCH_MARKER, F.lit(True)).alias("b")
-    t = target.alias("t")
+    # Presence markers on BOTH sides: the join keys are eqNullSafe (NULL
+    # key values are legal), so testing a key column's isNotNull would
+    # misclassify a matched target row whose first key is NULL.
+    t = target.withColumn(_TARGET_MARKER, F.lit(True)).alias("t")
     joined = t.join(b, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys], how="full_outer")
 
     matched = F.col(f"b.{_MATCH_MARKER}").isNotNull()
-    in_target = F.col(f"t.{keys[0]}").isNotNull()
+    in_target = F.col(f"t.{_TARGET_MARKER}").isNotNull()
 
     out_cols = [
         F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k) for k in keys
@@ -153,31 +157,28 @@ def merge_upsert_path(
     batch_order_by: list[str] | None = None,
     partition_by: tuple[str, ...] = (),
 ) -> None:
-    """MERGE a batch into a parquet table directory with an atomic swap
-    (single commit per batch, scripts/fetch_stock_data.py:117 analog).
+    """MERGE a batch into a parquet table directory with a crash-safe
+    atomic publish (single commit per batch, scripts/fetch_stock_data.py:117
+    analog).
 
-    Writes the merged table to a staging dir, then atomically renames over
-    the target -- readers see either the old or the new table, never a
-    partial write.
+    The merged table is written to a hidden version directory, then the
+    ``target_path`` current-pointer symlink is flipped atomically
+    (operators/atomic.py) -- readers see either the old or the new table
+    at every instant, including across a crash at any step.
     """
+    if batch_order_by:
+        batch = dedup_keep_newest(batch, keys, batch_order_by)
+
     if not os.path.exists(target_path):
-        if batch_order_by:
-            batch = dedup_keep_newest(batch, keys, batch_order_by)
-        writer = batch.write.mode("overwrite")
+        merged = batch
+    else:
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, batch, keys, update_cols, preserve_cols)
+
+    def write(version_dir: str) -> None:
+        writer = merged.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(target_path)
-        return
+        writer.parquet(version_dir)
 
-    target = spark.read.parquet(target_path)
-    merged = merge_upsert(target, batch, keys, update_cols, preserve_cols, batch_order_by)
-
-    staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
-    backup = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    os.rename(target_path, backup)
-    os.rename(staging, target_path)
-    shutil.rmtree(backup)
+    publish_table(target_path, write)

@@ -16,6 +16,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .atomic import publish_table
+
 
 def retention_filter(df: DataFrame, ts_col: str, cutoff) -> DataFrame:
     """Surviving rows (>= cutoff); with a partitioned scan the predicate
@@ -42,15 +44,22 @@ def apply_retention_partitioned(
         part_date = entry[len(prefix):]
         part_dir = os.path.join(table_path, entry)
         if part_date < cutoff_date:
-            shutil.rmtree(part_dir)
+            if os.path.islink(part_dir):  # boundary partition from a prior pass
+                real = os.path.realpath(part_dir)
+                os.unlink(part_dir)
+                shutil.rmtree(real, ignore_errors=True)
+            else:
+                shutil.rmtree(part_dir)
             dropped += 1
         elif part_date == cutoff_date and ts_col is not None:
             survivors = retention_filter(
                 spark.read.parquet(part_dir), ts_col, cutoff_date
             )
-            tmp = part_dir + ".rewrite"
-            survivors.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(part_dir)
-            os.rename(tmp, part_dir)
+            # crash-safe rewrite of the single boundary partition: hidden
+            # version dir + atomic pointer flip (operators/atomic.py);
+            # hidden dirs are invisible to Spark partition discovery.
+            publish_table(
+                part_dir, lambda v: survivors.write.mode("overwrite").parquet(v)
+            )
             rewritten += 1
     return {"dropped_partitions": dropped, "rewritten_partitions": rewritten}

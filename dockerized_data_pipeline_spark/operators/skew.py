@@ -1,4 +1,11 @@
-"""Skew-resilient join (100 TB posture): salting for hot keys.
+"""Skew-resilient operators (100 TB posture): salting for hot join keys,
+and composite-key ("bucketed") windows for low-cardinality partition keys.
+
+A window partitioned by a 3-value key is three single-task sorts: correct
+at any scale Spark can hold one partition's rows in, then a straggler,
+then an OOM. The bucketed variants below split each window partition by a
+composite key, compute locally, and merge with a provably-equivalent
+second phase over bounded data.
 
 AQE's skew-join handling (on by default in session.py) splits oversized
 sort-merge partitions at runtime and is the first line of defense. Salting
@@ -13,7 +20,7 @@ exactly one replica), so results equal the unsalted join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,3 +45,76 @@ def salted_join(
     )
     out = salted_large.join(replicated_small, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def bucketed_topk(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    buckets: int = 32,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per partition key without a single-task sort.
+
+    Phase 1 hashes every row into one of ``buckets`` sub-buckets and
+    takes the local top-k within (partition, bucket) -- each sort touches
+    ~1/buckets of the key's rows. Phase 2 ranks only the surviving
+    buckets*k rows per key, a bounded input regardless of corpus size.
+    Equivalent to a plain row_number window because each global top-k row
+    is necessarily in the top-k of its own bucket. ``order_by`` must be a
+    deterministic total order (include a unique tiebreak column).
+    """
+    d = df.withColumn("__bkt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets)))
+    w_local = Window.partitionBy(*partition_cols, "__bkt").orderBy(*order_by)
+    survivors = (
+        d.withColumn("__lrk", F.row_number().over(w_local))
+        .filter(F.col("__lrk") <= k)
+        .drop("__lrk", "__bkt")
+    )
+    w_final = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return survivors.withColumn(rank_col, F.row_number().over(w_final)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value: Column,
+    bucket: Column,
+    out_col: str = "running_value",
+) -> DataFrame:
+    """Running (prefix) sum per partition key without a single-task sort.
+
+    ``bucket`` must be a coarse expression MONOTONE NON-DECREASING in the
+    ordering (e.g. ``to_date(ts)`` when ordering by ts): then a row's
+    running sum = (sum of all earlier buckets) + (running sum within its
+    own bucket). Phase 1 windows over (partition, bucket) -- bounded
+    sorts; phase 2 prefix-sums the per-bucket totals (one tiny row per
+    bucket) and broadcast-joins the offsets back. Use DECIMAL values: the
+    merge re-associates additions, which is exact for decimals only.
+    """
+    d = df.withColumn("__bkt", bucket)
+    w_local = (
+        Window.partitionBy(*partition_cols, "__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__local", F.sum(value).over(w_local))
+    totals = d.groupBy(*partition_cols, "__bkt").agg(F.sum(value).alias("__tot"))
+    w_off = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("__off", F.sum("__tot").over(w_off)).select(
+        *partition_cols, "__bkt", "__off"
+    )
+    joined = local.join(F.broadcast(offsets), [*partition_cols, "__bkt"], "left")
+    zero = F.lit(0).cast(dict(offsets.dtypes)["__off"])  # exact type match
+    return (
+        joined.withColumn(out_col, F.coalesce(F.col("__off"), zero) + F.col("__local"))
+        .drop("__bkt", "__local", "__off")
+    )

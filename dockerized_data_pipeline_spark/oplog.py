@@ -100,3 +100,48 @@ def recent_runs(spark: SparkSession, logs_path: str, limit: int = 5) -> DataFram
         .orderBy(F.desc("created_at"), F.desc("dag_id"))
         .limit(limit)
     )
+
+
+def monitor(
+    spark: SparkSession,
+    logs_path: str,
+    since,
+    every_s: float = 30.0,
+    iterations: int | None = None,
+    sleep=None,
+    on_tick=None,
+) -> list[dict]:
+    """``make monitor`` analog (Makefile:208-224): poll the health queries
+    every ``every_s`` seconds.
+
+    Each tick re-runs recent_failures + recent_runs and collects a small
+    snapshot dict. ``iterations=None`` loops forever (the reference's
+    ``watch``-style loop); tests pass a finite count and a fake ``sleep``.
+    ``on_tick(snapshot)`` is the print/alert hook -- the substance behind
+    the reference's email_on_failure (dags/stock_data_pipeline.py:17) is
+    the failure counts in the snapshot.
+    """
+    import itertools
+    import time as _time
+
+    sleep = sleep if sleep is not None else _time.sleep
+    ticks = range(iterations) if iterations is not None else itertools.count()
+    out: list[dict] = []
+    for i in ticks:
+        if i > 0:
+            sleep(every_s)
+        failures = {
+            (r.dag_id, r.status): r.runs
+            for r in recent_failures(spark, logs_path, since).collect()
+        }
+        latest = [r.asDict() for r in recent_runs(spark, logs_path).collect()]
+        snapshot = {
+            "tick": i,
+            "runs_by_status": failures,
+            "latest_runs": latest,
+            "n_failed": sum(v for (_d, s), v in failures.items() if s != "success"),
+        }
+        out.append(snapshot)
+        if on_tick is not None:
+            on_tick(snapshot)
+    return out

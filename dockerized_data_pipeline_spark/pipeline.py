@@ -64,6 +64,7 @@ def ingest(
     logs_path: str | None = None,
     metadata_path: str | None = None,
     partition_by_symbol: bool = True,
+    sleep=None,
 ) -> IngestSummary:
     """Run one ingest tick: fetch -> parse -> MERGE into target_path.
 
@@ -78,7 +79,11 @@ def ingest(
 
     t0 = _time.perf_counter()
     summary = IngestSummary(symbols_attempted=len(symbols))
-    results = fetch_payloads(symbols, transport, config)
+    # sleep is injectable so tests (and backpressure-aware callers) control
+    # both the T6 rate-limit delay and the T5 retry backoff clock.
+    results = fetch_payloads(
+        symbols, transport, config, **({"sleep": sleep} if sleep is not None else {})
+    )
     summary.symbols_failed = sum(1 for r in results if r.error is not None)
     summary.symbols_fetched = len(results) - summary.symbols_failed
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join_bucketed
 from ..operators.sessionize import sessionize
 from .registry import query
 
@@ -44,6 +45,44 @@ def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="p_ts",
         payload_cols=["event_id", "value"],
     )
+
+
+# Range join: every click inside the 1-hour window after a purchase by
+# the same user. The oracle writes the natural inequality join; the engine
+# uses the bucketed equi-join (operators.rangejoin) so the plan is a hash
+# join on (user_id, hour-bucket), not a nested-loop -- identical results.
+@query(
+    "range_join_click_in_purchase_window",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, ts AS start_ts,
+                 ts + INTERVAL 1 HOUR AS end_ts
+          FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts >= p.start_ts AND c.ts <= p.end_ts
+    """,
+)
+def range_join_click_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    return range_join_bucketed(
+        clicks,
+        windows,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bucket_width_sec=3600,
+        extra_key="user_id",
+    ).select("click_id", "purchase_id")
 
 
 @query(

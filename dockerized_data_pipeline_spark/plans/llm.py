@@ -381,13 +381,30 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, _probe_vector(spark, sf_dir), cents, k=10, n_probe=3)
 
 
+@query("x3_lsh_neardup_pairs")
+def x3_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale path for embedding near-dup pairs: random-projection LSH
+    bucket join (operators/similarity.py lsh_neardup_pairs) -- candidate
+    cost tracks bucket density, not n^2. Rows-only: the hash bucketing is
+    engine-side; x3_cosine_neardup_pairs above is the exact quadratic
+    VERIFICATION BASELINE, and tests/test_llm_ops.py asserts planted-
+    neighbor recall against it. Euclidean threshold 0.9 on unit vectors
+    ~= cosine 0.60 (the baseline's threshold: cos = 1 - d^2/2)."""
+    return SIM.lsh_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold_euclidean=0.9
+    )
+
+
 @query("x2_neardup_collapse")
 def x2_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup dedup flow: LSH candidate pairs -> connected-component
-    clusters -> keep one canonical doc per cluster (rows-only: LSH is
-    engine-side). Returns the surviving corpus ids."""
+    """Full near-dup dedup flow: LSH candidate pairs -> EXACT n-gram
+    Jaccard verification restricted to the candidate set -> connected-
+    component clusters -> keep one canonical doc per cluster (rows-only:
+    LSH is engine-side). Clustering runs on verified pairs only, so an
+    LSH false positive can never merge two genuinely-distinct documents.
+    Returns the surviving corpus ids."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_neardup_pairs_native(docs, "doc_id", "text")
+    pairs = DD.verified_neardup_pairs(docs, "doc_id", "text")
     return DD.collapse_neardups(docs, pairs).select("doc_id", "lang", "source")
 
 

@@ -365,7 +365,10 @@ def set_intersect_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_c = load_table(spark, sf_dir, "customer").select("c_custkey")
     buyers = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return all_c.exceptAll(buyers).distinct()
+    # subtract == SQL EXCEPT (set semantics): any value present on the
+    # right is removed regardless of multiplicities. exceptAll().distinct()
+    # would wrongly keep values the left has MORE copies of than the right.
+    return all_c.subtract(buyers)
 
 
 @query(
@@ -445,12 +448,20 @@ def window_dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderstatus", "o_orderkey", "o_totalprice")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+    """Top-3 per status via the two-phase bucketed top-k: o_orderstatus has
+    3 values, so a plain window would sort each third of the table in ONE
+    task. The bucketed form's final sort sees <= buckets*k rows per status
+    at any corpus size (operators/skew.py bucketed_topk)."""
+    from ..operators.skew import bucketed_topk
+
+    return bucketed_topk(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus", "o_orderkey", "o_totalprice"
+        ),
+        partition_cols=["o_orderstatus"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        rank_col="rk",
     )
 
 
@@ -466,15 +477,26 @@ def window_topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    """Running sum per event_type (~5 values) via the composite-key
+    two-phase form: inner windows over (event_type, day-of-ts) keep every
+    sort bounded; per-day totals prefix-sum and broadcast back
+    (operators/skew.py bucketed_running_sum). Exact because the values are
+    DECIMAL (re-associating double sums would not be)."""
+    from ..operators.skew import bucketed_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = bucketed_running_sum(
+        ev,
+        partition_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        value=F.col("value").cast(PRICE_DEC),
+        bucket=F.to_date("ts"),  # monotone in (ts, event_id)
+        out_col="__run",
     )
-    return load_table(spark, sf_dir, "events").select(
+    return out.select(
         "event_id",
         "event_type",
-        F.sum(F.col("value").cast(PRICE_DEC)).over(w).cast("decimal(38,4)").alias("running_value"),
+        F.col("__run").cast("decimal(38,4)").alias("running_value"),
     )
 
 
@@ -492,6 +514,16 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function gallery over a 3-value partition key. SCALE NOTE:
+    rank/dense_rank/ntile/lead are globally sequential within a partition,
+    so this IS a single-task sort per status -- fine while one status's
+    rows fit one task's spillable sort (~GBs), wrong posture past that.
+    The scalable rewrite is two-pass: range-repartition by the order key,
+    rank locally, then add per-range offsets from a prefix sum of range
+    counts (the bucketed_running_sum pattern applied to counts). Kept
+    single-pass here because the gallery's point is the function surface;
+    window_topk_orders_per_status / window_running_sum show the scale
+    forms."""
     w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",

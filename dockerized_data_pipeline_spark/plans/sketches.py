@@ -28,11 +28,17 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sketch_approx_percentiles")
 def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna) -- single-pass mergeable
-    quantiles; accuracy 10000 keeps it exact-ish at this scale."""
+    quantiles; accuracy 10000 keeps it exact-ish at this scale. The exact
+    percentiles ride along so the sketch is self-validating: tests assert
+    the relative error bound (at 100 TB you would drop the exact column --
+    it buffers per-group values -- and keep only the sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
             "price_quartiles"
+        ),
+        F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.99])).alias(
+            "exact_quartiles"
         ),
         F.count("*").alias("n"),
     )

@@ -357,3 +357,281 @@ def q4_orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# Q7 shape: multi-way join with two roles for the same dimension (supplier
+# nation x customer nation), year bucketing, decimal revenue.
+@query(
+    "q7_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))))
+                AS DECIMAL(38,8)) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: nation (25 rows) and supplier broadcast; the only big
+    shuffles are lineitem><orders and ><customer on their join keys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE)
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+    )
+
+
+# Q8 shape: market-share ratio of conditional revenue per year (ppm ints:
+# identical decimal sums cast to double divide identically on both engines).
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(FLOOR(CAST(nation_rev AS DOUBLE) * 1000000
+                      / CAST(total_rev AS DOUBLE)) AS BIGINT) AS mkt_share_ppm
+    FROM (
+      SELECT o_year,
+             SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                      ELSE CAST(0 AS DECIMAL(20,8)) END) AS nation_rev,
+             SUM(volume) AS total_rev
+      FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders    ON o_orderkey = l_orderkey
+        JOIN supplier  ON s_suppkey = l_suppkey
+        JOIN customer  ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region    ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+      )
+      GROUP BY o_year
+    )
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_regionkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE)
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+            F.lit(0).cast("decimal(20,8)")
+        )
+    )
+    total_rev = F.sum(volume)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.floor(nation_rev.cast("double") * 1_000_000 / total_rev.cast("double"))
+            .cast("bigint")
+            .alias("mkt_share_ppm")
+        )
+    )
+
+
+# Q9 shape: profit decomposition by producing nation and year (adapted:
+# the fixture set has no partsupp, so supply cost is proxied as 10% of
+# part retail price per unit).
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,8)) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,4))
+               * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))
+               - CAST(p_retailprice AS DECIMAL(12,4))
+                 * CAST(l_quantity AS DECIMAL(12,4))
+                 * CAST(0.1 AS DECIMAL(7,4)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_type = 'STANDARD'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE)
+    ) - F.col("p_retailprice").cast(_DEC) * F.col("l_quantity").cast(_DEC) * F.lit(
+        0.1
+    ).cast(_RATE)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("decimal(38,8)").alias("sum_profit"))
+    )
+
+
+# Q13 shape: distribution of counts (two-level aggregation over a left join).
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# Q15 shape: aggregate -> scalar max -> equality join-back (top supplier(s)
+# by quarterly revenue; decimal equality is exact, so ties are stable).
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))))
+                  AS DECIMAL(38,8)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT supplier.s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON supplier.s_suppkey = rev.s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("rev_suppkey")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
+        )
+        .cast("decimal(38,8)")
+        .alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(s), F.col("rev_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# Q20 shape: IN-subquery over a grouped HAVING (suppliers that moved bulk
+# volume of some part) -> left-semi join.
+@query(
+    "q20_bulk_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > CAST(90 AS DECIMAL(12,4))
+    )
+    """,
+)
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"))
+        .filter(F.col("qty") > F.lit(90).cast(_DEC))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )

@@ -23,6 +23,27 @@ def test_neardup_clusters_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_neardup_clusters_long_chain_converges_logarithmically(spark):
+    # a 33-node path has diameter 32; pointer jumping must converge well
+    # inside 8 rounds (~log2(32) + slack), far under plain propagation's 32
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 33)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.cluster_id for r in neardup_clusters(pairs, max_iterations=8).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 33
+
+
+def test_neardup_clusters_raises_when_not_converged(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 33)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        neardup_clusters(pairs, max_iterations=1)
+
+
 def test_collapse_keeps_canonical_and_untouched(spark):
     docs = spark.createDataFrame(
         [(i, f"text{i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, text string"

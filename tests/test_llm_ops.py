@@ -51,6 +51,41 @@ def test_native_minhash_recovers_planted_neardup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_verified_neardup_pairs_confirms_and_rejects(spark):
+    """LSH->exact composition: the planted near-dup pair survives exact
+    verification with its TRUE jaccard (not the minhash estimate), and
+    unrelated docs never appear."""
+    from dockerized_data_pipeline_spark.operators.dedup import verified_neardup_pairs
+
+    near = BASE.replace("green", "blue")
+    far = "completely different content about spark query engines and shuffles here"
+    df = _docs(spark, [(1, BASE), (2, near), (3, far)])
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in verified_neardup_pairs(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {(1, 2)}
+    # exact 3-gram jaccard of the one-token edit: well above the 0.3 gate
+    assert out[(1, 2)] >= 300_000
+
+
+def test_collapse_on_verified_pairs_recovers_planted_clusters(spark):
+    """End-to-end x2_neardup_collapse shape: clusters form from verified
+    pairs; the canonical (min-id) doc survives, near-copies collapse."""
+    from dockerized_data_pipeline_spark.operators.dedup import (
+        collapse_neardups,
+        verified_neardup_pairs,
+    )
+
+    near1 = BASE.replace("green", "blue")
+    near2 = BASE.replace("old", "new")
+    far = "completely different content about spark query engines and shuffles here"
+    df = _docs(spark, [(1, BASE), (2, near1), (3, near2), (9, far)])
+    pairs = verified_neardup_pairs(df, "doc_id", "text")
+    kept = sorted(r.doc_id for r in collapse_neardups(df, pairs).collect())
+    assert kept == [1, 9]
+
+
 def test_exact_jaccard_planted_pair(spark):
     near = BASE + " extra tail tokens"
     df = _docs(spark, [(1, BASE), (2, near), (3, "unrelated words entirely about nothing shared")])
@@ -108,3 +143,34 @@ def test_lsh_neardup_finds_duplicated_vector(spark, sf_dir):
     pairs = lsh_neardup_pairs(emb.unionByName(clone), threshold_euclidean=0.1)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (3, 100003) in found
+
+
+def test_lsh_neardup_recall_vs_exact_baseline(spark, sf_dir):
+    """Planted-neighbor recall self-check for the registered scale path
+    (x3_lsh_neardup_pairs): every pair the exact quadratic baseline finds
+    at the same effective threshold must be recovered by the LSH bucket
+    join when near-duplicates are planted."""
+    from dockerized_data_pipeline_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plant 5 exact clones (cosine 1.0 with their source; distance 0)
+    clones = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(100000)).cast("long")
+    )
+    corpus = emb.unionByName(clones)
+    # euclidean 0.9 on unit vectors ~= cosine 1 - 0.81/2 = 0.595
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(
+            corpus, threshold_euclidean=0.9, num_hash_tables=8
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert exact, "planted clones must register as exact near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall == 1.0  # identical vectors always share every bucket

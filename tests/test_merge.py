@@ -96,6 +96,27 @@ def test_batch_dedup_keeps_newest(spark):
     assert out[0].close_price == 2.0
 
 
+def test_merge_null_first_key_preserves_target_values(spark):
+    """eqNullSafe keys mean a NULL key value is a legal match: the target
+    row (NULL, ts) matched by a batch row must still PRESERVE its
+    preserve_cols (regression: presence was tested via keys[0].isNotNull,
+    misclassifying this row as absent)."""
+    target = _rows(
+        spark,
+        [(None, t("2024-01-05 15:00:00"), 100.0, t("2024-01-05 15:00:00"), "US/Eastern", t("2024-01-01 00:00:00"))],
+    )
+    batch = _rows(
+        spark,
+        [(None, t("2024-01-05 15:00:00"), 999.0, t("2024-01-05 17:00:00"), "UTC", t("2024-02-01 00:00:00"))],
+    )
+    out = merge_upsert(target, batch, KEYS, UPDATE, PRESERVE).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.close_price == 999.0  # updated from batch
+    assert row.time_zone == "US/Eastern"  # preserved from target
+    assert row.created_at == t("2024-01-01 00:00:00")  # preserved
+
+
 def test_merge_upsert_path_atomic_swap(spark, tmp_path):
     path = str(tmp_path / "stock_data")
     b1 = _rows(

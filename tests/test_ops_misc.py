@@ -174,6 +174,47 @@ def test_retention_partitioned_drop_and_boundary(spark, tmp_path):
     assert sorted(r.id for r in left) == [2, 3]
 
 
+def _partition_file_bytes(part_dir):
+    out = {}
+    for root, _dirs, files in os.walk(part_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, part_dir)] = fh.read()
+    return out
+
+
+def test_retention_touches_only_expired_and_boundary_partitions(spark, tmp_path):
+    """The 100 TB contract: partitions newer than the cutoff are NOT read
+    and NOT rewritten (byte-identical files), expired partitions are
+    dropped without a scan, and only the single boundary partition is
+    rewritten."""
+    path = str(tmp_path / "events_by_date")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), "2024-01-01"),   # expired -> dropped
+        (2, dt.datetime(2024, 1, 2, 1), "2024-01-02"),   # boundary: rewritten, survives
+        (3, dt.datetime(2024, 1, 3, 5), "2024-01-03"),   # untouched
+        (4, dt.datetime(2024, 1, 4, 5), "2024-01-04"),   # untouched
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, dt string")
+    df.write.partitionBy("dt").parquet(path)
+
+    before3 = _partition_file_bytes(os.path.join(path, "dt=2024-01-03"))
+    before4 = _partition_file_bytes(os.path.join(path, "dt=2024-01-04"))
+    assert before3 and before4
+
+    stats = apply_retention_partitioned(spark, path, "dt", "2024-01-02", ts_col="ts")
+    assert stats == {"dropped_partitions": 1, "rewritten_partitions": 1}
+
+    # untouched partitions: EXACT same files, byte for byte (never read,
+    # never rewritten)
+    assert _partition_file_bytes(os.path.join(path, "dt=2024-01-03")) == before3
+    assert _partition_file_bytes(os.path.join(path, "dt=2024-01-04")) == before4
+    assert not os.path.lexists(os.path.join(path, "dt=2024-01-01"))
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [2, 3, 4]
+
+
 def test_retention_filter_matches_manual(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     cutoff = "2024-01-15 00:00:00"

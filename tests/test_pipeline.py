@@ -26,7 +26,7 @@ def _point(o, h, l, c, v):
 
 def test_ingest_two_ticks_update_insert_preserve(spark, tmp_path):
     target = str(tmp_path / "stock_data")
-    cfg = PipelineConfig(api_key="k", request_delay_sec=0)
+    cfg = PipelineConfig(api_key="k", request_delay_sec=0, max_retries=0)
 
     tick1 = {
         "AAPL": _payload({"2024-01-05 15:00:00": _point("1", "2", "0.5", "1.5", "100")},
@@ -88,7 +88,7 @@ def _failing(transport, bad_symbols):
 
 
 def test_ingest_maintains_operational_tables(spark, tmp_path):
-    cfg = PipelineConfig(api_key="k", request_delay_sec=0)
+    cfg = PipelineConfig(api_key="k", request_delay_sec=0, max_retries=0)
     tick = {"AAPL": _payload({"2024-01-05 15:00:00": _point("1", "2", "0.5", "1.5", "100")},
                              "2024-01-05 15:00:00")}
     logs, meta = str(tmp_path / "logs"), str(tmp_path / "meta")
@@ -116,7 +116,7 @@ def test_ingest_maintains_operational_tables(spark, tmp_path):
 
 
 def test_ingest_all_failed_is_guarded(spark, tmp_path):
-    cfg = PipelineConfig(api_key="k", request_delay_sec=0)
+    cfg = PipelineConfig(api_key="k", request_delay_sec=0, max_retries=0)
 
     def boom(url, params):
         raise RuntimeError("down")

@@ -51,6 +51,23 @@ def test_p7_time_filter_pushed_to_scan(spark, sf_dir):
     assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
 
 
+def test_q7_dims_broadcast_and_filter_pushed(spark, sf_dir):
+    """The two nation roles + supplier broadcast; the l_shipdate range
+    reaches the lineitem scan; only fact-fact joins may shuffle."""
+    plan = _formatted_plan(spark, sf_dir, "q7_nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q15_joinback_broadcasts_scalar_max(spark, sf_dir):
+    """The 1-row max and the supplier dim must broadcast -- the only
+    shuffle is the revenue aggregation itself."""
+    plan = _formatted_plan(spark, sf_dir, "q15_top_supplier")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_no_python_row_udfs_on_relational_paths(spark, sf_dir):
     """BatchEvalPython (row-at-a-time Python UDF) must not appear anywhere;
     ArrowEvalPython/mapInPandas is allowed only for multimodal ops."""

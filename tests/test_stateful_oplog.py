@@ -89,6 +89,31 @@ def test_pipeline_logs_append_and_queries(spark, tmp_path):
     assert [r.created_at for r in latest] == [t("2024-01-05 11:00:00"), t("2024-01-05 10:00:00")]
 
 
+def test_monitor_loop_polls_health_queries(spark, tmp_path):
+    """make-monitor analog: finite iterations, injectable sleep, snapshots
+    carry failure counts (the alerting substance of email_on_failure)."""
+    from dockerized_data_pipeline_spark.oplog import monitor
+
+    logs = str(tmp_path / "pipeline_logs")
+    append_run_log(spark, logs, "stock_pipeline", "fetch", t("2024-01-05 10:00:00"),
+                   "success", 12.5, 500)
+    append_run_log(spark, logs, "stock_pipeline", "fetch", t("2024-01-05 11:00:00"),
+                   "failed", 30.0, 0, "rate limited")
+
+    sleeps, ticks = [], []
+    snaps = monitor(
+        spark, logs, "2024-01-05 00:00:00", every_s=30.0, iterations=3,
+        sleep=sleeps.append, on_tick=lambda s: ticks.append(s["tick"]),
+    )
+    assert sleeps == [30.0, 30.0]  # no sleep before the first tick
+    assert ticks == [0, 1, 2]
+    assert all(s["n_failed"] == 1 for s in snaps)
+    assert all(
+        s["runs_by_status"][("stock_pipeline", "success")] == 1 for s in snaps
+    )
+    assert len(snaps[0]["latest_runs"]) == 2
+
+
 def test_stock_metadata_keyed_upsert(spark, tmp_path):
     meta = str(tmp_path / "stock_metadata")
     schema = (
