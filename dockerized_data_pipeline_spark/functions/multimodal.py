@@ -115,6 +115,45 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_width int, out_height int, out_bytes long"
+)
+
+
+def resize_media(media: DataFrame, box_w: int = 224, box_h: int = 224) -> DataFrame:
+    """Aspect-preserving fit-into-box resize via mapInPandas.
+
+    A real implementation would decode, resample, and re-encode per Arrow
+    batch (PIL ``Image.thumbnail``); the stub keeps the exact geometry
+    arithmetic (scale = min(box/w, box/h), floor to pixels, >= 1) over the
+    fake decoded dims, so the math and the distributed shape -- per-batch,
+    zero shuffle -- are what tests and the oracle verify. ``out_bytes``
+    estimates the resized payload as out_w*out_h*3 (RGB).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["blob"].map(lambda b: len(b) if b is not None else 0)
+            dims = n_bytes.map(_fake_dims)
+            width = dims.map(lambda d: d[0]).astype("int32")
+            height = dims.map(lambda d: d[1]).astype("int32")
+            scale = (box_w / width).combine(box_h / height, min)
+            out_w = (width * scale).astype("int64").clip(lower=1).astype("int32")
+            out_h = (height * scale).astype("int64").clip(lower=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "out_bytes": (out_w.astype("int64") * out_h * 3),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """blob -> fixed-dim feature vector (deterministic fake; a real extractor
     would run an encoder model per Arrow batch). Output feeds the similarity

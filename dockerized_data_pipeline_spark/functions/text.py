@@ -86,6 +86,19 @@ def quality_score(text: Column | str, n_chars: Column | str | None = None) -> Co
     )
 
 
+def quality_score_ppm(text: Column | str) -> Column:
+    """quality_score as a FLOOR(x * 1e6) BIGINT -- the engine-portable
+    form (ROUND on doubles hits half-even/half-up ties across engines;
+    floor of identical IEEE operands never does)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = token_count(t).cast("double")
+    length_component = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop = marker_score(t, STOPWORDS).cast("double")
+    stop_component = F.least(stop / F.greatest(n * F.lit(0.05), F.lit(1.0)), F.lit(1.0))
+    score = F.lit(0.5) * length_component + F.lit(0.5) * stop_component
+    return F.floor(score * F.lit(1_000_000.0)).cast("bigint")
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-sensitive polynomial rolling hash over tokens, mod a prime.
 

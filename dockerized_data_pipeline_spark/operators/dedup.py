@@ -196,6 +196,64 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """X2 (SimHash flavor), scalably: near-duplicate pairs with hamming
+    distance <= max_hamming between 64-bit SimHash signatures.
+
+    Pigeonhole banding: the signature splits into ``max_hamming + 1``
+    equal bands; two signatures differing in <= max_hamming bits must
+    agree EXACTLY on at least one band, so candidates form only inside a
+    (band, band-bits) bucket -- like MinHash-LSH banding but with a
+    guaranteed 100% recall (combinatorial, not probabilistic). The exact
+    hamming filter (bit_count of xor, pure JVM) then removes bucket
+    collisions. Cost: one signature pass + a slim bucket self-join.
+    Returns (doc_a, doc_b, hamming).
+    """
+    bands = max_hamming + 1
+    if 64 % bands:
+        raise ValueError("max_hamming + 1 must divide 64 (e.g. 1, 3, 7, 15)")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    sig = simhash_signatures(df, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bits"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("doc"), "simhash", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", "simhash", F.col("bs.band").alias("band"), F.col("bs.bits").alias("bits"))
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -128,6 +128,32 @@ def x5_stopword_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x5_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(FLOOR(
+             (0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 200.0, 1.0)
+              + 0.5 * LEAST(
+                  CAST(LEN(list_filter(string_split(text, ' '),
+                                       t -> t IN {_STOP_SQL})) AS DOUBLE)
+                  / GREATEST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 0.05, 1.0),
+                  1.0))
+             * 1000000.0
+           ) AS BIGINT) AS quality_ppm
+    FROM documents
+    """,
+)
+def x5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length + stopword-density components) as a
+    portable ppm integer -- the per-doc gate a corpus-prep pipeline
+    filters on (see x7_corpus_prep for the composed flow)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.quality_score_ppm(F.col("text")).alias("quality_ppm")
+    )
+
+
 _LANG_SCORE_SQL = {
     lang: f"LEN(list_filter(string_split(text, ' '), t -> t IN ('"
     + "','".join(markers)
@@ -411,6 +437,15 @@ def x2_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x2_simhash_signatures")
 def x2_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("x2_simhash_neardup_pairs")
+def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (guaranteed recall at
+    hamming <= 3; rows-only: the signature hash is engine-side)."""
+    return DD.simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
 
 
 @query("x2_minhash_neardup_pairs")

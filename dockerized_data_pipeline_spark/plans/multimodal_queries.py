@@ -12,6 +12,7 @@ from ..functions.multimodal import (
     decode_media,
     extract_features,
     media_from_documents,
+    resize_media,
     sample_frames,
 )
 from .registry import query
@@ -45,6 +46,36 @@ def x4_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(media_from_documents(docs)).select("media_id", "frame_idx")
+
+
+@query(
+    "x4_resize_fit_box",
+    oracle="""
+    SELECT media_id, width, height, out_width, out_height,
+           CAST(out_width AS BIGINT) * out_height * 3 AS out_bytes
+    FROM (
+      SELECT media_id, width, height,
+             GREATEST(1, CAST(FLOOR(width * scale) AS INTEGER)) AS out_width,
+             GREATEST(1, CAST(FLOOR(height * scale) AS INTEGER)) AS out_height
+      FROM (
+        SELECT media_id, width, height,
+               LEAST(224.0 / width, 224.0 / height) AS scale
+        FROM (
+          SELECT doc_id AS media_id,
+                 CAST(64 + strlen(text) % 192 AS INTEGER) AS width,
+                 CAST(64 + (strlen(text) * 7) % 192 AS INTEGER) AS height
+          FROM documents
+        )
+      )
+    )
+    """,
+)
+def x4_resize_fit_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry over the mapInPandas path; the
+    oracle replays the stub's exact double arithmetic (identical IEEE
+    operands -> identical floor on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(media_from_documents(docs))
 
 
 @query("x4_feature_extract")

@@ -43,6 +43,45 @@ def t_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_session_window_counts",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def t_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-minute inactivity gap) in batch
+    mode -- the same operator drives watermarked streaming sessionization.
+    A new session starts when the gap since the previous event is >= the
+    timeout (Spark's session end is last_ts + gap, exclusive); the oracle
+    says the same thing as gaps-and-islands SQL. Cross-checks the manual
+    sessionize operator (plans/extras.py sessionize_user_events)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "t_sliding_window_counts",
     oracle="""
     SELECT window_start, event_type, COUNT(*) AS n_events FROM (

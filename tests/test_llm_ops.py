@@ -86,6 +86,25 @@ def test_collapse_on_verified_pairs_recovers_planted_clusters(spark):
     assert kept == [1, 9]
 
 
+def test_simhash_neardup_pairs_planted(spark):
+    """Banded SimHash pair search: the one-token edit lands within hamming
+    3 and is found (pigeonhole banding guarantees recall); unrelated text
+    is ~32 bits away and excluded."""
+    from dockerized_data_pipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    near = BASE.replace("green", "blue")
+    far = "completely different content about spark query engines and shuffles here"
+    df = _docs(spark, [(1, BASE), (2, near), (3, far)])
+    # the one-token edit flips 3 of 64 bits on this fixture (deterministic
+    # xxhash64); 4-band pigeonhole at max_hamming=3 must recover it
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_neardup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_exact_jaccard_planted_pair(spark):
     near = BASE + " extra tail tokens"
     df = _docs(spark, [(1, BASE), (2, near), (3, "unrelated words entirely about nothing shared")])

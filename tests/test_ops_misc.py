@@ -248,6 +248,23 @@ def test_multimodal_decode_matches_blob_length(spark, sf_dir):
     assert decoded[some].width == 64 + n % 192
 
 
+def test_multimodal_resize_fits_box_preserving_aspect(spark, sf_dir):
+    from dockerized_data_pipeline_spark.functions.multimodal import resize_media
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, box_w=224, box_h=224).collect()
+    assert out
+    for r in out:
+        assert 1 <= r.out_width <= 224 and 1 <= r.out_height <= 224
+        # the larger relative dimension hits (nearly) the box edge
+        assert max(r.out_width, r.out_height) >= 220
+        # aspect preserved within 1-pixel floor error
+        expected = r.width / r.height
+        got = r.out_width / r.out_height
+        assert abs(expected - got) < 0.05
+        assert r.out_bytes == r.out_width * r.out_height * 3
+
+
 def test_multimodal_frame_sampler_multiplies_rows(spark, sf_dir):
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(media)
