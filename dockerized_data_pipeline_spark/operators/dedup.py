@@ -262,19 +262,32 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """Per-document MinHash signature: num_hashes columns mh0..mh{k-1},
-    where mh_i = min over shingles of xxhash64(base_hash(shingle), i).
+    where mh_i = min over shingle hashes of xxhash64(shingle_hash, i).
 
-    Double hashing: each shingle string is hashed ONCE, then the k hash
-    functions mix the 8-byte base with the seed -- measured ~2x faster
-    than re-hashing shingle strings per seed, and faster than hashing the
-    n tokens positionally (element_at-in-lambda defeats codegen).
+    Shingle hashes are built WITHOUT materializing shingle strings: each
+    token is xxhash64'd once, then the n-gram hash folds the n shifted
+    token-hash arrays with xxhash64 inside zip_with -- measured ~3x faster
+    than concat_ws string shingles + hash (string building dominated), and
+    stays in whole-stage codegen (positional element_at-in-lambda did
+    not). The k hash functions then mix the 8-byte shingle hash with the
+    seed (hash-once + seed-mix, ~2x over re-hashing per seed).
 
     One explode + one groupBy: the signature of a 100 TB corpus costs a
     single shuffle keyed on doc id, carrying one long per shingle.
     """
-    sh = shingles(df.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("h")
-    )
+    toks = tokens(F.col(text_col))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    combined = F.slice(tok_hashes, 1, m)
+    for off in range(1, n):
+        combined = F.zip_with(
+            combined,
+            F.slice(tok_hashes, off + 1, m),
+            lambda acc, h: F.xxhash64(acc, h),
+        )
+    sh = df.select(id_col, text_col).withColumn(
+        "h", F.explode(F.array_distinct(combined))
+    ).select(F.col(id_col).alias("doc"), "h")
     return sh.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
