@@ -635,3 +635,107 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name", "s_acctbal"
     )
+
+
+# Q11 shape: per-group value compared against a scalar fraction of the
+# GLOBAL total (TPC-H "important stock"). The fixtures have no partsupp
+# table, so the shape runs over lineitem: supply value per (part,
+# supplier). Threshold compare done in DOUBLE on both sides so the
+# boundary arithmetic is bit-identical across engines.
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,8)) AS value
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey, l_suppkey, value
+    FROM val
+    WHERE CAST(value AS DOUBLE) * 10000.0
+          > (SELECT CAST(SUM(value) AS DOUBLE) FROM val)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one hash-agg shuffle on (part, supplier); the global
+    total is a single-row broadcast, never a second pass over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_quantity").cast(_DEC))
+        .cast("decimal(38,8)")
+        .alias("value")
+    )
+    total = val.agg(F.sum("value").cast("double").alias("grand_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") * 10000.0 > F.col("grand_total"))
+        .select("l_partkey", "l_suppkey", "value")
+    )
+
+
+# Q21 shape: suppliers who were the SOLE late supplier on a multi-supplier
+# finished order (EXISTS + NOT EXISTS pair in the oracle). "Late" uses the
+# same shipdate-vs-orderdate proxy as q4 (lineitem has no receipt/commit
+# dates). The Spark plan replaces the two correlated self-joins with ONE
+# per-order aggregate -- distinct-supplier and distinct-late-supplier
+# counts -- then filters late rows on orders with >=2 suppliers and
+# exactly 1 late one: a single shuffle on l_orderkey instead of three.
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    joined = li.join(
+        orders_f, li.l_orderkey == orders_f.o_orderkey, "inner"
+    ).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        joined.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "inner",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
