@@ -456,3 +456,47 @@ def x2_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_neardup_pairs_native(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+# X8: deterministic content-addressed train/val/test splits. Hash-based
+# assignment (md5 of the doc id) is the split discipline a training
+# pipeline needs at 100 TB: stable under re-runs, re-partitioning, and
+# incremental arrivals (a document's split never changes as the corpus
+# grows), with no seeded RNG. The split is a pure per-row expression --
+# no shuffle before the summary agg. md5 hex is identical across engines,
+# and the hex-string range compare keeps boundary arithmetic portable:
+# first two hex chars give 256 buckets; < 'cd' is 205/256 ~ 80% train,
+# < 'e6' is 25/256 ~ 10% val, rest ~ 10% test.
+@query(
+    "x8_hash_split_summary",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM (
+      SELECT CASE WHEN b < 'cd' THEN 'train'
+                  WHEN b < 'e6' THEN 'val'
+                  ELSE 'test' END AS split, n_chars, doc_id
+      FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+                   n_chars, doc_id
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def x8_hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

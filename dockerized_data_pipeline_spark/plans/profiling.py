@@ -66,3 +66,50 @@ def t8_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderpriority").isNull() | (F.col("o_orderpriority") == ""), 1).otherwise(0)
         ).alias("blank_priorities"),
     )
+
+
+# Referential-integrity audit: orphan counts across the fact->dim edges,
+# the cross-table half of the T8 quality checks. Each edge is a left-anti
+# join; the dim side of each is the distinct key set, so at 100 TB every
+# check is one shuffle (or broadcast when the key set is small, as with
+# supplier here). One row per check so downstream alerting can threshold
+# on n_violations.
+@query(
+    "t8_fk_audit",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name, COUNT(*) AS n_violations
+    FROM lineitem WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_supplier', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS (
+      SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    UNION ALL
+    SELECT 'order_without_customer', COUNT(*)
+    FROM orders WHERE NOT EXISTS (
+      SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    """,
+)
+def t8_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def orphans(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        return (
+            fact.select(fk)
+            .join(dim.select(pk), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    return (
+        orphans("lineitem_without_order", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(
+            orphans("lineitem_without_supplier", li, "l_suppkey", supplier, "s_suppkey")
+        )
+        .unionAll(
+            orphans("order_without_customer", orders, "o_custkey", customer, "c_custkey")
+        )
+    )

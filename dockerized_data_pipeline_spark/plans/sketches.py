@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import cms
 from .registry import query
 
 
@@ -42,3 +43,17 @@ def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@query("sketch_count_min_freq")
+def sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (operators/cms.py) for each order
+    priority, with the exact count riding along so the sketch is
+    self-validating (test asserts estimate >= exact and the CMS
+    overcount bound). Deterministic: fixed xxhash64 seeds -- rows-only
+    (xxhash64 has no DuckDB counterpart)."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy("o_orderpriority").agg(F.count("*").alias("exact_count"))
+    return cms.count_min_estimates(
+        o, "o_orderpriority", exact, depth=4, width=256
+    ).select("o_orderpriority", "exact_count", "cm_estimate")

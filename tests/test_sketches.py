@@ -25,3 +25,22 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
             # GK accuracy=10000 -> rank error <= n/10000; on these
             # distributions that is well under 1% value error
             assert abs(approx - exact) / exact <= 0.01, (r.l_returnflag, approx, exact)
+
+
+def test_count_min_never_undercounts_and_bounded(spark, sf_dir):
+    rows = registry.QUERIES["sketch_count_min_freq"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.exact_count for r in rows)
+    for r in rows:
+        # CMS estimates are one-sided: never below the true count ...
+        assert r.cm_estimate >= r.exact_count, (r.o_orderpriority, r)
+        # ... and over by at most (e/width)*N w.h.p. (width=256; allow 2x
+        # margin so the fixed-seed result stays a deterministic signal)
+        assert r.cm_estimate - r.exact_count <= 2 * 2.72 / 256 * n_total, r
+
+
+def test_count_min_deterministic(spark, sf_dir):
+    q = registry.QUERIES["sketch_count_min_freq"]
+    a = {tuple(r) for r in q(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q(spark, sf_dir).collect()}
+    assert a == b
