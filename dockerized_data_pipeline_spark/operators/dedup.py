@@ -100,6 +100,54 @@ def ngram_jaccard_pairs_ppm(
     )
 
 
+def ngram_containment_ppm(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold_num: int = 1,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Benchmark decontamination: for each (corpus doc, benchmark doc)
+    pair sharing shingles, the fraction of the BENCHMARK doc's n-grams
+    that appear in the corpus doc (containment, not Jaccard -- a long
+    corpus doc that embeds a short benchmark item must score high).
+
+    Scale shape: the benchmark side is small by construction (eval sets
+    are thousands of rows), so its shingle set BROADCASTS; the 100 TB
+    corpus is scanned once, exploded, and hash-joined against the
+    broadcast -- no shuffle of corpus shingles, no self-join. Threshold
+    compare is integer cross-multiplication; output is FLOOR(ppm).
+
+    Returns (corpus_doc, bench_doc, containment_ppm) for pairs with
+    containment >= threshold_num/threshold_den.
+    """
+    c_sh = shingles(corpus.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("corpus_doc"), "shingle"
+    )
+    b_sh = shingles(bench.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("bench_doc"), "shingle"
+    )
+    b_counts = b_sh.groupBy("bench_doc").agg(F.count("*").alias("n_bench_sh"))
+    inter = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(b_counts), "bench_doc")
+        .filter(F.col("n_common") * threshold_den >= F.col("n_bench_sh") * threshold_num)
+        .select(
+            "corpus_doc",
+            "bench_doc",
+            F.floor(F.col("n_common") * F.lit(1000000.0) / F.col("n_bench_sh"))
+            .cast("bigint")
+            .alias("containment_ppm"),
+        )
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -391,6 +391,48 @@ def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs_ppm(docs, "doc_id", "text", n=4, threshold_num=1, threshold_den=20)
 
 
+# X8: benchmark decontamination. src19 plays the held-out eval set; the
+# rest of the corpus is scanned ONCE and its shingles hash-joined against
+# the BROADCAST benchmark shingle set (eval sets are small by
+# construction). Containment -- the fraction of the benchmark doc's
+# n-grams present in the corpus doc -- not Jaccard, so a long document
+# embedding a short benchmark item still scores high.
+@query(
+    "x8_decontaminate_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents WHERE LEN(string_split(text, ' ')) >= 4
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, shingle FROM (
+        SELECT doc_id, source,
+               UNNEST(list_transform(generate_series(1, LEN(toks) - 3),
+                      i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS shingle
+        FROM d)
+    ), bcnt AS (
+      SELECT doc_id, COUNT(*) AS n_bench_sh
+      FROM sh WHERE source = 'src19' GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc, COUNT(*) AS n_common
+      FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src19') c
+      JOIN (SELECT doc_id, shingle FROM sh WHERE source = 'src19') b USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT corpus_doc, bench_doc,
+           CAST(FLOOR(n_common * 1000000.0 / n_bench_sh) AS BIGINT) AS containment_ppm
+    FROM inter JOIN bcnt ON bcnt.doc_id = bench_doc
+    WHERE n_common * 20 >= n_bench_sh
+    """,
+)
+def x8_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src19")
+    bench = docs.filter(F.col("source") == "src19")
+    return DD.ngram_containment_ppm(
+        corpus, bench, "doc_id", "text", n=4, threshold_num=1, threshold_den=20
+    )
+
+
 # Engine-hash-based ops: deterministic but not SQL-portable -> rows-only.
 
 
@@ -498,5 +540,48 @@ def x8_hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# X8: corpus mixture sampling -- downweight sources by keeping a
+# deterministic hash fraction of each (the blend step before training:
+# e.g. keep all curated text, 50% of mid-tier, 10% of bulk web). Same
+# md5-bucket discipline as the split: a doc's keep/drop decision never
+# changes across runs or corpus growth, and the whole decision is a
+# per-row expression folded into one scan (no sample() RNG, no shuffle
+# before the summary agg). 'zz' sorts above every hex char, so tier-1
+# keeps everything; '80' is 128/256 = 50%, '1a' is 26/256 ~ 10%.
+@query(
+    "x8_mixture_sample_summary",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM (
+      SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+             CASE WHEN source IN ('src0','src1','src2','src3') THEN 'zz'
+                  WHEN source IN ('src4','src5','src6','src7') THEN '80'
+                  ELSE '1a' END AS thr
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def x8_mixture_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), "zz")
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), "80")
+        .otherwise("1a")
+    )
+    return (
+        docs.select("source", b.alias("b"), thr.alias("thr"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("b") < F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
         )
     )

@@ -10,6 +10,7 @@ from dockerized_data_pipeline_spark.catalog import load_table
 from dockerized_data_pipeline_spark.operators.dedup import (
     minhash_neardup_pairs,
     minhash_neardup_pairs_native,
+    ngram_containment_ppm,
     ngram_jaccard_pairs_ppm,
     simhash_signatures,
 )
@@ -111,6 +112,31 @@ def test_exact_jaccard_planted_pair(spark):
     out = {(r.doc_a, r.doc_b): r.jaccard_ppm for r in ngram_jaccard_pairs_ppm(df, "doc_id", "text", n=3, threshold_num=1, threshold_den=2).collect()}
     assert (1, 2) in out
     assert out[(1, 2)] > 500_000  # > 0.5 jaccard
+
+
+def test_decontamination_flags_embedded_benchmark(spark):
+    """A corpus doc that EMBEDS a benchmark item verbatim must score
+    containment 1.0 (1e6 ppm) against it even though the corpus doc is
+    much longer; unrelated docs must not be flagged."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    contaminated = "prefix words here " + "alpha beta gamma delta epsilon zeta" + " suffix trailer"
+    clean = "totally unrelated content about distributed joins and shuffles today"
+    corpus = _docs(spark, [(1, contaminated), (2, clean)])
+    rows = ngram_containment_ppm(
+        corpus, bench, "doc_id", "text", n=4, threshold_num=1, threshold_den=2
+    ).collect()
+    flagged = {(r.corpus_doc, r.bench_doc): r.containment_ppm for r in rows}
+    assert flagged == {(1, 100): 1000000}
+
+
+def test_decontamination_benchmark_side_broadcasts(spark):
+    """The eval-set side must broadcast: no shuffle of corpus shingles."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta")])
+    plan = ngram_containment_ppm(
+        corpus, bench, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 def test_simhash_locality(spark):

@@ -82,3 +82,27 @@ def test_merge_plan_has_single_shuffle_per_side(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "s4_merge_upsert_events")
     # full-outer merge: at most one exchange per input branch plus AQE reads
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_q11_single_agg_shuffle_broadcast_total(spark, sf_dir):
+    """The global total must ride a 1-row broadcast over the grouped
+    values -- never a second lineitem pass or a shuffle join."""
+    plan = _formatted_plan(spark, sf_dir, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_no_cartesian_and_supplier_broadcast(spark, sf_dir):
+    """One per-order aggregate instead of correlated self-joins: no
+    cartesian product; the supplier dim broadcasts."""
+    plan = _formatted_plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_x8_split_is_single_scan_single_shuffle(spark, sf_dir):
+    """Hash-split assignment is a per-row expression: exactly the one
+    aggregation shuffle, no join, no extra pass over documents."""
+    plan = _formatted_plan(spark, sf_dir, "x8_hash_split_summary")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
