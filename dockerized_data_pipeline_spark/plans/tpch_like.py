@@ -637,11 +637,13 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q11 shape: per-group value compared against a scalar fraction of the
+# Q11 shape: per-group value compared against a scalar derived from the
 # GLOBAL total (TPC-H "important stock"). The fixtures have no partsupp
 # table, so the shape runs over lineitem: supply value per (part,
-# supplier). Threshold compare done in DOUBLE on both sides so the
-# boundary arithmetic is bit-identical across engines.
+# supplier). TPC-H's fixed fraction shrinks with corpus size (0 rows at
+# sf0.1), so the threshold is scale-free -- 3x the MEAN group value --
+# and the compare is done in DOUBLE on both sides so the boundary
+# arithmetic is bit-identical across engines.
 @query(
     "q11_important_stock",
     oracle="""
@@ -654,23 +656,30 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, l_suppkey, value
     FROM val
-    WHERE CAST(value AS DOUBLE) * 10000.0
-          > (SELECT CAST(SUM(value) AS DOUBLE) FROM val)
+    WHERE CAST(value AS DOUBLE) * (SELECT COUNT(*) FROM val)
+          > 3.0 * (SELECT CAST(SUM(value) AS DOUBLE) FROM val)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one hash-agg shuffle on (part, supplier); the global
-    total is a single-row broadcast, never a second pass over lineitem."""
+    (total, count) is a single-row broadcast, never a second pass over
+    lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     val = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_quantity").cast(_DEC))
         .cast("decimal(38,8)")
         .alias("value")
     )
-    total = val.agg(F.sum("value").cast("double").alias("grand_total"))
+    total = val.agg(
+        F.sum("value").cast("double").alias("grand_total"),
+        F.count("*").alias("n_groups"),
+    )
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("value").cast("double") * 10000.0 > F.col("grand_total"))
+        .filter(
+            F.col("value").cast("double") * F.col("n_groups")
+            > 3.0 * F.col("grand_total")
+        )
         .select("l_partkey", "l_suppkey", "value")
     )
 
