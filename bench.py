@@ -88,14 +88,16 @@ def main() -> None:
     materialize(spark.range(1_000_000).selectExpr("sum(id) as s"))
     materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
 
-    # Best of two runs per query: steady-state throughput, which is what a
-    # long-lived cluster session delivers (run 1 pays one-time codegen/IO).
+    # Best of three runs per query: steady-state throughput, which is what
+    # a long-lived cluster session delivers (run 1 pays one-time codegen/
+    # IO; the extra run damps scheduler jitter on a shared box, which at
+    # this fixture size is the same order as the timings themselves).
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = plans.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -68,14 +68,24 @@ def test_q15_joinback_broadcasts_scalar_max(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
-def test_no_python_row_udfs_on_relational_paths(spark, sf_dir):
-    """BatchEvalPython (row-at-a-time Python UDF) must not appear anywhere;
-    ArrowEvalPython/mapInPandas is allowed only for multimodal ops."""
+# The only queries allowed an unbounded cartesian: the cross-join gallery
+# (two tiny dims by construction) and the quadratic exact-cosine baseline
+# (kept solely to verify the LSH scale path against).
+_CARTESIAN_ALLOWED = {"join_cross_region_status", "x3_cosine_neardup_pairs"}
+
+
+def test_no_python_row_udfs_or_cartesians_anywhere(spark, sf_dir):
+    """One sweep over every registered plan: BatchEvalPython (row-at-a-time
+    Python UDF) must not appear anywhere; ArrowEvalPython/mapInPandas only
+    on multimodal ops; CartesianProduct only on the two documented
+    exceptions (scalar crossJoins must plan as broadcast, not cartesian)."""
     for name in plans.QUERIES:
         plan = _formatted_plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         if not name.startswith("x4_"):
             assert "ArrowEvalPython" not in plan, name
+        if name not in _CARTESIAN_ALLOWED:
+            assert "CartesianProduct" not in plan, name
 
 
 def test_merge_plan_has_single_shuffle_per_side(spark, sf_dir):
