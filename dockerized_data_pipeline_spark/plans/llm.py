@@ -436,6 +436,19 @@ def x8_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine-hash-based ops: deterministic but not SQL-portable -> rows-only.
 
 
+@query("x3_kmeans_codebook")
+def x3_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF centroid codebook from the data with deterministic
+    distributed k-means (operators/kmeans.py: content-addressed init,
+    decimal-sum means -> identical centroids on any partitioning) and
+    report per-cluster sizes + inertia. Rows-only: iterative float
+    algorithm, no SQL equivalent."""
+    from ..operators import kmeans as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return KM.kmeans_cluster_sizes(emb, "vec_id", "embedding", k=8, iterations=3)
+
+
 @query("x3_ivf_topk")
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-k (rows-only: cluster pruning is engine-side).

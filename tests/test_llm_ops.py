@@ -114,6 +114,35 @@ def test_exact_jaccard_planted_pair(spark):
     assert out[(1, 2)] > 500_000  # > 0.5 jaccard
 
 
+def test_kmeans_deterministic_and_converging(spark, sf_dir):
+    """Same codebook on repeated runs AND under a different partitioning
+    (the decimal-sum + content-addressed-init contract); inertia must not
+    increase with more Lloyd iterations; every row lands in a cluster."""
+    from dockerized_data_pipeline_spark.catalog import load_table
+    from dockerized_data_pipeline_spark.operators import kmeans as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = KM.kmeans_fit(emb, "vec_id", "embedding", k=4, iterations=2)
+    c2 = KM.kmeans_fit(emb.repartition(7), "vec_id", "embedding", k=4, iterations=2)
+    assert c1 == c2
+
+    sizes = {
+        r.cluster_id: (r.n_members, r.mean_sq_dist_ppm)
+        for r in KM.kmeans_cluster_sizes(
+            emb, "vec_id", "embedding", k=4, iterations=2
+        ).collect()
+    }
+    assert sum(n for n, _ in sizes.values()) == emb.count()
+
+    def inertia(iters):
+        rows = KM.kmeans_cluster_sizes(
+            emb, "vec_id", "embedding", k=4, iterations=iters
+        ).collect()
+        return sum(r.n_members * r.mean_sq_dist_ppm for r in rows)
+
+    assert inertia(3) <= inertia(1)
+
+
 def test_decontamination_flags_embedded_benchmark(spark):
     """A corpus doc that EMBEDS a benchmark item verbatim must score
     containment 1.0 (1e6 ppm) against it even though the corpus doc is
