@@ -75,19 +75,25 @@ def ivf_assignments(
 
     Centroids are a literal array-of-arrays broadcast into the plan as a
     constant -- for a few-hundred-centroid codebook this is a pure per-row
-    projection, no join, no shuffle. Deterministic argmax (ties -> lowest
-    centroid id).
+    projection, no join, no shuffle. Deterministic argmax as a similarity
+    ARRAY reduced by array_max/array_position (first occurrence: ties ->
+    lowest centroid id); a when-chain argmax embeds the running best
+    twice per step, a 2^k expression blowup (same fix as
+    operators/kmeans.py).
     """
     from ..functions.vectors import literal_vector
 
-    best_id = F.lit(0)
-    best_dot = cosine(F.col(vec_col), literal_vector(centroids[0]))
-    for cid in range(1, len(centroids)):
-        d = cosine(F.col(vec_col), literal_vector(centroids[cid]))
-        better = d > best_dot
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_dot = F.when(better, d).otherwise(best_dot)
-    return df.select(F.col(id_col), F.col(vec_col), best_id.alias("cluster_id"))
+    sims = F.array(*[cosine(F.col(vec_col), literal_vector(c)) for c in centroids])
+    return (
+        df.withColumn("__sims", sims)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.array_position("__sims", F.array_max("__sims")) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+        )
+    )
 
 
 def ivf_topk(
