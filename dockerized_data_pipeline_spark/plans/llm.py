@@ -462,6 +462,19 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, _probe_vector(spark, sf_dir), cents, k=10, n_probe=3)
 
 
+@query("x3_ivf_topk_trained")
+def x3_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a codebook TRAINED by the deterministic k-means
+    (the production pairing: kmeans_fit centroids spread over the data,
+    so each list is balanced and n_probe/n_lists prunes evenly --
+    arbitrary seed vectors make no such promise). Rows-only."""
+    from ..operators import kmeans as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = KM.kmeans_fit(emb, "vec_id", "embedding", k=8, iterations=2)
+    return SIM.ivf_topk(emb, _probe_vector(spark, sf_dir), cents, k=10, n_probe=3)
+
+
 @query("x3_lsh_neardup_pairs")
 def x3_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE scale path for embedding near-dup pairs: random-projection LSH

@@ -211,6 +211,32 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert len(set(partial) & set(exact_ids)) >= 3  # reasonable recall
 
 
+def test_ivf_trained_codebook_integrates(spark, sf_dir):
+    """The kmeans_fit -> ivf_topk pairing: every vector lands in one of
+    the k trained lists (complete pruning partition), and recall at a
+    3-of-8 probe budget clears a floor. (Lloyd monotonicity and
+    partition-invariance of the training itself are asserted in
+    test_kmeans_deterministic_and_converging.)"""
+    from dockerized_data_pipeline_spark.operators import kmeans as KM
+    from dockerized_data_pipeline_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = list(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+    exact_ids = {r.vec_id for r in cosine_topk(emb, probe, k=10).collect()}
+    trained = KM.kmeans_fit(emb, "vec_id", "embedding", k=8, iterations=2)
+    sizes = ivf_assignments(emb, trained).groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in sizes) == emb.count()
+    assert all(0 <= r.cluster_id < 8 for r in sizes)
+    trained_hits = len(
+        {r.vec_id for r in ivf_topk(emb, probe, trained, k=10, n_probe=3).collect()}
+        & exact_ids
+    )
+    assert trained_hits >= 5
+
+
 def test_lsh_neardup_finds_duplicated_vector(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     clone = emb.filter(F.col("vec_id") == 3).withColumn("vec_id", F.lit(100003).cast("long"))
