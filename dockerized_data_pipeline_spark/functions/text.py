@@ -142,3 +142,33 @@ def simhash64(text: Column | str) -> Column:
         vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(mask))
         out = out.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (corpus-prep hygiene pass)
+# ---------------------------------------------------------------------------
+# Patterns restricted to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded repetition,
+# word boundaries. No backrefs or lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_count(text: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` (full-match group 0 --
+    Spark defaults to group 1 when the pattern contains groups, so the index
+    is always explicit). Per-row expression, JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace every email / IPv4 / phone match with a typed placeholder.
+    Chained regexp_replace (global in both Spark and DuckDB-with-'g');
+    email runs first so an address is never half-eaten by the phone rule."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return c

@@ -64,3 +64,63 @@ def duplicate_key_count(df: DataFrame, key_cols: list[str]) -> int:
         .filter(F.col("n") > 1)
         .count()
     )
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (quality filters for
+    training-corpus prep): type-token ratio, top-unigram fraction and
+    top-bigram fraction, all as FLOOR(ppm) integers.
+
+    Scale shape: explode tokens/bigrams then aggregate BY DOCUMENT -- the
+    shuffle key is the (unique) document id, so partial aggregation absorbs
+    the per-token rows map-side and skew is impossible. No O(doc_len^2)
+    per-row array scans: a pathological 1 GB document costs its own rows,
+    not a quadratic blowup inside one task.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    uni = (
+        toks.select(id_col, F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    bigrams = toks.select(
+        id_col,
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bgs"),
+    )
+    bg = (
+        bigrams.select(id_col, F.explode("bgs").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bg"))
+    )
+
+    def ppm(num, den):
+        # identical double operands floor identically on every engine
+        return F.floor(num * F.lit(1000000.0) / den).cast("bigint")
+
+    return (
+        uni.join(bg, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            ppm(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_token_ppm"),
+            ppm(F.col("top_c"), F.col("n_tokens")).alias("top_token_ppm"),
+            ppm(
+                F.coalesce(F.col("top_bg"), F.lit(0)),
+                F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+            ).alias("top_bigram_ppm"),
+        )
+    )

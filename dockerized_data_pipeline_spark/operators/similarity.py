@@ -182,3 +182,39 @@ def lsh_neardup_pairs(
             .alias("cos_sim_approx"),
         )
     )
+
+
+def verified_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_euclidean: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """LSH candidates -> EXACT cosine verification: the embedding analog of
+    dedup.verified_neardup_pairs. Random-projection LSH proposes candidate
+    pairs (bucket join, cost tracks neighborhood density); the exact cosine
+    then runs ONLY on the candidate list via two hash joins back to the
+    vectors -- never an all-pairs product. An LSH false positive can never
+    survive (exact score filters it); only recall depends on LSH.
+
+    Returns (id_a, id_b, cos_sim DECIMAL) with exact cos_sim >= threshold.
+    """
+    cand = lsh_neardup_pairs(
+        df, threshold_euclidean, id_col, vec_col
+    ).select("id_a", "id_b")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+            .cast(f"decimal(18,{round_digits})")
+            .alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -611,3 +611,122 @@ def x8_mixture_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 (continued) -- repetition quality filters + PII hygiene
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_repetition_metrics",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+    ua AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c,
+                  COUNT(*) AS n_distinct
+           FROM uc GROUP BY 1),
+    b AS (SELECT doc_id,
+                 [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS bgs
+          FROM t),
+    bu AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bu GROUP BY 1, 2),
+    ba AS (SELECT doc_id, MAX(c) AS top_bg FROM bc GROUP BY 1)
+    SELECT ua.doc_id, n_tokens,
+           CAST(FLOOR(n_distinct * 1000000.0 / n_tokens) AS BIGINT)
+               AS distinct_token_ppm,
+           CAST(FLOOR(top_c * 1000000.0 / n_tokens) AS BIGINT)
+               AS top_token_ppm,
+           CAST(FLOOR(COALESCE(top_bg, 0) * 1000000.0
+                      / GREATEST(n_tokens - 1, 1)) AS BIGINT)
+               AS top_bigram_ppm
+    FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+    """,
+)
+def x5_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: type-token ratio, top-unigram and
+    top-bigram fractions per document (operators/quality.py
+    repetition_metrics). The downstream corpus-prep gate drops documents
+    whose top bigram dominates (boilerplate / template spam)."""
+    from ..operators.quality import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x5_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.15 now'
+                ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id, source,
+           LEN(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           LEN(regexp_extract_all(text,
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+           LEN(regexp_extract_all(text,
+               '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def x5_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: detect + redact emails / IPv4s / phone numbers
+    (functions/text.py pii_count / pii_redact). The fixture corpus is
+    PII-free, so deterministic synthetic PII is planted on every 7th doc
+    INSIDE the query -- the oracle plants the identical text, making the
+    redaction output a non-trivially-nonzero cross-engine hash check.
+    Per-row regexp expressions only: zero shuffle, codegen throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".15 now"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", "source", planted.alias("text"))
+    return aug.select(
+        "doc_id",
+        "source",
+        TX.pii_count(F.col("text"), TX.EMAIL_RE).alias("n_emails"),
+        TX.pii_count(F.col("text"), TX.IPV4_RE).alias("n_ipv4"),
+        TX.pii_count(F.col("text"), TX.PHONE_RE).alias("n_phones"),
+        TX.pii_redact(F.col("text")).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 (continued) -- embedding near-dup collapse, end-to-end
+# ---------------------------------------------------------------------------
+
+
+@query("x3_neardup_collapse")
+def x3_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full embedding near-dup dedup flow, mirroring x2_neardup_collapse:
+    LSH candidate pairs -> EXACT cosine verification on candidates only ->
+    connected-component clusters -> keep the minimum vec_id per cluster
+    (rows-only: LSH candidate generation is engine-side; the verification
+    guarantees no false merge). Returns the surviving vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.verified_cosine_pairs(emb, threshold=0.9).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return DD.collapse_neardups(emb, pairs, id_col="vec_id").select(
+        "vec_id", "label"
+    )

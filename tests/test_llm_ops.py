@@ -274,3 +274,76 @@ def test_lsh_neardup_recall_vs_exact_baseline(spark, sf_dir):
     assert exact, "planted clones must register as exact near-dups"
     recall = len(exact & approx) / len(exact)
     assert recall == 1.0  # identical vectors always share every bucket
+
+
+def test_repetition_metrics_manual_values(spark):
+    from dockerized_data_pipeline_spark.operators.quality import repetition_metrics
+
+    df = _docs(spark, [(1, "a a a b"), (2, "x y")])
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    r1 = rows[1]
+    assert r1.n_tokens == 4
+    assert r1.distinct_token_ppm == 500000  # {a, b} / 4
+    assert r1.top_token_ppm == 750000  # 'a' x3 / 4
+    assert r1.top_bigram_ppm == 666666  # 'a a' x2 / 3 bigrams, floored
+    r2 = rows[2]
+    assert r2.n_tokens == 2
+    assert r2.distinct_token_ppm == 1000000
+    assert r2.top_bigram_ppm == 1000000  # single bigram 'x y'
+
+
+def test_pii_detect_and_redact_planted(spark):
+    from dockerized_data_pipeline_spark.functions.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_count,
+        pii_redact,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org or 192.168.0.12 ok"),
+            (2, "call +1-555-123-4567 or 555 987 6543 today"),
+            (3, "nothing sensitive here at all"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_count(F.col("text"), EMAIL_RE).alias("e"),
+            pii_count(F.col("text"), IPV4_RE).alias("i"),
+            pii_count(F.col("text"), PHONE_RE).alias("p"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1].e == 1 and out[1].i == 1 and out[1].p == 0
+    assert "<EMAIL>" in out[1].red and "<IP>" in out[1].red
+    assert "jane" not in out[1].red and "192.168" not in out[1].red
+    assert out[2].p == 2 and "<PHONE>" in out[2].red
+    assert "4567" not in out[2].red and "6543" not in out[2].red
+    assert out[3].e == out[3].i == out[3].p == 0
+    assert out[3].red == "nothing sensitive here at all"
+
+
+def test_embedding_collapse_removes_planted_clone(spark, sf_dir):
+    from dockerized_data_pipeline_spark.operators.dedup import collapse_neardups
+    from dockerized_data_pipeline_spark.operators.similarity import (
+        verified_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clone = emb.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(100003).cast("long")
+    )
+    aug = emb.unionByName(clone)
+    pairs = verified_cosine_pairs(aug, threshold=0.99).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    # the clone pair must be found (identical vector -> cosine 1.0) and the
+    # exact-verification step must score it 1.0
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} >= {(3, 100003)}
+    survivors = {r.vec_id for r in collapse_neardups(aug, pairs, "vec_id").collect()}
+    assert 3 in survivors and 100003 not in survivors
