@@ -39,10 +39,11 @@ def exact_dedup_keep_first(
     )
 
 
-def shingles(df: DataFrame, text_col: str, n: int, out_col: str = "shingle") -> DataFrame:
-    """One row per distinct token n-gram per document. Documents shorter than
-    n tokens produce no shingles (guarded -- sequence() would wrap)."""
-    toks = tokens(F.col(text_col))
+def shingle_set(text_col, n: int):
+    """Per-row DISTINCT token n-gram array (no explode -- pure expression).
+    Documents shorter than n tokens produce an empty array (guarded --
+    sequence() would wrap)."""
+    toks = tokens(text_col)
     n_tok = F.size(toks)
     grams = F.when(
         n_tok >= n,
@@ -51,7 +52,12 @@ def shingles(df: DataFrame, text_col: str, n: int, out_col: str = "shingle") -> 
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.withColumn(out_col, F.explode(F.array_distinct(grams)))
+    return F.array_distinct(grams)
+
+
+def shingles(df: DataFrame, text_col: str, n: int, out_col: str = "shingle") -> DataFrame:
+    """One row per distinct token n-gram per document."""
+    return df.withColumn(out_col, F.explode(shingle_set(F.col(text_col), n)))
 
 
 def ngram_jaccard_pairs_ppm(
@@ -429,28 +435,74 @@ def verified_neardup_pairs(
     recipe promised at minhash_neardup_pairs_native.
 
     Banded MinHash generates candidate pairs cheaply (cost tracks dup
-    density); the exact n-gram Jaccard inverted-index pass then runs ONLY
-    over documents that appear in some candidate pair (left-semi
-    restriction), and its output is intersected with the candidate set --
-    so the expensive exact join touches O(candidates) documents, never the
-    corpus. Returns (doc_a, doc_b, jaccard_ppm) for verified pairs with
-    exact Jaccard >= threshold_num/threshold_den.
+    density); exact n-gram Jaccard is then computed PER CANDIDATE PAIR
+    (pairwise_jaccard_ppm: two hash joins carrying each doc's shingle set
+    + an array-intersect per pair), so verification cost is
+    O(candidates * doc_len). The earlier design -- an inverted-index
+    self-join restricted to candidate members -- is quadratic in hot-shingle
+    document frequency, which a 20x stress corpus showed blowing up on
+    natural-language shingle skew; the pairwise form has no such term.
+    Returns (doc_a, doc_b, jaccard_ppm) for verified pairs with exact
+    Jaccard >= threshold_num/threshold_den.
     """
     candidates = minhash_neardup_pairs_native(
         df, id_col, text_col, n, bands, rows_per_band, min_est_jaccard_ppm
     ).select("doc_a", "doc_b")
-    member_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    return pairwise_jaccard_ppm(
+        df, candidates, id_col, text_col, n, threshold_num, threshold_den
     )
-    members = df.join(member_ids, on=id_col, how="left_semi")
-    exact = ngram_jaccard_pairs_ppm(
-        members, id_col, text_col, n, threshold_num, threshold_den
+
+
+def pairwise_jaccard_ppm(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact n-gram Jaccard evaluated only on the given candidate pairs.
+
+    Scale shape: each doc's distinct shingle set rides along two hash joins
+    keyed by doc id (unique keys -- no skew), then intersection/union sizes
+    are per-row array ops. Cost is linear in candidates and doc length;
+    shingle document-frequency never enters (unlike an inverted-index
+    self-join, where every hot shingle contributes its frequency SQUARED).
+    Returns (a_col, b_col, jaccard_ppm BIGINT) for pairs with exact
+    Jaccard >= threshold_num/threshold_den; pairs whose docs are both
+    too short to shingle (empty union) are dropped.
+    """
+    sh = docs.select(F.col(id_col), shingle_set(F.col(text_col), n).alias("__sh"))
+    scored = (
+        pairs.join(
+            sh.select(F.col(id_col).alias(a_col), F.col("__sh").alias("__sha")),
+            on=a_col,
+        )
+        .join(
+            sh.select(F.col(id_col).alias(b_col), F.col("__sh").alias("__shb")),
+            on=b_col,
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "__union", F.size("__sha") + F.size("__shb") - F.col("__inter")
+        )
     )
-    # keep only pairs LSH proposed (the subset jaccard may also score
-    # incidental pairs between members of different candidate pairs)
-    return exact.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    return (
+        scored.filter(
+            (F.col("__union") > 0)
+            & (F.col("__inter") * threshold_den >= F.col("__union") * threshold_num)
+        )
+        .select(
+            a_col,
+            b_col,
+            F.floor(F.col("__inter") * F.lit(1000000.0) / F.col("__union"))
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
 
 
 def minhash_neardup_pairs(

@@ -730,3 +730,61 @@ def x3_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.collapse_neardups(emb, pairs, id_col="vec_id").select(
         "vec_id", "label"
     )
+
+
+@query(
+    "x8_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 32 AS bucket,
+             LEN(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT bucket,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents to
+    fixed-token-budget bins (2048 tokens) by sequential fill in id order.
+
+    Scale shape: packing runs WITHIN 32 hash buckets (deterministic
+    doc_id % 32), so the window sort is per-bucket -- no global
+    single-task sort, and bucket count scales with the cluster. Each bin
+    is a training micro-batch; the (bucket, bin_id) pair is the batch key.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("bucket"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "bucket",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(2048.0))
+            .cast("bigint")
+            .alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy("bucket", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -347,3 +347,76 @@ def test_embedding_collapse_removes_planted_clone(spark, sf_dir):
     assert {(r.doc_a, r.doc_b) for r in pairs.collect()} >= {(3, 100003)}
     survivors = {r.vec_id for r in collapse_neardups(aug, pairs, "vec_id").collect()}
     assert 3 in survivors and 100003 not in survivors
+
+
+def test_pack_sequences_conserves_tokens_and_bounds_fill(spark, sf_dir):
+    from dockerized_data_pipeline_spark.plans.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).first().t
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.col("text"), " "))).alias("m")
+    ).first().m
+    bins = QUERIES["x8_pack_sequences"](spark, sf_dir).collect()
+    assert sum(r.total_tokens for r in bins) == total
+    assert sum(r.n_docs for r in bins) == docs.count()
+    # sequential fill: a bin only overflows by (at most) its last document
+    assert all(r.total_tokens < 2048 + max_doc for r in bins)
+
+
+def test_repetition_metrics_matches_python_reference(spark):
+    from collections import Counter
+    from math import floor
+
+    from dockerized_data_pipeline_spark.operators.quality import repetition_metrics
+
+    # fixed corpus of adversarial token streams (all-same, all-distinct,
+    # alternating, nested repeats) -- a deterministic stand-in for a
+    # hypothesis text strategy, which would respawn a Spark job per example
+    docs = [
+        (1, "z z z z z z"),
+        (2, "a b c d e f g"),
+        (3, "p q p q p q p q"),
+        (4, "m m n m m n m"),
+        (5, "one"),
+        (6, "x y y x x x y"),
+    ]
+    got = {r.doc_id: r for r in repetition_metrics(_docs(spark, docs)).collect()}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        uni = Counter(toks)
+        bgs = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert r.distinct_token_ppm == floor(len(uni) * 1000000.0 / n)
+        assert r.top_token_ppm == floor(max(uni.values()) * 1000000.0 / n)
+        top_bg = max(bgs.values()) if bgs else 0
+        assert r.top_bigram_ppm == floor(top_bg * 1000000.0 / max(n - 1, 1))
+
+
+def test_pack_sequences_matches_python_reference(spark, sf_dir):
+    from collections import defaultdict
+    from math import floor
+
+    from dockerized_data_pipeline_spark.plans.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    bins = defaultdict(lambda: [0, 0])  # (bucket, bin) -> [n_docs, tokens]
+    cum = defaultdict(int)
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        n = len(r.text.split(" "))
+        bucket = r.doc_id % 32
+        bin_id = floor(cum[bucket] / 2048.0)
+        cum[bucket] += n
+        bins[(bucket, bin_id)][0] += 1
+        bins[(bucket, bin_id)][1] += n
+    got = {
+        (r.bucket, r.bin_id): (r.n_docs, r.total_tokens)
+        for r in QUERIES["x8_pack_sequences"](spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in bins.items()}
