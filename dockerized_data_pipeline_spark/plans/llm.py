@@ -788,3 +788,82 @@ def x8_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 (continued) -- corpus-level n-gram frequency table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_top_ngrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT [toks[i] || ' ' || toks[i+1]
+                  FOR i IN range(1, len(toks))] AS bgs FROM t),
+    u AS (SELECT unnest(bgs) AS bigram FROM b)
+    SELECT bigram, COUNT(*) AS n_occurrences
+    FROM u GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+)
+def x5_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigram frequency table (the n-gram census behind
+    boilerplate detection and contamination screens). Scale shape: explode
+    bigrams -> hash-agg on the bigram string (map-side partial absorbs
+    within-partition repeats) -> TakeOrderedAndProject for the top-k; the
+    only shuffle carries (bigram, partial_count) pairs, and the final
+    ordered selection never materializes a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bgs = docs.select(
+        F.expr(
+            "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+            "         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bgs")
+    )
+    return (
+        bgs.select(F.explode("bgs").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8 (continued) -- per-source document cap ("domain cap")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x8_source_cap",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) WHERE rk <= 3
+    """,
+)
+def x8_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the "domain cap" dedup-adjacent corpus op:
+    no single source may contribute more than k=3 documents). Selection is
+    deterministic -- documents are ranked by md5(doc_id), a stable
+    pseudo-random order that never changes across runs or corpus growth --
+    and skew-safe: source is low-cardinality, so a plain window would sort
+    one giant partition per source in a single task; the two-phase
+    bucketed_topk (operators/skew.py) keeps every sort bounded."""
+    from ..operators.skew import bucketed_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__ord")
+    )
+    return bucketed_topk(
+        docs,
+        partition_cols=["source"],
+        order_by=[F.asc("__ord"), F.asc("doc_id")],
+        k=3,
+        rank_col="rk",
+    ).select("doc_id", "source", "rk")

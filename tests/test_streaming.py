@@ -148,3 +148,99 @@ def test_windowed_counts_batch_equivalence(spark, sf_dir):
     assert len(batch) > 0
     total = sum(r.n_events for r in batch)
     assert total == ev.count()
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
+    from dockerized_data_pipeline_spark.streaming.joins import stream_static_enrich
+
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("AAPL", t("2024-01-05 15:00:00"), 100.0, t("2024-01-05 15:00:00")),
+            ("MSFT", t("2024-01-05 15:00:00"), 200.0, t("2024-01-05 15:00:00")),
+            ("NOPE", t("2024-01-05 15:00:00"), 1.0, t("2024-01-05 15:00:00")),
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("AAPL", "NASDAQ"), ("MSFT", "NASDAQ"), ("IBM", "NYSE")],
+        "symbol string, exchange string",
+    )
+    q = (
+        stream_static_enrich(stream_events(spark, src, SCHEMA), dim, on=["symbol"])
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.symbol: r.exchange for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    # left join: unmatched stream rows survive with NULL exchange
+    assert out == {"AAPL": "NASDAQ", "MSFT": "NASDAQ", "NOPE": None}
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dockerized_data_pipeline_spark.streaming.joins import stream_stream_join
+
+    click_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("page", T.StringType()),
+        ]
+    )
+    buy_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    spark.createDataFrame(
+        [
+            (1, t("2024-01-05 10:00:00"), "home"),
+            (2, t("2024-01-05 10:05:00"), "search"),
+            (3, t("2024-01-05 10:10:00"), "home"),
+        ],
+        click_schema,
+    ).coalesce(1).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        [
+            (1, t("2024-01-05 10:30:00"), 9.99),   # within 1h of user 1's click
+            (2, t("2024-01-05 12:00:00"), 5.00),   # too late for user 2
+            (9, t("2024-01-05 10:30:00"), 1.00),   # no matching click
+        ],
+        buy_schema,
+    ).coalesce(1).write.parquet(buys_dir)
+
+    clicks = spark.readStream.schema(click_schema).parquet(clicks_dir)
+    buys = spark.readStream.schema(buy_schema).parquet(buys_dir)
+    joined = stream_stream_join(
+        clicks,
+        buys,
+        key_cols=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        max_delay="1 hour",
+    ).select(clicks["user_id"], "page", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [
+        (r.user_id, r.page, r.amount)
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    ]
+    assert out == [(1, "home", 9.99)]
