@@ -12,12 +12,17 @@ with ignoreNulls carries the most recent right-side payload forward:
 
 At 100 TB this scales like any keyed window: one exchange per side, no
 driver involvement, AQE handles key skew. Semantics: for each left row,
-the right row with the greatest right_ts <= left_ts (ties: right row wins
-over the left row at the same instant; duplicate right timestamps resolve
-deterministically to the greatest payload tuple -- the payload columns are
-the final window-order tiebreak, so repeated runs and engine/oracle
-comparisons always pick the same row; payload columns must therefore be
-orderable types)."""
+the right row with the greatest right_ts <= left_ts (``direction
+="backward"``, default) or the smallest right_ts >= left_ts
+(``direction="forward"``); ties at the same instant match (the right row
+is eligible), and duplicate right timestamps resolve deterministically to
+the greatest payload tuple -- the payload columns are the final
+window-order tiebreak, so repeated runs and engine/oracle comparisons
+always pick the same row; payload columns must therefore be orderable
+types. An optional ``tolerance`` (SQL interval string, e.g. "2 hours")
+nulls the carried payload when the matched right row is further than the
+tolerance from the left timestamp -- pandas ``merge_asof(tolerance=...)``
+semantics, applied post-carry so it adds zero extra shuffles."""
 
 from __future__ import annotations
 
@@ -33,29 +38,45 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     payload_prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Left as-of-join right: every left row + the payload of the most
-    recent right row (right_ts <= left_ts) for the same key."""
+    """Left as-of-join right: every left row + the payload of the nearest
+    right row at-or-before (backward) / at-or-after (forward) its
+    timestamp for the same key, optionally within ``tolerance``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward: {direction}")
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
     l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_right"),
-        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"__p_{p}") for p in payload_cols],
+        *[F.lit(None).cast(rtypes[p]).alias(f"__p_{p}") for p in payload_cols],
     )
     r = right.select(
-        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in key_cols else F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(ltypes.get(c, "string")).alias(c)
+            if c not in key_cols
+            else F.col(c)
+            for c in lcols
+        ],
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),
         *[F.col(p).alias(f"__p_{p}") for p in payload_cols],
     )
     u = l.unionByName(r)
+    # backward scans time ascending (carry = most recent right at-or-before);
+    # forward scans descending (carry = nearest right at-or-after). In both
+    # orders __is_right desc puts same-instant right rows before the left row
+    # (inclusive match) and the ascending payload tuple makes the greatest
+    # payload the last -- and therefore carried -- among duplicate timestamps.
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*key_cols)
-        # deterministic tiebreak: among right rows sharing (key, ts), the
-        # greatest payload tuple sorts last and is the one last() carries.
         .orderBy(
-            F.col("__t"),
+            t_order,
             F.desc("__is_right"),
             *[F.col(f"__p_{p}") for p in payload_cols],
         )
@@ -63,10 +84,34 @@ def asof_join(
     )
     carried = u.select(
         *lcols,
+        "__t",
         "__is_right",
+        F.last(F.when(F.col("__is_right") == 1, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__match_t"),
         *[
             F.last(F.col(f"__p_{p}"), ignorenulls=True).over(w).alias(f"{payload_prefix}{p}")
             for p in payload_cols
         ],
     )
-    return carried.filter(F.col("__is_right") == 0).drop("__is_right")
+    out = carried.filter(F.col("__is_right") == 0)
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            (F.col("__t") - F.col("__match_t") <= bound)
+            if direction == "backward"
+            else (F.col("__match_t") - F.col("__t") <= bound)
+        )
+        out = out.select(
+            *lcols,
+            "__t",
+            "__is_right",
+            "__match_t",
+            *[
+                F.when(in_tol, F.col(f"{payload_prefix}{p}")).alias(
+                    f"{payload_prefix}{p}"
+                )
+                for p in payload_cols
+            ],
+        )
+    return out.drop("__t", "__is_right", "__match_t")

@@ -47,6 +47,41 @@ def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Forward as-of with tolerance: for each click, the NEXT purchase by the
+# same user, but only if it lands within 2 hours (pandas merge_asof
+# direction="forward", tolerance=... semantics). DuckDB's native ASOF
+# handles the direction; the tolerance is a post-join CASE on both sides.
+@query(
+    "asof_forward_next_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN r.ts <= l.ts + INTERVAL 2 HOUR THEN r.event_id END
+               AS asof_event_id,
+           CASE WHEN r.ts <= l.ts + INTERVAL 2 HOUR THEN r.value END
+               AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases.withColumnRenamed("ts", "p_ts"),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        payload_cols=["event_id", "value"],
+        direction="forward",
+        tolerance="2 hours",
+    )
+
+
 # Range join: every click inside the 1-hour window after a purchase by
 # the same user. The oracle writes the natural inequality join; the engine
 # uses the bucketed equi-join (operators.rangejoin) so the plan is a hash

@@ -89,3 +89,73 @@ def test_asof_duplicate_right_timestamps_resolve_deterministically(spark):
     first = _asof(spark, left_rows, right_rows).collect()[0].asof_val
     second = _asof(spark, left_rows, right_rows).collect()[0].asof_val
     assert first == second == 11
+
+
+def _asof_fwd(spark, left_rows, right_rows, tolerance=None):
+    left = spark.createDataFrame(left_rows, "id long, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, r_ts timestamp, val long")
+    return asof_join(
+        left,
+        right,
+        key_cols=["k"],
+        left_ts="ts",
+        right_ts="r_ts",
+        payload_cols=["val"],
+        direction="forward",
+        tolerance=tolerance,
+    )
+
+
+def test_asof_forward_picks_nearest_following(spark):
+    out = {
+        r.id: r.asof_val
+        for r in _asof_fwd(
+            spark,
+            [
+                (1, "A", t("2024-01-01 09:00:00")),  # before both -> val=5
+                (2, "A", t("2024-01-01 09:30:00")),  # exactly at val=5
+                (3, "A", t("2024-01-01 13:00:00")),  # after everything
+            ],
+            [
+                ("A", t("2024-01-01 09:30:00"), 5),
+                ("A", t("2024-01-01 12:00:00"), 7),
+            ],
+        ).collect()
+    }
+    assert out == {1: 5, 2: 5, 3: None}
+
+
+def test_asof_tolerance_nulls_distant_matches(spark):
+    # backward with 1h tolerance: a 2h-old right row no longer matches
+    left = spark.createDataFrame(
+        [(1, "A", t("2024-01-01 10:00:00")), (2, "A", t("2024-01-01 08:30:00"))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", t("2024-01-01 08:00:00"), 5)], "k string, r_ts timestamp, val long"
+    )
+    out = {
+        r.id: r.asof_val
+        for r in asof_join(
+            left,
+            right,
+            key_cols=["k"],
+            left_ts="ts",
+            right_ts="r_ts",
+            payload_cols=["val"],
+            tolerance="1 hour",
+        ).collect()
+    }
+    assert out == {1: None, 2: 5}
+
+    # forward with tolerance
+    out2 = {
+        r.id: r.asof_val
+        for r in _asof_fwd(
+            spark,
+            [(1, "A", t("2024-01-01 07:00:00")), (2, "A", t("2024-01-01 07:45:00"))],
+            [("A", t("2024-01-01 08:00:00"), 5)],
+            tolerance="30 minutes",
+        ).collect()
+    }
+    assert out2 == {1: None, 2: 5}
