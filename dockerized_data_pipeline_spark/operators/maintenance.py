@@ -126,3 +126,58 @@ def incremental_rollup(
         .alias("max_value"),
     )
     publish_table(rollup_path, lambda v: merged.write.mode("overwrite").parquet(v))
+
+
+def zorder_table(
+    spark: SparkSession,
+    table_path: str,
+    zorder_cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Rewrite a table clustered on the Z-order (Morton) curve over two or
+    more numeric columns, so min/max file skipping works on EVERY z-order
+    column at once -- ``cluster_table`` makes one column's ranges disjoint
+    but leaves the others spanning the full domain; the space-filling
+    curve keeps each file to a small hyper-rectangle of the key space.
+
+    Mechanics (all JVM-side expressions, one pass + one range shuffle):
+    each column is mapped to a ``2^bits``-bucket rank via its approximate
+    quantile boundaries (equi-POPULATED buckets, so skew cannot collapse
+    the curve; boundaries are a driver-side array of 2^bits floats --
+    tiny), bucket bits are interleaved into the Morton code with
+    shiftleft/or, and the table is range-partitioned + sorted on that
+    code, then atomically published. Readers need no curve awareness:
+    plain min/max row-group pruning on the natural columns benefits.
+    """
+    df = spark.read.parquet(table_path)
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_cols = []
+    for i, c in enumerate(zorder_cols):
+        # equi-populated bucket boundaries; 1% relative error is fine --
+        # slightly uneven buckets only blur file boundaries, never results
+        bounds = df.stat.approxQuantile(c, probs, 0.01)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+        ).cast("long")
+        bucket_cols.append(bucket.alias(f"__zb{i}"))
+    with_b = df.select("*", *bucket_cols)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i in range(len(zorder_cols)):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(f"__zb{i}"), bit).bitwiseAND(F.lit(1)),
+                    bit * len(zorder_cols) + i,
+                )
+            )
+    parts = num_files or df.rdd.getNumPartitions()
+    clustered = (
+        with_b.withColumn("__z", z)
+        .repartitionByRange(parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__zb{i}" for i in range(len(zorder_cols))])
+    )
+    publish_table(table_path, lambda v: clustered.write.mode("overwrite").parquet(v))

@@ -94,3 +94,50 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(rollup).collect()}
     want = {tuple(r) for r in full.collect()}
     assert got == want
+
+
+def test_zorder_table_narrows_both_columns(spark, tmp_path):
+    from dockerized_data_pipeline_spark.operators.maintenance import zorder_table
+
+    # two independent uniform keys: 1-D clustering on x leaves y spanning
+    # the full domain in every file; the Morton curve narrows both
+    path = str(tmp_path / "zordered")
+    df = spark.range(0, 20000).select(
+        (F.xxhash64("id") % 10000).alias("x").cast("long"),
+        (F.xxhash64("id", F.lit(1)) % 10000).alias("y").cast("long"),
+        F.col("id").alias("payload"),
+    )
+    df.repartition(8).write.parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    zorder_table(spark, path, ["x", "y"], bits=4, num_files=16)
+    assert spark.read.parquet(path).count() == before_rows
+
+    spans = []
+    for f in _parquet_files(path):
+        md = pq.read_metadata(f)
+        mins_x, maxs_x, mins_y, maxs_y = [], [], [], []
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name == "x":
+                    mins_x.append(col.statistics.min)
+                    maxs_x.append(col.statistics.max)
+                elif name == "y":
+                    mins_y.append(col.statistics.min)
+                    maxs_y.append(col.statistics.max)
+        spans.append(
+            (max(maxs_x) - min(mins_x), max(maxs_y) - min(mins_y))
+        )
+    # global span of each key is ~20000 (values in [-10000, 10000)); with
+    # 16 z-ordered files both per-file spans shrink well below it for the
+    # typical file. Assert on the median so curve-boundary files (which
+    # legitimately straddle quadrants) don't mask the win.
+    spans_x = sorted(s[0] for s in spans)
+    spans_y = sorted(s[1] for s in spans)
+    assert spans_x[len(spans_x) // 2] < 12000
+    assert spans_y[len(spans_y) // 2] < 12000
+    # and the worst file still never spans the whole domain on BOTH keys
+    assert all(sx < 20000 or sy < 20000 for sx, sy in spans)
