@@ -867,3 +867,48 @@ def x8_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         rank_col="rk",
     ).select("doc_id", "source", "rk")
+
+
+# ---------------------------------------------------------------------------
+# X5 (continued) -- percentile length trim
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_length_trim",
+    oracle="""
+    WITH n AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    t AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+                 quantile_cont(n_tokens, 0.95) AS hi FROM n)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM n, t WHERE n_tokens >= lo AND n_tokens <= hi
+    GROUP BY lang
+    """,
+)
+def x5_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trim: drop documents outside the [p5, p95] token-count
+    band (truncation-artifact shards and boilerplate mega-docs are both
+    length outliers), reporting survivors per language. The thresholds are
+    a 1-row aggregate broadcast back over the scan -- two passes over a
+    cached narrow projection at worst, no shuffle wider than the final
+    per-language agg. At 100 TB swap percentile() for approx_percentile
+    (sketch-mergeable, one pass); the exact form here is the oracle-
+    portable baseline."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("lang", TX.token_count(F.col("text")).alias("n_tokens"))
+    thr = n.agg(
+        F.expr("percentile(n_tokens, 0.05)").alias("lo"),
+        F.expr("percentile(n_tokens, 0.95)").alias("hi"),
+    )
+    return (
+        n.crossJoin(F.broadcast(thr))
+        .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

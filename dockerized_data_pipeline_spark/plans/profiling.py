@@ -113,3 +113,36 @@ def t8_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans("order_without_customer", orders, "o_custkey", customer, "c_custkey")
         )
     )
+
+
+@query(
+    "t8_skew_audit",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT user_id, n,
+           CAST(FLOOR(n * 1000000.0 / total) AS BIGINT) AS share_ppm
+    FROM c, t ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def t8_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the 10 hottest event keys with their ppm share
+    of all rows -- the pre-flight check before keying a shuffle on user_id
+    (operators/skew.py salted_join is the mitigation when a key's share is
+    pathological). One hash-agg shuffle; the grand total is a 1-row
+    broadcast; top-10 is TakeOrderedAndProject, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n",
+            F.floor(F.col("n") * 1_000_000.0 / F.col("total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
