@@ -912,3 +912,59 @@ def x5_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 (continued) -- per-source distinctive terms (tf/df relevance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_distinctive_terms",
+    oracle="""
+    WITH u AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS tf FROM u GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM u GROUP BY 1),
+    s AS (SELECT source, tf.tok AS tok, tf, df,
+                 CAST(FLOOR(tf * 1000000.0 / df) AS BIGINT) AS score_ppm
+          FROM tf JOIN df ON tf.tok = df.tok)
+    SELECT source, tok, tf, df, score_ppm, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY score_ppm DESC, tok) AS rk
+      FROM s) WHERE rk <= 3
+    """,
+)
+def x5_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-flavored source profiling: the 3 most source-distinctive
+    tokens per source, scored tf/df in portable integer ppm (a token
+    concentrated in one source scores high; corpus-wide filler scores ~1).
+    Scale shape: one explode feeding two hash-aggs (term frequency keyed
+    by (source, token); doc frequency keyed by token -- partial aggs
+    absorb the per-token rows map-side), an equi-join on token, then the
+    two-phase bucketed_topk per source (source is low-cardinality; a plain
+    window would funnel each source through one task)."""
+    from ..operators.skew import bucketed_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = u.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    df = u.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    s = tf.join(df, "tok").select(
+        "source",
+        "tok",
+        "tf",
+        "df",
+        F.floor(F.col("tf") * 1_000_000.0 / F.col("df"))
+        .cast("bigint")
+        .alias("score_ppm"),
+    )
+    return bucketed_topk(
+        s,
+        partition_cols=["source"],
+        order_by=[F.desc("score_ppm"), F.asc("tok")],
+        k=3,
+        rank_col="rk",
+    ).select("source", "tok", "tf", "df", "score_ppm", "rk")

@@ -554,3 +554,90 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (v - F.lag(v).over(w)).cast("decimal(38,4)").alias("delta"),
     )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(AVG(CAST(value AS DECIMAL(12,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,8)) AS avg3_value
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-row mean per user over event time -- the moving-average
+    shape of the reference's stock time-series (a per-symbol SMA over
+    OHLCV closes is this exact plan with symbol as the key). user_id is
+    high-cardinality, so the keyed window parallelizes across the cluster;
+    no bucketing needed (contrast window_running_sum's 5-value key).
+    Decimal-before-average keeps the mean bit-identical across engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    v = F.col("value").cast("decimal(12,4)")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.avg(v).over(w).cast("decimal(38,8)").alias("avg3_value"),
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, tier, eff_from, eff_to FROM (
+        SELECT DISTINCT user_id,
+               'bronze' AS tier,
+               TIMESTAMP '2024-01-01 00:00:00' AS eff_from,
+               TIMESTAMP '2024-01-15 00:00:00' AS eff_to
+        FROM events
+        UNION ALL
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 'gold' ELSE 'silver' END,
+               TIMESTAMP '2024-01-15 00:00:00',
+               TIMESTAMP '2100-01-01 00:00:00'
+        FROM events)
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.tier
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.eff_from AND e.ts < d.eff_to
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) point-in-time join: each fact row
+    picks the dimension version whose [eff_from, eff_to) validity interval
+    contains the fact timestamp. The versioned dim is synthesized
+    deterministically from the fixture (every user upgrades from bronze on
+    Jan 15) so the oracle builds the identical table. Scale shape: an
+    equi-join on the natural key plus a residual interval filter -- dim
+    versions per key are few, so the join output is bounded; no interval
+    bucketing needed (contrast range_join_click_in_purchase_window, where
+    BOTH sides are dense in time)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    jan15 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dim = users.select(
+        "user_id",
+        F.lit("bronze").alias("tier"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("eff_from"),
+        jan15.alias("eff_to"),
+    ).unionByName(
+        users.select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "gold").otherwise("silver").alias("tier"),
+            jan15.alias("eff_from"),
+            F.lit("2100-01-01 00:00:00").cast("timestamp").alias("eff_to"),
+        )
+    )
+    return (
+        ev.join(dim, "user_id")
+        .filter((F.col("ts") >= F.col("eff_from")) & (F.col("ts") < F.col("eff_to")))
+        .select("event_id", "user_id", "ts", "tier")
+    )
