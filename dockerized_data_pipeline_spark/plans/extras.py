@@ -339,3 +339,59 @@ def f_conditional_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
         F.when(F.col("o_custkey") % 2 == 0, "even").otherwise("odd").alias("custkey_parity"),
     )
+
+
+# Regression aggregate (the regr_slope family TimescaleDB/Postgres expose):
+# per-user linear trend of event value over time. Everything up to the
+# final ratio is EXACT integer arithmetic -- x = epoch MICROseconds
+# (exact bigint on both engines; epoch seconds is a trap: Spark
+# unix_timestamp truncates while DuckDB epoch() keeps the NANOS fraction
+# and cast rounds), y scaled to e4 integers (value is decimal(12,4)-
+# exact), sums as 38-digit decimals (DuckDB: HUGEINT) -- so both engines
+# divide the same two integers; the double division of identical operands
+# is bit-identical. slope_e12 = floor(1e12 * d(value)/d(t_seconds)).
+@query(
+    "a7_trend_slope_per_user",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(epoch_us(ts) AS HUGEINT)) AS sx,
+             SUM(CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT)) AS sy,
+             SUM(CAST(epoch_us(ts) AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT)) AS sxy,
+             SUM(CAST(epoch_us(ts) AS HUGEINT)
+                 * CAST(epoch_us(ts) AS HUGEINT)) AS sxx
+      FROM events GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 1e14
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+               AS slope_e12
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def a7_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ -> TIMESTAMP cast for unix_micros (a3's idiom); a session-TZ
+    # offset would shift every x by the same constant, and the regression
+    # slope is shift-invariant in x, so the result is TZ-independent.
+    x = F.expr("unix_micros(cast(ts as timestamp))").cast("decimal(38,0)")
+    y = (F.col("value").cast("decimal(12,4)") * 10000).cast("decimal(38,0)")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.floor(num.cast("double") * 1e14 / den.cast("double"))
+            .cast("bigint")
+            .alias("slope_e12"),
+        )
+    )
