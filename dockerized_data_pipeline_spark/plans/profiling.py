@@ -146,3 +146,51 @@ def t8_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "t8_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT)) AS sy,
+             SUM(CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT)) AS syy
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CAST(CAST(e.value AS DECIMAL(12,4)) AS DECIMAL(12,4)) AS value
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE CAST(s.n * CAST(CAST(e.value AS DECIMAL(12,4)) * 10000 AS HUGEINT)
+               - s.sy AS DOUBLE)
+          * CAST(s.n * CAST(CAST(e.value AS DECIMAL(12,4)) * 10000 AS HUGEINT)
+                 - s.sy AS DOUBLE)
+          > 9.0 * CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)
+    """,
+)
+def t8_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier flags per event_type with EXACT arithmetic: the test
+    (x - mean)^2 > 9 * variance is cleared of divisions --
+    (n*x - sum)^2 > 9 * (n*sum_sq - sum^2) -- so mean and variance are
+    never materialized as floats; the only doubles are casts of identical
+    exact integers on both engines. Scale shape: a 5-row stats aggregate
+    broadcast back over the scan; the filter is a per-row expression."""
+    ev = load_table(spark, sf_dir, "events")
+    y = (F.col("value").cast("decimal(12,4)") * 10000).cast("decimal(38,0)")
+    s = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    a = (F.col("n") * y - F.col("sy")).cast("decimal(38,0)").cast("double")
+    b = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "decimal(38,0)"
+    ).cast("double")
+    return (
+        ev.join(F.broadcast(s), ev.event_type == F.col("s_type"))
+        .filter(a * a > 9.0 * b)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(12,4)").alias("value"),
+        )
+    )
