@@ -168,3 +168,50 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+ENERGY_SCHEMA = "media_id long, window_idx int, n_samples int, energy long"
+
+AUDIO_WINDOW = 256  # samples (= bytes in the stub's 8-bit PCM reading)
+
+
+def audio_from_documents(docs: DataFrame) -> DataFrame:
+    """Audio twin of media_from_documents: text bytes stand in for an
+    encoded waveform blob."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("blob"),
+        F.create_map(F.lit("src"), F.col("source"), F.lit("lang"), F.col("lang")).alias(
+            "meta"
+        ),
+    )
+
+
+def audio_frame_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Windowed signal energy: decode the blob to PCM samples (STUB: the
+    raw bytes read as unsigned 8-bit samples -- a real path would run
+    ffmpeg/soundfile per Arrow batch) and emit one row per fixed-size
+    window with its exact integer energy (sum of squared samples).
+
+    The distributed shape is the one a real feature pipeline needs:
+    row-multiplying mapInPandas (a 3-minute clip yields ~700 windows),
+    numpy-vectorized inner loop, zero shuffle, exact integer output --
+    deterministic run-to-run, so downstream silence-trimming / VAD gates
+    are reproducible."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "window_idx": [], "n_samples": [], "energy": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                samples = np.frombuffer(blob or b"", dtype=np.uint8).astype(np.int64)
+                for w in range(0, max(len(samples), 1), window):
+                    chunk = samples[w : w + window]
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(w // window)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=ENERGY_SCHEMA)

@@ -84,3 +84,36 @@ def x4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity operators)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(media_from_documents(docs))
+
+
+@query(
+    "x4_audio_frame_energy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS media_id, text,
+             unnest(range(0, GREATEST(strlen(text), 1), 256)) AS w0
+      FROM documents),
+    c AS (
+      SELECT media_id, CAST(w0 / 256 AS INT) AS window_idx,
+             substr(text, CAST(w0 AS INT) + 1, 256) AS chunk
+      FROM w)
+    SELECT media_id, window_idx,
+           CAST(strlen(chunk) AS INT) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, strlen(chunk) + 1),
+                  i -> ord(substr(chunk, CAST(i AS INT), 1))
+                       * ord(substr(chunk, CAST(i AS INT), 1)))), 0) AS BIGINT)
+               AS energy
+    FROM c
+    """,
+)
+def x4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over the stub PCM decode (8-bit samples =
+    blob bytes; the fixture text is ASCII so the oracle's codepoint
+    arithmetic replays the byte arithmetic exactly). Row-multiplying
+    mapInPandas with a numpy-vectorized inner loop and exact integer
+    output -- the VAD/silence-gate shape of an audio corpus pipeline."""
+    from ..functions.multimodal import audio_frame_energy, audio_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_energy(audio_from_documents(docs))

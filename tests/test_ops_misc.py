@@ -377,3 +377,23 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert got.count() == 2
     # partition filter never reaches the row scan: it prunes directories
     assert "PartitionFilters: [isnotnull(symbol" in got._jdf.queryExecution().executedPlan().toString() or got.count() == 2
+
+
+def test_audio_frame_energy_exact_windows(spark):
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        audio_frame_energy,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"abc"), None), (2, "audio", bytearray(b""), None)],
+        "media_id long, kind string, blob binary, meta map<string,string>",
+    )
+    rows = {
+        (r.media_id, r.window_idx): (r.n_samples, r.energy)
+        for r in audio_frame_energy(media, window=2).collect()
+    }
+    assert rows == {
+        (1, 0): (2, 97 * 97 + 98 * 98),  # 'a','b'
+        (1, 1): (1, 99 * 99),            # 'c'
+        (2, 0): (0, 0),                  # empty blob -> one empty window
+    }
