@@ -395,3 +395,34 @@ def a7_trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_e12"),
         )
     )
+
+
+@query("graph_pagerank_trade")
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer<->supplier trade graph
+    (edge = some lineitem links the pair through an order): top-20 most
+    central parties. Rows-only: iterative fixpoint computation is not
+    SQL-expressible for the DuckDB oracle, but the decimal arithmetic in
+    operators/pagerank.py makes the result bit-identical on every run and
+    partitioning (asserted by tests/test_pagerank.py), and suppliers/
+    customers get disjoint id spaces via sign."""
+    from ..operators.pagerank import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (-F.col("l_suppkey")).alias("supp"),  # disjoint node id space
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=5)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
