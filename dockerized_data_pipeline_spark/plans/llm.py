@@ -968,3 +968,76 @@ def x5_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         rank_col="rk",
     ).select("source", "tok", "tf", "df", "score_ppm", "rk")
+
+
+# ---------------------------------------------------------------------------
+# X8 (continued) -- quality-weighted corpus sampling
+# ---------------------------------------------------------------------------
+
+
+_QUALITY_PPM_SQL = f"""CAST(FLOOR(
+             (0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 200.0, 1.0)
+              + 0.5 * LEAST(
+                  CAST(LEN(list_filter(string_split(text, ' '),
+                                       t -> t IN {_STOP_SQL})) AS DOUBLE)
+                  / GREATEST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 0.05, 1.0),
+                  1.0))
+             * 1000000.0
+           ) AS BIGINT)"""
+
+
+@query(
+    "x8_quality_weighted_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             {_QUALITY_PPM_SQL} AS quality_ppm,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents),
+    banded AS (
+      SELECT doc_id, n_chars, b,
+             CASE WHEN quality_ppm >= 650000 THEN 'high'
+                  WHEN quality_ppm >= 450000 THEN 'mid'
+                  ELSE 'low' END AS band,
+             CASE WHEN quality_ppm >= 650000 THEN 'zz'
+                  WHEN quality_ppm >= 450000 THEN '80'
+                  ELSE '1a' END AS thr
+      FROM q)
+    SELECT band, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN b < thr THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM banded GROUP BY band
+    """,
+)
+def x8_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep everything from the high-
+    quality band, 50% of mid, ~10% of low -- the standard blend step that
+    upsamples curated text without discarding the long tail entirely.
+    Same deterministic md5-bucket discipline as x8_mixture_sample_summary
+    (a doc's keep/drop never changes across runs or corpus growth); the
+    whole decision is one per-row expression chain, no shuffle before the
+    summary agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score_ppm(F.col("text"))
+    band = (
+        F.when(q >= 650000, "high").when(q >= 450000, "mid").otherwise("low")
+    )
+    thr = (
+        F.when(q >= 650000, "zz").when(q >= 450000, "80").otherwise("1a")
+    )
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    kept = F.when(b < thr, 1).otherwise(0)
+    return (
+        docs.select(
+            band.alias("band"),
+            kept.alias("kept"),
+            F.col("n_chars"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars")).cast("bigint").alias("kept_chars"),
+        )
+    )
