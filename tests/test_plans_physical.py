@@ -116,3 +116,32 @@ def test_x8_split_is_single_scan_single_shuffle(spark, sf_dir):
     plan = _formatted_plan(spark, sf_dir, "x8_hash_split_summary")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Join" not in plan
+
+
+def test_top_ngrams_is_take_ordered_two_phase(spark, sf_dir):
+    """The n-gram census must partial-aggregate map-side and finish with a
+    distributed top-k, never a global sort of the full frequency table."""
+    plan = _formatted_plan(spark, sf_dir, "x5_top_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_scalar_threshold_queries_broadcast_the_one_row_side(spark, sf_dir):
+    """t8_skew_audit / x5_length_trim join a 1-row aggregate back over the
+    scan: that side must broadcast; a shuffle join (or worse, a cartesian)
+    on the big side would be a 100 TB scale bug."""
+    for name in ("t8_skew_audit", "x5_length_trim"):
+        plan = _formatted_plan(spark, sf_dir, name)
+        assert (
+            "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        ), name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_source_cap_never_single_partitions(spark, sf_dir):
+    """bucketed_topk's final window must shuffle by key, not funnel the
+    corpus through one partition."""
+    plan = _formatted_plan(spark, sf_dir, "x8_source_cap")
+    assert "Exchange SinglePartition" not in plan

@@ -44,3 +44,26 @@ def test_count_min_deterministic(spark, sf_dir):
     a = {tuple(r) for r in q(spark, sf_dir).collect()}
     b = {tuple(r) for r in q(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_approx_top_k_matches_exact_heavy_hitters(spark, sf_dir):
+    """Spark 4's approx_top_k (datasketches frequent-items) vs the exact
+    top-k: on a 5-value key every value is a heavy hitter, so the sketch
+    must recover the exact set AND exact counts (guaranteed when the
+    sketch never evicts). Kept test-only: sketch merge order is not
+    provably deterministic across partitionings, unlike HLL/GK."""
+    from dockerized_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_topk")
+    approx = {
+        r.item: r.n_est
+        for r in spark.sql(
+            "SELECT inline(approx_top_k(event_type, 5)) AS (item, n_est) FROM ev_topk"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert approx == exact
