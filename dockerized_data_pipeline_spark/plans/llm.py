@@ -1041,3 +1041,89 @@ def x8_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("kept") * F.col("n_chars")).cast("bigint").alias("kept_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 (continued) -- full corpus-prep composite with repetition gate + splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x7_corpus_prep_full",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    uc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    ucc AS (SELECT doc_id, tok, COUNT(*) AS c FROM uc GROUP BY 1, 2),
+    rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c
+            FROM ucc GROUP BY 1),
+    scored AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, rep.n_tokens,
+             LEN(list_filter(string_split(d.text, ' '),
+                             x -> x IN {_STOP_SQL})) AS n_stop,
+             CAST(FLOOR(rep.top_c * 1000000.0 / rep.n_tokens) AS BIGINT)
+                 AS top_token_ppm
+      FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+    ), filtered AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 1000
+        AND n_stop * 50 >= n_tokens
+        AND top_token_ppm < 500000
+        AND lang IN ('en', 'de', 'fr', 'es')
+    ), deduped AS (
+      SELECT lang, text, MIN(doc_id) AS keep_id, MAX(n_tokens) AS n_tokens
+      FROM filtered GROUP BY lang, text
+    ), split_assigned AS (
+      SELECT lang, n_tokens, keep_id,
+             CASE WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(keep_id) AS first_doc
+    FROM split_assigned GROUP BY lang, split
+    """,
+)
+def x7_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus pipeline as ONE declarative plan:
+    quality gates (length band + stopword density) -> Gopher repetition
+    gate (top-unigram dominance, from operators/quality.py's explode-agg
+    metrics -- never an O(len^2) per-row scan) -> language allowlist ->
+    exact dedup keyed on content -> deterministic md5 train/val/test
+    assignment on the surviving id -> per-(lang, split) corpus stats.
+    Composes x5_quality/x5_repetition/x1_dedup/x8_hash_split; PII
+    redaction (x5_pii_redact) would slot in as one more per-row projection
+    before the dedup. Two shuffles total beyond the repetition metric's
+    own doc-keyed agg: the dedup hash-agg and the final stats agg."""
+    from ..operators.quality import repetition_metrics
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = repetition_metrics(d).select("doc_id", "n_tokens", "top_token_ppm")
+    n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
+    filtered = (
+        d.join(rep, "doc_id")
+        .withColumn("n_stop", n_stop)
+        .filter(
+            F.col("n_tokens").between(20, 1000)
+            & (F.col("n_stop") * 50 >= F.col("n_tokens"))
+            & (F.col("top_token_ppm") < 500000)
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+    )
+    deduped = filtered.groupBy("lang", "text").agg(
+        F.min("doc_id").alias("keep_id"), F.max("n_tokens").alias("n_tokens")
+    )
+    b = F.substring(F.md5(F.col("keep_id").cast("string")), 1, 2)
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("keep_id").alias("first_doc"),
+        )
+    )
