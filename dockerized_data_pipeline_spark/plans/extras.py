@@ -426,3 +426,37 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+@query(
+    "f_agg_gallery",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           count_if(o_totalprice > 150000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           min_by(o_orderpriority, o_orderkey) AS first_priority,
+           max_by(o_orderpriority, o_orderkey) AS last_priority,
+           CAST(FLOOR(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT)
+               AS median_price_c
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def f_agg_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth: filtered count, boolean aggregates,
+    argmin/argmax payload selection (ordered by the UNIQUE key so the
+    pick is deterministic -- min_by on a column with ties is not), and an
+    exact median. All one two-phase hash aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100)
+        .cast("bigint")
+        .alias("median_price_c"),
+    )

@@ -194,3 +194,53 @@ def t8_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(12,4)").alias("value"),
         )
     )
+
+
+@query(
+    "t8_equidepth_histogram",
+    oracle="""
+    WITH thr AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders)
+    SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                WHEN o_totalprice <= q2 THEN 1
+                WHEN o_totalprice <= q3 THEN 2
+                ELSE 3 END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS lo,
+           CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS hi
+    FROM orders, thr GROUP BY 1
+    """,
+)
+def t8_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (quantile-bucket) histogram -- the skew-honest
+    counterpart of t8_histogram_totalprice's fixed-width buckets: every
+    bucket holds ~25% of rows no matter how lopsided the distribution.
+    Thresholds are a 1-row exact-percentile aggregate broadcast over the
+    scan (identical IEEE interpolation on both engines); classification
+    is a per-row expression. At 100 TB swap percentile for the
+    approx_percentile sketch, as with x5_length_trim."""
+    o = load_table(spark, sf_dir, "orders")
+    thr = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p <= F.col("q1"), 0)
+        .when(p <= F.col("q2"), 1)
+        .when(p <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(thr))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(p).cast("decimal(12,2)").alias("lo"),
+            F.max(p).cast("decimal(12,2)").alias("hi"),
+        )
+    )
