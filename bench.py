@@ -43,6 +43,11 @@ HEADLINE = [
     "x5_text_stats",
     "x3_cosine_topk",
     "x2_minhash_neardup_pairs",
+    # r2 additions (the original 15 above stay unchanged so BENCH_r{N}
+    # files remain comparable query-for-query across rounds)
+    "x7_corpus_prep_full",
+    "x5_distinctive_terms",
+    "x8_source_cap",
 ]
 
 

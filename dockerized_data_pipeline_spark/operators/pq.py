@@ -1,0 +1,102 @@
+"""Product quantization (PQ) for embedding compression -- the memory side
+of large-scale ANN (IVF in operators/similarity.py is the compute side;
+IVF-PQ composes both, the standard billion-vector index layout).
+
+The vector is split into ``m`` contiguous subspaces; each subspace gets
+its own k-centroid codebook trained with the deterministic distributed
+k-means (operators/kmeans.py -- content-addressed init, decimal-sum
+means, so codebooks and codes are bit-identical on any partitioning).
+A d-dim float vector then stores as m small integers: for d=16 float32,
+m=4, k=8 that is 64 bytes -> 4 x 3 bits, a ~40x compression, with
+distance computation against a query reduced to m table lookups.
+
+Everything stays in DataFrame expressions: encoding is the same
+array-of-distances argmin used by k-means assignment (whole-stage
+codegen, zero shuffle); training is m independent k-means runs over
+sliced vectors (m driver-side loops over a k x d_sub codebook each,
+the same tiny-collect pattern as the IVF probe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kmeans import _sq_dist, kmeans_fit
+
+
+def _sub_vec(vec_col: str, j: int, d_sub: int):
+    return F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 4,
+) -> list[list[list[float]]]:
+    """Train m sub-codebooks (each k x d/m). The vector dim must divide
+    evenly by m (standard PQ constraint)."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    codebooks = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col), _sub_vec(vec_col, j, d_sub).alias("__sub")
+        )
+        codebooks.append(kmeans_fit(sub, id_col, "__sub", k=k, iterations=iterations))
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace argmin centroid index. One
+    scan, pure expressions, no shuffle."""
+    from ..functions.vectors import literal_vector
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    code_cols = []
+    for j, cb in enumerate(codebooks):
+        sub = _sub_vec(vec_col, j, d_sub)
+        dists = F.array(*[_sq_dist(sub, literal_vector(c)) for c in cb])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_reconstruction_mse_ppm(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-row summary: mean squared reconstruction error (ppm floor) of the
+    PQ approximation over the corpus -- the quality metric a codebook
+    training job gates on before swapping the index."""
+    from ..functions.vectors import literal_vector
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    per_sub_err = []
+    for j, cb in enumerate(codebooks):
+        sub = _sub_vec(vec_col, j, d_sub)
+        dists = F.array(*[_sq_dist(sub, literal_vector(c)) for c in cb])
+        per_sub_err.append(F.array_min(dists))
+    total_err = per_sub_err[0]
+    for e in per_sub_err[1:]:
+        total_err = total_err + e
+    # decimal before the mean: float summation order is partition-dependent,
+    # decimal sums are exact -- same discipline as the k-means means
+    return df.select(total_err.cast("decimal(28,10)").alias("err")).agg(
+        F.count("*").alias("n_vectors"),
+        F.floor(F.avg("err") * 1_000_000).cast("bigint").alias("mse_ppm"),
+    )

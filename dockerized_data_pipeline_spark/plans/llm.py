@@ -1127,3 +1127,34 @@ def x7_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("keep_id").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X3 (continued) -- product quantization
+# ---------------------------------------------------------------------------
+
+
+@query("x3_pq_codes")
+def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding (operators/pq.py):
+    4 subspaces x 8 centroids trained with the deterministic k-means, so
+    codebooks and codes are bit-identical on any partitioning (rows-only;
+    invariants in tests/test_pq.py). At scale this is the memory half of
+    an IVF-PQ index: the 16-float vector stores as 4 small ints."""
+    from ..operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, m=4, k=8, iterations=3)
+    return pq_encode(emb, cbs)
+
+
+@query("x3_pq_mse")
+def x3_pq_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-validating PQ summary: corpus mean squared reconstruction
+    error (decimal-sum mean -> partition-invariant ppm integer) -- the
+    gate a codebook-training job checks before swapping the ANN index."""
+    from ..operators.pq import pq_reconstruction_mse_ppm, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, m=4, k=8, iterations=3)
+    return pq_reconstruction_mse_ppm(emb, cbs)
