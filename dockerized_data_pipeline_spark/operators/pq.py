@@ -100,3 +100,82 @@ def pq_reconstruction_mse_ppm(
         F.count("*").alias("n_vectors"),
         F.floor(F.avg("err") * 1_000_000).cast("bigint").alias("mse_ppm"),
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The full IVF-PQ ANN read path: coarse-quantizer pruning (score only
+    vectors in the n_probe lists nearest the query), PQ-approximate
+    distances for cheap candidate ranking, exact rerank of the top
+    ``rerank`` survivors.
+
+    The PQ distance needs NO per-row float vector math: because the query
+    is a literal, the m x k table of (query-subvector -> centroid)
+    distances is computed driver-side in plain Python and enters the plan
+    as literal arrays -- per row the approximate distance is m
+    element_at lookups summed, the table-lookup trick that makes PQ fast
+    on real indexes. Exact rerank touches only ``rerank`` rows
+    (TakeOrderedAndProject bounded twice). Deterministic end to end."""
+    from ..functions.vectors import cosine, literal_vector
+    from .similarity import ivf_assignments
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+
+    # --- driver-side (tiny): probe-list choice + PQ distance tables
+    def sq(u, v):
+        return sum((a - b) * (a - b) for a, b in zip(u, v))
+
+    def norm_sims(c):
+        import math
+
+        dot = sum(a * b for a, b in zip(query_vec, c))
+        nq = math.sqrt(sum(a * a for a in query_vec))
+        nc = math.sqrt(sum(a * a for a in c)) or 1.0
+        return dot / (nq * nc)
+
+    probe_lists = sorted(
+        range(len(coarse_centroids)),
+        key=lambda i: (-norm_sims(coarse_centroids[i]), i),
+    )[:n_probe]
+    tables = [
+        [sq(query_vec[j * d_sub : (j + 1) * d_sub], c) for c in cb]
+        for j, cb in enumerate(codebooks)
+    ]
+
+    # --- plan-side: prune -> PQ lookup distance -> bounded exact rerank
+    assigned = ivf_assignments(df, coarse_centroids, id_col, vec_col)
+    pruned = assigned.filter(F.col("cluster_id").isin(probe_lists))
+    approx = F.lit(0.0)
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+        dists = F.array(*[_sq_dist(sub, literal_vector(c)) for c in codebooks[j]])
+        code = F.array_position(dists, F.array_min(dists))  # 1-based
+        table = F.array(*[F.lit(float(t)) for t in tables[j]])
+        approx = approx + F.element_at(table, code.cast("int"))
+    candidates = (
+        pruned.withColumn("approx_dist", approx)
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(rerank)
+    )
+    q = literal_vector(query_vec)
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_digits)
+            .cast(f"decimal(18,{round_digits})")
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

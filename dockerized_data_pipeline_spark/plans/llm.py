@@ -1158,3 +1158,22 @@ def x3_pq_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = pq_train(emb, m=4, k=8, iterations=3)
     return pq_reconstruction_mse_ppm(emb, cbs)
+
+
+@query("x3_ivfpq_topk")
+def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete billion-vector index read path in one plan
+    (operators/pq.py ivfpq_topk): trained coarse quantizer prunes to
+    n_probe lists, PQ table-lookup distances rank candidates without
+    per-row vector math (the query's m x k distance table enters the plan
+    as literals), exact cosine reranks only the bounded survivor set.
+    Rows-only; recall-vs-exact asserted in tests/test_pq.py."""
+    from ..operators import kmeans as KM
+    from ..operators.pq import ivfpq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = KM.kmeans_fit(emb, "vec_id", "embedding", k=8, iterations=2)
+    cbs = pq_train(emb, m=4, k=8, iterations=2)
+    return ivfpq_topk(
+        emb, _probe_vector(spark, sf_dir), coarse, cbs, k=10, n_probe=3
+    )

@@ -42,3 +42,37 @@ def test_pq_codes_partition_invariant(spark, sf_dir):
         for r in pq_encode(emb.repartition(7), cbs2).collect()
     )
     assert a == b
+
+
+def test_ivfpq_recall_and_exactness_at_full_probe(spark, sf_dir):
+    from dockerized_data_pipeline_spark.operators import kmeans as KM
+    from dockerized_data_pipeline_spark.operators.pq import ivfpq_topk
+    from dockerized_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.orderBy("vec_id").first().embedding)
+    coarse = KM.kmeans_fit(emb, k=4, iterations=2)
+    cbs = pq_train(emb, m=4, k=8, iterations=2)
+
+    exact = [r.vec_id for r in cosine_topk(emb, qv, k=10).collect()]
+    # probing every list with a rerank pool >= corpus = exact answer
+    full = [
+        r.vec_id
+        for r in ivfpq_topk(
+            emb, qv, coarse, cbs, k=10, n_probe=4, rerank=10_000
+        ).collect()
+    ]
+    assert full == exact
+
+    # realistic pruning still recovers most of the true top-10 (and is
+    # deterministic run-to-run)
+    pruned1 = [
+        r.vec_id
+        for r in ivfpq_topk(emb, qv, coarse, cbs, k=10, n_probe=2, rerank=50).collect()
+    ]
+    pruned2 = [
+        r.vec_id
+        for r in ivfpq_topk(emb, qv, coarse, cbs, k=10, n_probe=2, rerank=50).collect()
+    ]
+    assert pruned1 == pruned2
+    assert len(set(pruned1) & set(exact)) >= 5
