@@ -79,3 +79,18 @@ def test_oracle_match(spark, sf_dir, duck, name):
     ), name
     assert len(s_rows) == len(d_rows), name
     assert _multiset(sdf.columns, s_rows) == _multiset(rel.columns, d_rows), name
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+)
+def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
+    """Rows-only queries have no cross-engine oracle, so their contract is
+    run-to-run determinism: two fresh executions must produce the
+    identical multiset (the driver's weaker check assumes this)."""
+    fn = entry_mod.queries()[name]
+    first = fn(spark, sf_dir)
+    a = _multiset(first.columns, [tuple(r) for r in first.collect()])
+    second = fn(spark, sf_dir)
+    b = _multiset(second.columns, [tuple(r) for r in second.collect()])
+    assert a == b, name
