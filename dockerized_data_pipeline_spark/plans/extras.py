@@ -460,3 +460,42 @@ def f_agg_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("median_price_c"),
     )
+
+
+@query(
+    "rec_hierarchy_depths",
+    oracle="""
+    WITH RECURSIVE h(custkey, depth) AS (
+      SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, h.depth + 1
+      FROM customer c JOIN h ON c.c_custkey // 2 = h.custkey
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           MIN(custkey) AS min_key, MAX(custkey) AS max_key
+    FROM h GROUP BY depth
+    """,
+)
+def rec_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): transitive closure over a
+    hierarchy, the org-chart/BOM-explosion query shape a batch engine
+    needs beyond fixed-depth self-joins. The hierarchy is synthesized
+    deterministically (each customer's parent is c_custkey DIV 2, a
+    binary tree rooted at 1) so DuckDB's recursive CTE builds the
+    identical closure. Each recursion level is one join against the
+    previous frontier -- the same distributed shape as the iterative
+    operators, but expressed declaratively."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE h(custkey, depth) AS (
+          SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, h.depth + 1
+          FROM customer c JOIN h ON c.c_custkey DIV 2 = h.custkey
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(custkey) AS min_key, MAX(custkey) AS max_key
+        FROM h GROUP BY depth
+        """
+    )
