@@ -499,3 +499,33 @@ def rec_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM h GROUP BY depth
         """
     )
+
+
+@query(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's two largest orders --
+    the per-row-subquery surface (Postgres LATERAL / APPLY) beyond plain
+    joins. Catalyst decorrelates this into a ranked window join, so the
+    physical plan is the same distributed shape as window_topk, not a
+    per-customer loop; the deterministic ORDER BY tiebreak keeps both
+    engines' row picks identical."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
