@@ -641,3 +641,31 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") >= F.col("eff_from")) & (F.col("ts") < F.col("eff_to")))
         .select("event_id", "user_id", "ts", "tier")
     )
+
+
+@query(
+    "window_hourly_delta",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour, n,
+           n - LAG(n) OVER (PARTITION BY event_type ORDER BY hour) AS delta
+    FROM h
+    """,
+)
+def window_hourly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation -> window composition: hourly event counts with the
+    change versus the previous hour (the dashboard trend shape). The
+    window's low-cardinality partition key is safe HERE because its input
+    is the aggregated rollup -- rows per key are bounded by hours in the
+    time range, not corpus size -- unlike raw-row windows, which use the
+    bucketed two-phase forms (window_running_sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return h.select(
+        "event_type", "hour", "n", (F.col("n") - F.lag("n").over(w)).alias("delta")
+    )

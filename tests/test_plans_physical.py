@@ -145,3 +145,16 @@ def test_source_cap_never_single_partitions(spark, sf_dir):
     corpus through one partition."""
     plan = _formatted_plan(spark, sf_dir, "x8_source_cap")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """The session enables AQE; after execution the adaptive final plan
+    must show coalesced shuffle reads on a small aggregation -- 32
+    configured shuffle partitions would otherwise schedule 32 near-empty
+    tasks per stage at every scale."""
+    from dockerized_data_pipeline_spark import plans
+
+    df = plans.QUERIES["a1_records_per_key"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final
