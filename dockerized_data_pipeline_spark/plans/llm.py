@@ -1177,3 +1177,57 @@ def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, _probe_vector(spark, sf_dir), coarse, cbs, k=10, n_probe=3
     )
+
+
+# ---------------------------------------------------------------------------
+# X5 (continued) -- document chunking (sliding token windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, GREATEST(n, 1), 48)) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST(start / 48 AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, CAST(start AS INT) + 1,
+                               CAST(start AS INT) + 64)) AS INT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(toks, CAST(start AS INT) + 1,
+                                      CAST(start AS INT) + 64), ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def x5_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, stride 48 = 16
+    tokens of overlap) -- the context-window prep step between cleaning
+    and embedding/packing. Pure expressions: tokenize once, posexplode
+    the stride sequence, slice per chunk; row multiplication happens
+    engine-side with zero shuffle and no per-row Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(48))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 64)
+    return s.select(
+        "doc_id",
+        (F.col("start") / 48).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
