@@ -6,6 +6,7 @@ replicated in SQL, so the Arrow batch plumbing itself is what gets verified.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.multimodal import (
@@ -117,3 +118,32 @@ def x4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_frame_energy(audio_from_documents(docs))
+
+
+@query("x4_multimodal_pipeline")
+def x4_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal flow in one plan: blob -> decode (stub codec)
+    -> feature extraction -> k-means feature clustering -> per-cluster
+    media stats. The Arrow mapInPandas stages chain without a shuffle;
+    the only exchange is the final cluster aggregation (rows-only: the
+    cluster ids come from engine-side training, deterministic via the
+    k-means disciplines)."""
+    from ..functions.multimodal import extract_features, media_from_documents
+    from ..operators import kmeans as KM
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(media_from_documents(docs))
+    cents = KM.kmeans_fit(feats, "media_id", "feature", k=4, iterations=2)
+    assigned = KM._with_assignment(
+        feats.select("media_id", F.col("feature").alias("v")), "v", cents
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min("media_id").alias("first_media"),
+            F.floor(F.sum(F.col("sq_dist").cast("decimal(28,10)")) * 1000)
+            .cast("bigint")
+            .alias("total_sqdist_e3"),
+        )
+    )

@@ -140,3 +140,44 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def rollup_stream(
+    stream_df: DataFrame,
+    rollup_path: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    value_col: str = "value",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous-aggregate maintenance (the hypertable pattern, streamed):
+    every micro-batch folds into the stored time-bucket rollup via
+    operators/maintenance.py incremental_rollup -- O(batch) work plus a
+    keyed merge touching only the buckets the batch lands in, never a
+    fact-table rescan. Exactly-once note: additive merging needs
+    each row delivered once; a file stream + checkpoint guarantees each
+    file is processed exactly once, so replay-safety comes from the
+    checkpoint (unlike the idempotent MERGE path, which is replay-safe
+    by construction)."""
+    from ..operators.maintenance import incremental_rollup
+
+    spark = stream_df.sparkSession
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_rollup(
+            spark,
+            rollup_path,
+            batch_df,
+            key_cols=key_cols,
+            ts_col=ts_col,
+            bucket=bucket,
+            value_col=value_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(fold_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

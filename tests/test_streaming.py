@@ -244,3 +244,47 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join_out").collect()
     ]
     assert out == [(1, "home", 9.99)]
+
+
+def test_rollup_stream_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """Streaming the events fixture through the continuous rollup (two
+    micro-batch groups) yields the same table as one batch
+    incremental_rollup over everything."""
+    from pyspark.sql import functions as F
+
+    from dockerized_data_pipeline_spark.catalog import load_table
+    from dockerized_data_pipeline_spark.operators.maintenance import (
+        incremental_rollup,
+    )
+    from dockerized_data_pipeline_spark.streaming.ingest import rollup_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    # several files so availableNow processes multiple micro-batches
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 2).parquet(src)
+    q = rollup_stream(
+        stream,
+        str(tmp_path / "rollup_s"),
+        key_cols=["event_type"],
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+
+    incremental_rollup(
+        spark, str(tmp_path / "rollup_b"), ev, key_cols=["event_type"], ts_col="ts"
+    )
+    a = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(str(tmp_path / "rollup_s")).collect()
+    }
+    b = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in spark.read.parquet(str(tmp_path / "rollup_b")).collect()
+    }
+    assert a == b
