@@ -16,6 +16,7 @@ from . import sketches  # noqa: F401
 from . import tpch_like  # noqa: F401
 from . import collections  # noqa: F401
 from . import profiling  # noqa: F401
+from . import timeseries_queries  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

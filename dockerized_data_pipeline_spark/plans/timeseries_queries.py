@@ -1,0 +1,154 @@
+"""Time-series queries: resample / OHLC candles / gap-fill / LOCF /
+linear interpolation over the ``events`` fixture (entity key ``event_type``
+~ the reference's ``symbol``, event time ``ts`` ~ ``timestamp``).
+
+The reference's stock_data table is exactly this shape (README.md:143-152:
+symbol, timestamp, open/high/low/close, volume) but stores only observed
+rows; these queries add the dense-time-axis operations a consumer needs.
+All value arithmetic is integer cents (CAST(ROUND(value*100) AS BIGINT)) so
+engine and oracle hashes agree bit-for-bit -- no float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import timeseries as TS
+from .registry import query
+
+def _cents() -> F.Column:
+    # column construction deferred: no active session at import time
+    return F.round(F.col("value") * 100).cast("bigint")
+
+
+def _hourly_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    return TS.resample_last(
+        events, ["event_type"], "ts", "cents", unit="hour", tiebreak_cols=["event_id"]
+    ).withColumnRenamed("value", "close_cents")
+
+
+# Shared oracle CTE: hourly close per event_type + its dense hourly grid.
+_ORACLE_OBS_GRID = """
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS close_cents
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY event_type, date_trunc('hour', ts)
+          ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    spans AS (
+      SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+      FROM obs GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket, o.close_cents
+      FROM grid g
+      LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
+    )
+"""
+
+
+@query(
+    "ts_hourly_gapfill_locf",
+    oracle=_ORACLE_OBS_GRID
+    + """
+    SELECT event_type, bucket,
+           LAST_VALUE(close_cents IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_cents,
+           close_cents IS NULL AS filled
+    FROM j
+    """,
+)
+def ts_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly close series per event_type: resample to hourly closes
+    (deterministic last-in-bucket), build the per-key hourly grid, carry the
+    last close across gaps (LOCF). Single (key,bucket) shuffle for the
+    resample + join; one span-bounded sort per key for the carry."""
+    closes = _hourly_closes(spark, sf_dir)
+    return TS.gapfill_locf(
+        closes, ["event_type"], ["close_cents"], unit="hour"
+    ).select("event_type", "bucket", "close_cents", "filled")
+
+
+@query(
+    "ts_hourly_interpolate",
+    oracle=_ORACLE_OBS_GRID
+    + """
+    , m AS (
+      SELECT event_type, bucket, close_cents,
+        LAST_VALUE(close_cents IGNORE NULLS) OVER w_back AS pv,
+        LAST_VALUE(CASE WHEN close_cents IS NOT NULL THEN bucket END
+                   IGNORE NULLS) OVER w_back AS pt,
+        FIRST_VALUE(close_cents IGNORE NULLS) OVER w_fwd AS nv,
+        FIRST_VALUE(CASE WHEN close_cents IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER w_fwd AS nt
+      FROM j
+      WINDOW
+        w_back AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+      CASE
+        WHEN close_cents IS NOT NULL THEN close_cents * 1000
+        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          (pv * ((epoch_us(nt) - epoch_us(bucket)) // 3600000000)
+           + nv * ((epoch_us(bucket) - epoch_us(pt)) // 3600000000)) * 1000
+          // ((epoch_us(nt) - epoch_us(pt)) // 3600000000)
+      END AS interp
+    FROM m
+    """,
+)
+def ts_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps in the hourly close series, in
+    exact integer arithmetic (milli-cents): num/den are whole hour counts,
+    so engine and oracle agree bit-for-bit with zero float division."""
+    closes = _hourly_closes(spark, sf_dir)
+    dense = TS.dense_join(closes, ["event_type"], unit="hour")
+    return TS.interpolate_linear(
+        dense, ["event_type"], "close_cents", unit="hour", scale=1000
+    ).select("event_type", "bucket", "interp")
+
+
+@query(
+    "ts_daily_ohlc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN cents END) AS open,
+           MAX(cents) AS high,
+           MIN(cents) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN cents END) AS close,
+           COUNT(*) AS n_obs
+    FROM c
+    GROUP BY event_type, bucket
+    """,
+)
+def ts_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event_type -- the reference's stock_data row
+    shape (README.md:143-152) derived from raw ticks in one partial+final
+    hash aggregation; open/close picked by min_by/max_by on (ts, event_id)
+    so ties are deterministic."""
+    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    return TS.resample_ohlc(
+        events, ["event_type"], "ts", "cents", unit="day", tiebreak_cols=["event_id"]
+    )
