@@ -172,3 +172,81 @@ def pii_redact(text: Column | str) -> Column:
     c = F.regexp_replace(c, IPV4_RE, "<IP>")
     c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
     return c
+
+
+def token_diversity(text: Column | str) -> Column:
+    """Per-document token-distribution diversity metrics as a struct of
+    exact integers -- zero shuffle, pure higher-order functions (the
+    explode + groupBy(doc, token) alternative shuffles every token at
+    corpus scale; per-row D x N work on ~100-token documents is cheaper
+    and stays inside whole-stage codegen):
+
+    - n_tokens, distinct_tokens
+    - ttr_ppm        : type-token ratio * 1e6 (lexical diversity)
+    - gini_ppm       : Gini impurity of the token distribution * 1e6
+                       (1 - sum p_i^2; rational, so exact in int64 --
+                       entropy would need transcendental log)
+    - top_share_ppm  : most-frequent-token share * 1e6 (repetition signal)
+    """
+    toks = tokens(text)
+    uniq = F.array_distinct(toks)
+    counts = F.transform(
+        uniq, lambda u: F.size(F.filter(toks, lambda x: x == u)).cast("long")
+    )
+    n = F.size(toks).cast("long")
+    d = F.size(uniq).cast("long")
+    sum_sq = F.aggregate(counts, F.lit(0).cast("long"), lambda acc, c: acc + c * c)
+    top = F.array_max(counts)
+    return F.struct(
+        n.alias("n_tokens"),
+        d.alias("distinct_tokens"),
+        F.floor((d * 1_000_000) / n).cast("long").alias("ttr_ppm"),
+        (F.lit(1_000_000) - F.floor((sum_sq * 1_000_000) / (n * n)))
+        .cast("long")
+        .alias("gini_ppm"),
+        F.floor((top * 1_000_000) / n).cast("long").alias("top_share_ppm"),
+    )
+
+
+def _token_val(tok: Column) -> Column:
+    """Portable per-token value (same as doc_fingerprint): engine-neutral
+    integer arithmetic, no engine hash functions."""
+    return (F.length(tok) * 17 + F.ascii(F.substring(tok, 1, 1))).cast("long")
+
+
+def winnow_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): hash every k-gram of tokens with a portable polynomial rolling
+    hash, slide a window of w consecutive k-gram hashes, keep the minimum
+    of each window, return the sorted distinct selection.
+
+    Guarantees: any shared token run of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint, at ~1/w storage of
+    full k-gram shingling. Pure per-row array expressions -- no shuffle;
+    overlap detection is then a bucket join on the exploded output."""
+    toks = tokens(text)
+    n_grams = F.size(toks) - (k - 1)
+    empty = F.expr("array()").cast("array<bigint>")
+    # sequence(1, n) with n < 1 silently DESCENDS ([1, 0]) -- guard required
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.aggregate(
+                F.slice(toks, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, t: (acc * 31 + _token_val(t)) % FINGERPRINT_MOD,
+            ),
+        ),
+    ).otherwise(empty)
+    n_windows = F.size(grams) - (w - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda i: F.array_min(F.slice(grams, i, w)),
+        ),
+    ).otherwise(empty)
+    # short docs (fewer than w k-grams): fall back to all k-gram hashes
+    selected = F.when(n_windows >= 1, mins).otherwise(grams)
+    return F.array_sort(F.array_distinct(selected))

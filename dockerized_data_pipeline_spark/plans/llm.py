@@ -1231,3 +1231,157 @@ def x5_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@query(
+    "x5_token_diversity",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok
+    ), agg AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS d,
+             SUM(c * c) AS sum_sq, MAX(c) AS top
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(d AS BIGINT) AS distinct_tokens,
+           CAST(d * 1000000 // n AS BIGINT) AS ttr_ppm,
+           CAST(1000000 - (sum_sq * 1000000 // (n * n)) AS BIGINT) AS gini_ppm,
+           CAST(top * 1000000 // n AS BIGINT) AS top_share_ppm
+    FROM agg
+    """,
+)
+def x5_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity / repetition metrics per document (type-token
+    ratio, Gini impurity, top-token share -- exact ppm integers). The
+    engine side is zero-shuffle higher-order functions; the oracle uses the
+    equivalent explode + two-level aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.token_diversity(F.col("text")).alias("m")
+    ).select("doc_id", "m.*")
+
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+@query(
+    "x5_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               s -> CAST(LENGTH(s) * 17 + ascii(s[1:1]) AS BIGINT)) AS vals
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        list_transform(range(1, GREATEST(LEN(vals) - {_WINNOW_K} + 1, 0) + 1),
+          i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                        vals[i:i + {_WINNOW_K} - 1]),
+               (acc, v) -> (acc * 31 + v) % {TX.FINGERPRINT_MOD})) AS grams
+      FROM t
+    ), m AS (
+      SELECT doc_id, grams,
+        list_transform(range(1, GREATEST(LEN(grams) - {_WINNOW_W} + 1, 0) + 1),
+          i -> list_min(grams[i:i + {_WINNOW_W} - 1])) AS mins
+      FROM g
+    ), sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               CASE WHEN LEN(mins) >= 1 THEN mins ELSE grams END)) AS fingerprints
+      FROM m
+    )
+    SELECT doc_id, fingerprints,
+           CAST(LEN(fingerprints) AS BIGINT) AS n_fp
+    FROM sel
+    """,
+)
+def x5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (SIGMOD'03 local document
+    fingerprinting): ~1/w of the k-gram hashes, guaranteed to share a
+    fingerprint with any document that shares a token run of length
+    >= k + w - 1. Portable integer rolling hash, so the oracle replays the
+    identical selection in DuckDB list functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprints"),
+        F.size(fp).cast("long").alias("n_fp"),
+    )
+
+
+_WINNOW_HOT_CAP = 50  # drop fingerprints occurring in > cap docs (stop-grams)
+_WINNOW_MIN_SHARED = 2
+
+
+@query(
+    "x8_winnow_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               s -> CAST(LENGTH(s) * 17 + ascii(s[1:1]) AS BIGINT)) AS vals
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        list_transform(range(1, GREATEST(LEN(vals) - {_WINNOW_K} + 1, 0) + 1),
+          i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                        vals[i:i + {_WINNOW_K} - 1]),
+               (acc, v) -> (acc * 31 + v) % {TX.FINGERPRINT_MOD})) AS grams
+      FROM t
+    ), m AS (
+      SELECT doc_id, grams,
+        list_transform(range(1, GREATEST(LEN(grams) - {_WINNOW_W} + 1, 0) + 1),
+          i -> list_min(grams[i:i + {_WINNOW_W} - 1])) AS mins
+      FROM g
+    ), ex AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN LEN(mins) >= 1 THEN mins ELSE grams END)) AS fp
+      FROM m
+    ), cold AS (
+      SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= {_WINNOW_HOT_CAP}
+    ), exf AS (
+      SELECT ex.doc_id, ex.fp FROM ex JOIN cold USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def x8_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap (contamination / plagiarism) detection:
+    explode each doc's winnow fingerprints, drop hot fingerprints that
+    occur in > cap documents (stop-grams -- the same slim-bucket discipline
+    as the MinHash band join), then bucket-join on fingerprint and keep
+    pairs sharing >= 2. Cost tracks true overlap density, never all-pairs:
+    the join key is the fingerprint, so co-bucketed work is bounded by
+    cap^2 per fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
+    ex = docs.select("doc_id", F.explode(fp).alias("fp"))
+    cold = (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= _WINNOW_HOT_CAP)
+        .select("fp")
+    )
+    exf = ex.join(cold, "fp")
+    a, b = exf.alias("a"), exf.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= _WINNOW_MIN_SHARED)
+    )
