@@ -152,3 +152,59 @@ def ts_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.resample_ohlc(
         events, ["event_type"], "ts", "cents", unit="day", tiebreak_cols=["event_id"]
     )
+
+
+@query(
+    "ts_drawdown_alerts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), p AS (
+      SELECT event_type, ts, cents,
+             MAX(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                             ) AS peak
+      FROM c
+    )
+    SELECT event_type, ts, cents AS value_cents, peak AS peak_cents,
+           CASE WHEN peak > 0
+                THEN (peak - cents) * 1000000 // peak
+                ELSE 0 END AS drawdown_ppm
+    FROM p
+    WHERE CASE WHEN peak > 0
+               THEN (peak - cents) * 1000000 // peak
+               ELSE 0 END >= 200000
+    """,
+)
+def ts_drawdown_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/tws.py DrawdownProcessor: events whose value
+    sits >= 20% below the key's running peak (running MAX window + exact
+    ppm arithmetic). The streaming version holds the peak in the state
+    store; this one recovers it with a single per-key ordered window."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("cents").over(w)
+    dd = F.when(
+        peak > 0,
+        F.floor(((peak - F.col("cents")) * 1_000_000) / peak),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        events.withColumn("peak_cents", peak)
+        .withColumn("drawdown_ppm", dd)
+        .filter(F.col("drawdown_ppm") >= 200_000)
+        .select(
+            "event_type",
+            "ts",
+            F.col("cents").alias("value_cents"),
+            "peak_cents",
+            "drawdown_ppm",
+        )
+    )

@@ -420,3 +420,38 @@ def test_pack_sequences_matches_python_reference(spark, sf_dir):
         for r in QUERIES["x8_pack_sequences"](spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in bins.items()}
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # winnowing guarantee: a shared token run of length >= k + w - 1 (= 8
+    # for k=5, w=4) must yield at least one shared fingerprint
+    from dockerized_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one two " + shared + " suffix end"),
+            (2, shared + " totally different tail words here"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fp")
+    ).collect()
+    fps = {r.doc_id: set(r.fp) for r in rows}
+    assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_short_doc_fallback(spark):
+    from dockerized_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f")],  # 3 toks: < k; 6 toks: 2 grams < w
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fp for r in df.select(
+        "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fp")).collect()}
+    assert rows[1] == []          # fewer tokens than k -> no k-grams
+    assert len(rows[2]) == 2      # fallback: all k-gram hashes kept

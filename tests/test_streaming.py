@@ -288,3 +288,60 @@ def test_rollup_stream_equals_batch_rollup(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "rollup_b")).collect()
     }
     assert a == b
+
+
+def test_transform_with_state_drawdown_alerts(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-key peak persists across
+    micro-batches; only drops >= 20% below the running peak alert.
+
+    Requires protobuf (the TWS state-server wire protocol) -- not baked
+    into this container, so the test skips there; the operator itself is
+    plain pandas + typed handles and imports without it."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import types as T
+
+    from dockerized_data_pipeline_spark.streaming.tws import drawdown_alerts
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            drawdown_alerts(stream, threshold_ppm=200_000)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        [
+            ("AAPL", 1, 100_00),   # sets peak
+            ("AAPL", 2, 95_00),    # -5%: no alert
+            ("AAPL", 3, 70_00),    # -30%: alert
+            ("MSFT", 4, 50_00),    # sets peak, no alert
+        ]
+    )
+    first = {(r.event_type, r.ts_us): r for r in spark.read.parquet(out).collect()}
+    assert set(first) == {("AAPL", 3)}
+    assert first[("AAPL", 3)].drawdown_ppm == 300_000
+
+    # batch 2: peak must have survived in state (AAPL peak 100_00)
+    run_batch([("AAPL", 5, 79_00), ("MSFT", 6, 49_00)])  # -21% vs stored peak; MSFT -2%
+    rows = {(r.event_type, r.ts_us) for r in spark.read.parquet(out).collect()}
+    assert rows == {("AAPL", 3), ("AAPL", 5)}
