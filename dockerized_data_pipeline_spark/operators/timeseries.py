@@ -118,11 +118,24 @@ def dense_join(
     key_cols: list[str],
     unit: str = "hour",
     bucket_col: str = "bucket",
+    spans_from: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key dense grid LEFT JOINed with the observations: one row per
     (key, grid bucket), value columns NULL at gaps. The building block for
-    both LOCF and interpolation."""
-    grid = time_grid(observed, key_cols, unit=unit, bucket_col=bucket_col)
+    both LOCF and interpolation.
+
+    ``spans_from``: optional cheaper source for the grid span (same keys +
+    bucket column). Without it the grid branch re-evaluates the whole
+    ``observed`` subplan -- for a resampled input that means running the
+    dedup window twice; passing the raw bucketed scan instead turns the
+    grid branch into a plain min/max partial aggregate (same span, since
+    every observation lands in a bucket)."""
+    grid = time_grid(
+        spans_from if spans_from is not None else observed,
+        key_cols,
+        unit=unit,
+        bucket_col=bucket_col,
+    )
     return grid.join(observed, [*key_cols, bucket_col], "left")
 
 
@@ -132,12 +145,15 @@ def gapfill_locf(
     value_cols: list[str],
     unit: str = "hour",
     bucket_col: str = "bucket",
+    spans_from: DataFrame | None = None,
 ) -> DataFrame:
     """Dense per-key grid with missing buckets filled by the last observed
     value (LOCF). Adds boolean ``filled`` (true where the bucket had no
     observation). Join shuffles on (key, bucket); the carry window sorts
     each key's span-bounded grid once."""
-    joined = dense_join(observed, key_cols, unit=unit, bucket_col=bucket_col)
+    joined = dense_join(
+        observed, key_cols, unit=unit, bucket_col=bucket_col, spans_from=spans_from
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(bucket_col)

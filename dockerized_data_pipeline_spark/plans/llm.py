@@ -1385,3 +1385,41 @@ def x8_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("shared_fp"))
         .filter(F.col("shared_fp") >= _WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "x6_variant_props",
+    oracle="""
+    WITH k AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even_k
+    FROM k GROUP BY event_type
+    """,
+)
+def x6_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the Spark 4 VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` extraction -- the scale answer to repeated
+    ``get_json_object`` string re-parsing (x6_props_analytics is the
+    classic-path twin). Oracle uses DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_k"),
+            F.count_distinct(F.col("k")).cast("bigint").alias("distinct_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("even_k"),
+        )
+    )

@@ -30,6 +30,15 @@ def _hourly_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("value", "close_cents")
 
 
+def _raw_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap span source for the grid branch: a narrow scan + min/max
+    partial agg instead of re-running the resample window (same span --
+    every event lands in a bucket)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    )
+
+
 # Shared oracle CTE: hourly close per event_type + its dense hourly grid.
 _ORACLE_OBS_GRID = """
     WITH obs AS (
@@ -76,7 +85,11 @@ def ts_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample + join; one span-bounded sort per key for the carry."""
     closes = _hourly_closes(spark, sf_dir)
     return TS.gapfill_locf(
-        closes, ["event_type"], ["close_cents"], unit="hour"
+        closes,
+        ["event_type"],
+        ["close_cents"],
+        unit="hour",
+        spans_from=_raw_buckets(spark, sf_dir),
     ).select("event_type", "bucket", "close_cents", "filled")
 
 
@@ -115,7 +128,9 @@ def ts_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic (milli-cents): num/den are whole hour counts,
     so engine and oracle agree bit-for-bit with zero float division."""
     closes = _hourly_closes(spark, sf_dir)
-    dense = TS.dense_join(closes, ["event_type"], unit="hour")
+    dense = TS.dense_join(
+        closes, ["event_type"], unit="hour", spans_from=_raw_buckets(spark, sf_dir)
+    )
     return TS.interpolate_linear(
         dense, ["event_type"], "close_cents", unit="hour", scale=1000
     ).select("event_type", "bucket", "interp")

@@ -158,3 +158,33 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     df.collect()  # AQE finalizes the plan only on execution
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final and "coalesced" in final
+
+
+def test_ts_gapfill_plan_shape(spark, sf_dir):
+    """Gap-fill: grid explode is narrow (Generate after the span agg, no
+    cartesian), the grid-observation join is a hash join, and the LOCF
+    carry is a single Window."""
+    plan = _formatted_plan(spark, sf_dir, "ts_hourly_gapfill_locf")
+    assert "Generate" in plan and "explode" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # exactly two windows: the resample dedup + the LOCF carry. The grid
+    # branch must NOT re-run the resample window (spans come from the raw
+    # bucketed scan) -- a third Window here means the span source regressed.
+    assert plan.count("Window (") == 2
+
+
+def test_winnow_overlap_is_hash_join_on_fingerprint(spark, sf_dir):
+    """Overlap detection must bucket-join on the fingerprint (equi-join),
+    never compare documents all-pairs."""
+    plan = _formatted_plan(spark, sf_dir, "x8_winnow_overlap")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_variant_props_single_agg_shuffle(spark, sf_dir):
+    plan = _formatted_plan(spark, sf_dir, "x6_variant_props")
+    assert "BatchEvalPython" not in plan
+    # partial + final aggregation, one exchange on the group key
+    assert plan.count("Exchange hashpartitioning") <= 2
