@@ -1,0 +1,160 @@
+"""Event-flow analytics over the ``events`` fixture: conversion funnels and
+weekly retention cohorts -- the product-analytics queries a consumer of the
+reference's event store would run next (the reference exposes only plain
+per-key counts, README.md:202-226; these compose its building blocks).
+
+Everything is counts + exact integer week arithmetic: no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that first
+    click. Three keyed aggregates chained by join -- each stage shuffles on
+    user_id only (and reuses the same partitioning, so AQE collapses the
+    exchanges); no window over the whole event log."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame, prev_col: str, out_col: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+
+    def step_row(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count("*").cast("bigint").alias("users"),
+        )
+
+    return (
+        step_row(1, "view", v)
+        .unionByName(step_row(2, "click", c))
+        .unionByName(step_row(3, "purchase", p))
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((epoch_us(a.week) - epoch_us(f.cohort_week))
+                // 604800000000 AS BIGINT) AS week_no,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_no
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    in each later week they were active. Two keyed aggregates + one join on
+    user_id; week offsets in exact integer microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    week_no = (
+        (F.unix_micros(F.col("week")) - F.unix_micros(F.col("cohort_week")))
+        / F.lit(604_800_000_000)
+    ).cast("long")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", week_no.alias("week_no"))
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-order graph (edge = two suppliers
+    appear in the same order). Canonical ordered-edge 3-join: every edge
+    stored once as (a < b), so each triangle is counted exactly once and
+    the joins are equi-joins on node ids -- the distributed shape that
+    survives scale (per-key fanout bounded by max degree, AQE handles the
+    hub skew; no all-pairs step anywhere)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

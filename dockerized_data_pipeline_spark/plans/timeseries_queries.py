@@ -223,3 +223,47 @@ def ts_drawdown_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown_ppm",
         )
     )
+
+
+@query(
+    "ts_pair_comovement",
+    oracle=_ORACLE_OBS_GRID + """  -- (grid/j CTEs unused here)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(*) * SUM(a.close_cents * b.close_cents)
+                - SUM(a.close_cents) * SUM(b.close_cents) AS BIGINT
+           ) AS comove_num
+    FROM obs a JOIN obs b
+      ON a.bucket = b.bucket AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def ts_pair_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-movement of hourly close series (pairs-trading signal):
+    for each pair of keys, over hours where BOTH have a close, the exact
+    integer covariance numerator n*sum(xy) - sum(x)*sum(y) (the sign and
+    relative magnitude of covariance without float division; cents *
+    month-of-hours stays well inside int64). Equi-join on the hour bucket
+    -- pair count is keys^2 but the join itself is bucket-partitioned."""
+    closes = _hourly_closes(spark, sf_dir)
+    a, b = closes.alias("a"), closes.alias("b")
+    xa, xb = F.col("a.close_cents"), F.col("b.close_cents")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            (
+                F.count("*") * F.sum(xa * xb) - F.sum(xa) * F.sum(xb)
+            )
+            .cast("bigint")
+            .alias("comove_num"),
+        )
+    )
