@@ -48,6 +48,9 @@ HEADLINE = [
     "x7_corpus_prep_full",
     "x5_distinctive_terms",
     "x8_source_cap",
+    # r2 late additions: time-series + winnowing families
+    "ts_hourly_gapfill_locf",
+    "x5_winnow_fingerprints",
 ]
 
 
