@@ -158,3 +158,55 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+@query(
+    "diff_orders_snapshot",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), ins AS (
+      SELECT -o_orderkey AS o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0
+    ), snap AS (
+      SELECT * FROM v2 UNION ALL SELECT * FROM ins
+    ), d AS (
+      SELECT COALESCE(o.o_orderkey, s.o_orderkey) AS k,
+        CASE
+          WHEN o.o_orderkey IS NULL THEN 'added'
+          WHEN s.o_orderkey IS NULL THEN 'removed'
+          WHEN o.o_totalprice = s.o_totalprice
+               AND o.o_orderstatus = s.o_orderstatus THEN 'same'
+          ELSE 'changed'
+        END AS change_type
+      FROM orders o FULL OUTER JOIN snap s ON o.o_orderkey = s.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY change_type
+    """,
+)
+def diff_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation report between orders and a deterministically mutated
+    snapshot (every 97th key removed, every 100th price bumped, negated
+    every-101st keys inserted) via operators/tablediff.py: one full-outer
+    join on the key, null-safe struct comparison, count per change_type."""
+    from ..operators.tablediff import diff_summary
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    )
+    snap = v2.unionByName(ins)
+    return diff_summary(o, snap, ["o_orderkey"])

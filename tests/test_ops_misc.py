@@ -397,3 +397,32 @@ def test_audio_frame_energy_exact_windows(spark):
         (1, 1): (1, 99 * 99),            # 'c'
         (2, 0): (0, 0),                  # empty blob -> one empty window
     }
+
+
+def test_table_diff_null_safety(spark):
+    """NULL->value is 'changed'; NULL==NULL is 'same'; one-sided keys
+    classify added/removed."""
+    from dockerized_data_pipeline_spark.operators.tablediff import table_diff
+
+    left = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "k long, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, None), (2, "z"), (4, "w")], "k long, v string"
+    )
+    got = {r.k: r.change_type for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "same", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended files may add columns; mergeSchema reads the union with
+    NULLs for old files -- the schema-drift posture for long-lived tables."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r.id: (r.s, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    assert set(df.columns) == {"id", "s", "score"}
