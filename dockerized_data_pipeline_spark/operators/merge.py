@@ -182,3 +182,27 @@ def merge_upsert_path(
         writer.parquet(version_dir)
 
     publish_table(target_path, write)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC changefeed (op in 'I'/'U'/'D') to a keyed snapshot:
+    MERGE WHEN MATCHED AND op='D' THEN DELETE / otherwise upsert.
+
+    With ``order_by`` the feed is first collapsed to the newest change per
+    key, so a key that was updated then deleted within the feed deletes --
+    per-key terminal-state semantics, the standard way to apply a
+    changefeed chunk in one shot (one window + the merge full-outer join;
+    no per-event replay).
+    """
+    if order_by:
+        changes = dedup_keep_newest(changes, keys, order_by)
+    deletes = changes.filter(F.col(op_col) == "D").select(*keys)
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    merged = merge_upsert(target, upserts, keys)
+    return merged.join(deletes, on=keys, how="left_anti")

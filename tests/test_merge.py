@@ -136,3 +136,38 @@ def test_merge_upsert_path_atomic_swap(spark, tmp_path):
     assert set(rows) == {"AAPL", "MSFT"}
     assert rows["AAPL"].close_price == 5.0
     assert rows["AAPL"].created_at == t("2024-01-01 00:00:00")  # preserved across swap
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    from dockerized_data_pipeline_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    feed = spark.createDataFrame(
+        [
+            ("I", 4, "d", 1),
+            ("U", 2, "b2", 1),
+            ("D", 3, None, 1),
+            ("U", 5, "e1", 1),   # updated then deleted in the same feed
+            ("D", 5, None, 2),
+        ],
+        "op string, k long, v string, seq long",
+    )
+    got = {
+        r.k: r.v
+        for r in apply_cdc(target, feed, ["k"], order_by=["seq"]).collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_apply_cdc_delete_then_reinsert_keeps_newest(spark):
+    from dockerized_data_pipeline_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    feed = spark.createDataFrame(
+        [("D", 1, None, 1), ("I", 1, "a2", 2)],
+        "op string, k long, v string, seq long",
+    )
+    got = {r.k: r.v for r in apply_cdc(target, feed, ["k"], order_by=["seq"]).collect()}
+    assert got == {1: "a2"}
