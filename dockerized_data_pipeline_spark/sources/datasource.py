@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from .retry import call_with_retry
@@ -46,6 +51,9 @@ class StockApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "StockApiReader":
         return StockApiReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "StockApiStreamReader":
+        return StockApiStreamReader(self.options)
 
 
 class StockApiReader(DataSourceReader):
@@ -107,6 +115,85 @@ class StockApiReader(DataSourceReader):
         )
         resp.raise_for_status()
         return resp.text
+
+
+@dataclass
+class PollPartition(InputPartition):
+    poll: int
+    symbol: str
+
+
+class StockApiStreamReader(DataSourceStreamReader):
+    """Streaming twin of StockApiReader: the reference fetches on a cron
+    schedule (dags/stock_data_pipeline.py:24-31 @hourly); here each poll is
+    a micro-batch offset, so ``readStream.format("stock_api")`` turns the
+    same API into a Structured Streaming source with exactly-once offsets
+    and one input partition per (poll, symbol).
+
+    Offline mode (tested): ``payload_dir`` holds ``poll{N}/{SYMBOL}.json``
+    drops; latestOffset = number of complete poll dirs, so newly-dropped
+    polls become exactly one micro-batch each and a restart replays from
+    the committed offset. Live mode: every latestOffset() call advances one
+    poll (each trigger fetches once, the cron analog).
+    """
+
+    def __init__(self, options):
+        raw = options.get("symbols", "")
+        self.symbols = list(
+            dict.fromkeys(s.strip().upper() for s in raw.split(",") if s.strip())
+        )
+        if not self.symbols:
+            raise ValueError("stock_api stream requires a 'symbols' option")
+        self.payload_dir = options.get("payload_dir")
+        self.api_key = options.get("api_key", "demo")
+        self.max_retries = int(options.get("max_retries", "3"))
+        self.retry_delay_sec = float(options.get("retry_delay_sec", "300"))
+        self._live_polls = 0
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _available_polls(self) -> int:
+        import os
+
+        if self.payload_dir is None:
+            return self._live_polls
+        n = 0
+        while os.path.isdir(os.path.join(self.payload_dir, f"poll{n}")):
+            n += 1
+        return n
+
+    def latestOffset(self) -> dict:
+        if self.payload_dir is None:
+            self._live_polls += 1
+        return {"poll": self._available_polls()}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            PollPartition(p, s)
+            for p in range(start["poll"], end["poll"])
+            for s in self.symbols
+        ]
+
+    def read(self, partition: PollPartition):
+        sym, poll = partition.symbol, partition.poll
+        try:
+            if self.payload_dir:
+                path = f"{self.payload_dir}/poll{poll}/{sym}.json"
+                with open(path, encoding="utf-8") as fh:
+                    yield (sym, fh.read(), None)
+            else:
+                body = call_with_retry(
+                    lambda: StockApiReader._get(self, sym),
+                    max_retries=self.max_retries,
+                    delay_sec=self.retry_delay_sec,
+                )
+                yield (sym, body, None)
+        except Exception as exc:
+            yield (sym, None, str(exc))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register(spark) -> None:

@@ -68,3 +68,54 @@ def test_sketches_close_to_exact(spark, sf_dir):
     for r in sketch_approx_percentiles(spark, sf_dir).collect():
         q = r.price_quartiles
         assert len(q) == 4 and q == sorted(q)
+
+
+def test_stream_reader_polls_become_microbatches(spark, tmp_path):
+    """Each payload_dir poll{N}/ drop is exactly one micro-batch; offsets
+    resume after restart (no re-read of committed polls)."""
+    import json
+
+    from dockerized_data_pipeline_spark.sources.datasource import register
+
+    register(spark)
+    src = tmp_path / "drops"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for poll in (0, 1):
+        d = src / f"poll{poll}"
+        d.mkdir(parents=True)
+        for sym in ("AAPL", "MSFT"):
+            (d / f"{sym}.json").write_text(json.dumps({"poll": poll, "sym": sym}))
+
+    def drain():
+        stream = (
+            spark.readStream.format("stock_api")
+            .option("symbols", "AAPL,MSFT")
+            .option("payload_dir", str(src))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4 and all(r.error is None for r in rows)
+
+    # drop a third poll; restart drains ONLY the new one
+    d = src / "poll2"
+    d.mkdir()
+    for sym in ("AAPL", "MSFT"):
+        (d / f"{sym}.json").write_text(json.dumps({"poll": 2, "sym": sym}))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 6
+    import json as _j
+
+    polls = sorted(_j.loads(r.payload)["poll"] for r in rows)
+    assert polls == [0, 0, 1, 1, 2, 2]
