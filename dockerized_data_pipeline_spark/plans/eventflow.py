@@ -210,3 +210,36 @@ def diff_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = v2.unionByName(ins)
     return diff_summary(o, snap, ["o_orderkey"])
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey AS id, c_name AS name,
+             unnest(list_prepend(c_name,
+               list_transform(range(1, LENGTH(c_name) + 1),
+                 i -> SUBSTRING(c_name, 1, i - 1) || SUBSTRING(c_name, i + 1)
+               ))) AS key
+      FROM customer
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.name AS name_a, b.name AS name_b
+      FROM k a JOIN k b ON a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customer-name pairs within edit distance 1 via
+    the SymSpell deletion-neighborhood join (operators/fuzzyjoin.py) --
+    recall-complete for one edit, no cross join, bucket keys are near-full
+    strings so the low-entropy shared prefix creates no hot buckets."""
+    from ..operators.fuzzyjoin import symspell_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return symspell_pairs(c, "c_custkey", "c_name", max_distance=1).select(
+        F.col("id_a"), F.col("id_b"), "name_a", "name_b", "distance"
+    )

@@ -426,3 +426,24 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: (r.s, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     assert set(df.columns) == {"id", "s", "score"}
+
+
+def test_symspell_pairs_recall_and_precision(spark):
+    """Distance-1 pairs (substitution, insertion/deletion) are all found;
+    distance-2 names are not."""
+    from dockerized_data_pipeline_spark.operators.fuzzyjoin import symspell_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jonathan"),
+            (2, "jonathon"),   # substitution: distance 1
+            (3, "jonathann"),  # insertion: distance 1 from #1
+            (4, "jxnathxn"),   # distance 2 from #1
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in symspell_pairs(df, "id", "name").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
