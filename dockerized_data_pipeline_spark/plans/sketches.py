@@ -57,3 +57,30 @@ def sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms.count_min_estimates(
         o, "o_orderpriority", exact, depth=4, width=256
     ).select("o_orderpriority", "exact_count", "cm_estimate")
+
+
+@query("sketch_hll_mergeable_rollup")
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-sketch rollup (Apache DataSketches HLL): build
+    one per-(event_type, day) user sketch, then UNION the daily sketches
+    into the per-type total -- the incremental pattern that lets a 100 TB
+    pipeline keep small daily sketches and re-derive any coarser distinct
+    count without touching raw data (register-max merge is commutative, so
+    the result is partition-order invariant). Rows-only: the sketch binary
+    is engine-specific; tests assert the estimate against exact distincts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -181,3 +181,42 @@ def rollup_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def fanout_stream(
+    stream_df: DataFrame,
+    sinks: list,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Multi-sink fan-out from ONE stream read: each micro-batch is
+    persisted once, then every sink callable ``(batch_df, epoch_id)`` runs
+    against the cached batch -- the source is read exactly once per batch
+    instead of once per sink (two independent queries would double the
+    source read AND could diverge on offsets; foreachBatch keeps one
+    offset log for all sinks).
+
+    Sinks must be idempotent per (batch content, epoch_id) -- e.g. MERGE
+    by key or epoch-keyed overwrite -- because a crash between sinks
+    replays the whole batch for all of them (the standard foreachBatch
+    multi-sink contract).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            for sink in sinks:
+                sink(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 hour")
+    return writer.start()

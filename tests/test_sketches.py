@@ -67,3 +67,26 @@ def test_approx_top_k_matches_exact_heavy_hitters(spark, sf_dir):
         for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
     }
     assert approx == exact
+
+
+def test_hll_mergeable_rollup_matches_exact(spark, sf_dir):
+    """Merged daily sketches must estimate the per-type distinct user
+    count within HLL error (default lgConfigK=12 -> ~1.6% rsd; assert 5%)."""
+    from dockerized_data_pipeline_spark import plans
+    from dockerized_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.event_type: r.approx_users
+        for r in plans.QUERIES["sketch_hll_mergeable_rollup"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])

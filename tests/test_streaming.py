@@ -345,3 +345,42 @@ def test_transform_with_state_drawdown_alerts(spark, tmp_path):
     run_batch([("AAPL", 5, 79_00), ("MSFT", 6, 49_00)])  # -21% vs stored peak; MSFT -2%
     rows = {(r.event_type, r.ts_us) for r in spark.read.parquet(out).collect()}
     assert rows == {("AAPL", 3), ("AAPL", 5)}
+
+
+def test_fanout_stream_feeds_two_sinks_from_one_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dockerized_data_pipeline_spark.operators.merge import merge_upsert_path
+    from dockerized_data_pipeline_spark.streaming.ingest import fanout_stream
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    errlog = str(tmp_path / "errors")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(
+        spark,
+        src,
+        [
+            ("AAPL", t("2024-01-05 15:00:00"), 100.0, t("2024-01-05 15:00:00")),
+            ("FAIL", t("2024-01-05 15:00:00"), -1.0, t("2024-01-05 15:00:00")),
+        ],
+    )
+
+    def merge_sink(batch_df, epoch_id):
+        merge_upsert_path(
+            spark, table, batch_df.filter(F.col("close_price") > 0),
+            keys=["symbol", "ts"], batch_order_by=["last_refreshed"],
+        )
+
+    def error_sink(batch_df, epoch_id):
+        bad = batch_df.filter(F.col("close_price") <= 0)
+        if not bad.isEmpty():
+            bad.write.mode("append").parquet(errlog)
+
+    q = fanout_stream(
+        stream_events(spark, src, SCHEMA), [merge_sink, error_sink], checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 1
+    assert spark.read.parquet(errlog).count() == 1
