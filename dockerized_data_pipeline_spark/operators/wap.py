@@ -1,0 +1,138 @@
+"""Write-Audit-Publish: stage a new table version, audit it (quality
+expectations + reconciliation against the current version), and flip it
+live only if every audit passes -- the publish discipline behind every
+trustworthy batch pipeline. The reference publishes by upserting straight
+into the serving table (scripts/fetch_stock_data.py:104-115, no audit
+step); this composes the engine's existing pieces instead:
+
+  - staging write  : atomic.publish_table's version dir (never the live path)
+  - audits         : callables over the staged DataFrame -- row-count
+                     floors, PK uniqueness (quality.duplicate_key_count),
+                     change-volume caps vs current (tablediff.diff_summary)
+  - publish        : atomic pointer flip, old version GC'd
+  - reject         : staged dir removed, live table untouched
+
+Audits see exactly the bytes that would go live (they read the staged
+files back, not the input DataFrame), so a nondeterministic upstream
+cannot sneak different data past the audit.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .atomic import _is_complete, _new_version_path, _flip, _version_glob
+
+AuditFn = Callable[[DataFrame], str | None]
+"""Returns None when the audit passes, else a human-readable failure."""
+
+
+class AuditError(RuntimeError):
+    def __init__(self, failures: list[str]):
+        super().__init__("; ".join(failures))
+        self.failures = failures
+
+
+def expect_min_rows(n: int) -> AuditFn:
+    def audit(staged: DataFrame) -> str | None:
+        got = staged.count()
+        return None if got >= n else f"expected >= {n} rows, staged {got}"
+
+    return audit
+
+
+def expect_unique_key(key_cols: list[str]) -> AuditFn:
+    def audit(staged: DataFrame) -> str | None:
+        from .quality import duplicate_key_count
+
+        dups = duplicate_key_count(staged, key_cols)
+        return None if dups == 0 else f"{dups} duplicate keys on {key_cols}"
+
+    return audit
+
+
+def expect_no_nulls(cols: list[str]) -> AuditFn:
+    def audit(staged: DataFrame) -> str | None:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        any_null = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in cols])
+        n = staged.filter(any_null).count()
+        return None if n == 0 else f"{n} rows with NULL in {cols}"
+
+    return audit
+
+
+def expect_max_change(
+    current: DataFrame | None, key_cols: list[str], max_changed_ppm: int
+) -> AuditFn:
+    """Change-volume circuit breaker: reject a publish that would change or
+    remove more than ``max_changed_ppm`` of the current version's keys --
+    the audit that catches a truncated upstream before it goes live.
+    ``current`` None (first publish) always passes."""
+
+    def audit(staged: DataFrame) -> str | None:
+        if current is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from .tablediff import diff_summary
+
+        counts = {
+            r.change_type: r.n
+            for r in diff_summary(current, staged, key_cols).collect()
+        }
+        n_current = current.count()
+        if n_current == 0:
+            return None
+        disturbed = counts.get("changed", 0) + counts.get("removed", 0)
+        ppm = disturbed * 1_000_000 // n_current
+        if ppm > max_changed_ppm:
+            return (
+                f"change volume {ppm} ppm exceeds {max_changed_ppm} ppm "
+                f"(changed={counts.get('changed', 0)}, removed={counts.get('removed', 0)})"
+            )
+        return None
+
+    return audit
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    target_path: str,
+    audits: list[AuditFn],
+    write_fn: Callable[[DataFrame, str], None] | None = None,
+) -> str:
+    """Stage ``df`` as a new version of ``target_path``, run every audit
+    against the staged files, then atomically publish. Raises AuditError
+    (staging removed, live table untouched) if any audit fails. Returns
+    the published version dir."""
+    write_fn = write_fn or (lambda d, path: d.write.parquet(path))
+    staged_dir = _new_version_path(target_path)
+    write_fn(df, staged_dir)
+    if not _is_complete(staged_dir):
+        open(os.path.join(staged_dir, "_SUCCESS"), "a").close()
+
+    staged = spark.read.parquet(staged_dir)
+    failures = [msg for msg in (a(staged) for a in audits) if msg is not None]
+    if failures:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        raise AuditError(failures)
+
+    if os.path.exists(target_path) and not os.path.islink(target_path):
+        prev = _new_version_path(target_path)
+        os.rename(target_path, prev)
+        open(os.path.join(prev, "_SUCCESS"), "a").close()
+    _flip(target_path, staged_dir)
+    import glob as _glob
+
+    for d in _glob.glob(_version_glob(target_path)):
+        if os.path.abspath(d) != os.path.abspath(staged_dir):
+            shutil.rmtree(d, ignore_errors=True)
+    return staged_dir

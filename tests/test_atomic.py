@@ -129,3 +129,67 @@ def test_merge_upsert_path_crash_midway_then_retry(spark, tmp_path, monkeypatch)
     assert _read_prices(spark, path) == {"AAPL": 1.0}  # old table intact
     merge_upsert_path(spark, path, b2, ["symbol", "ts"])  # retry
     assert _read_prices(spark, path) == {"AAPL": 1.0, "MSFT": 9.0}
+
+
+def test_write_audit_publish_rejects_bad_stage(spark, tmp_path):
+    """A failing audit must leave the live table untouched and remove the
+    staged version."""
+    import glob
+    import pytest
+
+    from dockerized_data_pipeline_spark.operators.wap import (
+        AuditError,
+        expect_max_change,
+        expect_min_rows,
+        expect_unique_key,
+        write_audit_publish,
+    )
+
+    target = str(tmp_path / "prices")
+    v1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    write_audit_publish(
+        spark, v1, target, [expect_min_rows(50), expect_unique_key(["k"])]
+    )
+    assert spark.read.parquet(target).count() == 100
+
+    current = spark.read.parquet(target)
+    truncated = v1.filter("k < 5")  # upstream truncation: 95% keys removed
+    with pytest.raises(AuditError, match="change volume"):
+        write_audit_publish(
+            spark,
+            truncated,
+            target,
+            [expect_min_rows(1), expect_max_change(current, ["k"], 100_000)],
+        )
+    assert spark.read.parquet(target).count() == 100  # live table untouched
+    # rejected stage removed: only the one live (hidden) version dir remains
+    parent = str(tmp_path)
+    versions = glob.glob(f"{parent}/.prices.v-*")
+    assert len(versions) == 1
+
+    # a sane incremental publish (3% changed) passes the same breaker
+    v2 = spark.createDataFrame(
+        [(i, float(i) + (1 if i < 3 else 0)) for i in range(100)],
+        "k long, v double",
+    )
+    write_audit_publish(
+        spark, v2, target, [expect_max_change(current, ["k"], 100_000)]
+    )
+    assert spark.read.parquet(target).filter("v != k").count() == 3
+
+
+def test_write_audit_publish_null_audit(spark, tmp_path):
+    import pytest
+
+    from dockerized_data_pipeline_spark.operators.wap import (
+        AuditError,
+        expect_no_nulls,
+        write_audit_publish,
+    )
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, None)], "k long, v string")
+    with pytest.raises(AuditError, match="NULL"):
+        write_audit_publish(spark, df, target, [expect_no_nulls(["v"])])
