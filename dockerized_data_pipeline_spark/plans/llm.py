@@ -1423,3 +1423,63 @@ def x6_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("even_k"),
         )
     )
+
+
+_VOCAB_K = 1000
+
+
+@query(
+    "x5_oov_rate",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM freq
+      QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tok) <= {_VOCAB_K}
+    ), scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+      FROM tk t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+    FROM scored
+    """,
+)
+def x5_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own top-K
+    token vocabulary (deterministic ties: count desc, then token) -- the
+    exact-arithmetic stand-in for perplexity filtering: high OOV = the doc
+    doesn't look like the corpus. Corpus-conditional: vocabulary comes from
+    a token-frequency aggregate, broadcast into the per-doc join (top-K is
+    a distributed TakeOrdered, never a driver collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    freq = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        freq.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(_VOCAB_K)
+        .select("tok")
+    )
+    scored = (
+        tk.join(F.broadcast(vocab.withColumn("__in_v", F.lit(True))), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("__in_v").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.floor(F.col("n_oov") * 1_000_000 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("oov_ppm"),
+    )

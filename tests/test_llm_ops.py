@@ -455,3 +455,19 @@ def test_winnow_short_doc_fallback(spark):
         "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fp")).collect()}
     assert rows[1] == []          # fewer tokens than k -> no k-grams
     assert len(rows[2]) == 2      # fallback: all k-gram hashes kept
+
+
+def test_decode_media_arrow_equals_pandas_path(spark, sf_dir):
+    """mapInArrow twin must produce byte-identical decode output to the
+    mapInPandas path."""
+    from dockerized_data_pipeline_spark.catalog import load_table
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        decode_media,
+        decode_media_arrow,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    a = {tuple(r) for r in decode_media(media).collect()}
+    b = {tuple(r) for r in decode_media_arrow(media).collect()}
+    assert a == b and len(a) == 500
