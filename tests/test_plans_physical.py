@@ -188,3 +188,44 @@ def test_variant_props_single_agg_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # partial + final aggregation, one exchange on the group key
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Scale posture: with a selective dim-side filter and a shuffle join,
+    Catalyst injects a runtime bloom filter (bloom_filter_agg on the dim
+    keys, might_contain on the fact scan) so the fact side drops non-
+    joining rows BEFORE the shuffle. Size thresholds keep it off at test
+    scale, so this test lowers them to prove the machinery engages -- at
+    100 TB the defaults (10MB creation side) trigger on their own."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
