@@ -267,3 +267,57 @@ def ts_pair_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("comove_num"),
         )
     )
+
+
+@query(
+    "ts_rolling_channel",
+    oracle=_ORACLE_OBS_GRID + """  -- (spans/grid/j CTEs unused here)
+    , w AS (
+      SELECT event_type, bucket, close_cents,
+             MIN(close_cents) OVER ch AS ch_low,
+             MAX(close_cents) OVER ch AS ch_high,
+             COUNT(*) OVER ch AS n_win
+      FROM obs
+      WINDOW ch AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bucket, close_cents, ch_low, ch_high,
+           CASE WHEN ch_high > ch_low
+                THEN (close_cents - ch_low) * 1000000 // (ch_high - ch_low)
+                ELSE 500000 END AS channel_pos_ppm
+    FROM w WHERE n_win = 24
+    """,
+)
+def ts_rolling_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling min/max (Donchian) channel over the hourly closes,
+    plus the close's position inside the channel in exact ppm (degenerate
+    flat channel pins to the midpoint). Rows without a full 24-observation
+    history are excluded so the frame is always well-defined. One window
+    over the per-key ordered closes -- a bounded ROWS frame, so Spark keeps
+    a running deque, not the whole partition, per frame evaluation."""
+    from pyspark.sql import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    ch = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    lo, hi = F.min("close_cents").over(ch), F.max("close_cents").over(ch)
+    pos = F.when(
+        hi > lo,
+        F.floor(
+            (F.col("close_cents") - lo) * 1_000_000 / (hi - lo)
+        ),
+    ).otherwise(F.lit(500_000)).cast("bigint")
+    return (
+        closes.withColumn("ch_low", lo)
+        .withColumn("ch_high", hi)
+        .withColumn("n_win", F.count("*").over(ch))
+        .withColumn("channel_pos_ppm", pos)
+        .filter(F.col("n_win") == 24)
+        .select(
+            "event_type", "bucket", "close_cents", "ch_low", "ch_high",
+            "channel_pos_ppm",
+        )
+    )
