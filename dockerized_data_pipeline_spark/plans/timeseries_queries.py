@@ -321,3 +321,57 @@ def ts_rolling_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel_pos_ppm",
         )
     )
+
+
+_EWMA_LAGS = 10  # alpha = 1/2 over the last 10 observations; den = 2^10 - 1
+
+
+@query(
+    "ts_ewma_halflife",
+    oracle=_ORACLE_OBS_GRID + """  -- (spans/grid/j CTEs unused here)
+    , w AS (
+      SELECT event_type, bucket, close_cents,
+             COUNT(*) OVER h AS n_win,
+             """
+    + "\n             + ".join(
+        f"COALESCE(LAG(close_cents, {k}) OVER "
+        f"(PARTITION BY event_type ORDER BY bucket), 0) * {1 << (10 - 1 - k)}"
+        for k in range(10)
+    )
+    + """ AS ewma_num
+      FROM obs
+      WINDOW h AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bucket, close_cents,
+           ewma_num, ewma_num * 1000 // 1023 AS ewma_milli
+    FROM w WHERE n_win = 10
+    """,
+)
+def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life EWMA (alpha = 1/2) over the last 10 hourly closes, exact:
+    weights are powers of two, so ewma = sum(v_{t-k} * 2^(9-k)) / 1023 is
+    plain int64 arithmetic (emitted as the raw numerator plus truncated
+    milli value). Ten lag() terms in one window pass -- no UDAF, no float
+    recurrence; rows without full history are excluded so the denominator
+    is the constant 1023."""
+    from pyspark.sql import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    num = None
+    for k in range(_EWMA_LAGS):
+        term = F.coalesce(
+            F.lag("close_cents", k).over(w), F.lit(0)
+        ) * F.lit(1 << (_EWMA_LAGS - 1 - k))
+        num = term if num is None else num + term
+    h = w.rowsBetween(-(_EWMA_LAGS - 1), Window.currentRow)
+    return (
+        closes.withColumn("ewma_num", num.cast("bigint"))
+        .withColumn("n_win", F.count("*").over(h))
+        .filter(F.col("n_win") == _EWMA_LAGS)
+        .select(
+            "event_type", "bucket", "close_cents", "ewma_num",
+            F.expr("ewma_num * 1000 div 1023").alias("ewma_milli"),
+        )
+    )
