@@ -1483,3 +1483,62 @@ def x5_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("oov_ppm"),
     )
+
+
+_N_CURRICULUM_SHARDS = 8
+
+
+@query(
+    "x8_curriculum_shards",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(
+               (0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 200.0, 1.0)
+                + 0.5 * LEAST(
+                    CAST(LEN(list_filter(string_split(text, ' '),
+                                         t -> t IN {_STOP_SQL})) AS DOUBLE)
+                    / GREATEST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 0.05, 1.0),
+                    1.0))
+               * 1000000.0
+             ) AS BIGINT) AS quality_ppm
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, lang, quality_ppm,
+             NTILE({_N_CURRICULUM_SHARDS}) OVER (
+               ORDER BY quality_ppm, doc_id) AS shard
+      FROM scored
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(quality_ppm) AS min_q, MAX(quality_ppm) AS max_q,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM sharded GROUP BY shard
+    """,
+)
+def x8_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: shard the corpus into N difficulty tiers by
+    ascending quality score (NTILE over a deterministic total order --
+    quality then doc_id), reporting each tier's size and score range.
+    NTILE's global ordering is the one inherently-serial step; at 100 TB
+    the same tiers come from quantile cut points (percentile_approx) with
+    per-row bucket assignment -- documented here, asserted equivalent in
+    tests at fixture scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", TX.quality_score_ppm(F.col("text")).alias("quality_ppm")
+    )
+    sharded = scored.withColumn(
+        "shard",
+        F.ntile(_N_CURRICULUM_SHARDS)
+        .over(Window.orderBy("quality_ppm", "doc_id"))
+        .cast("bigint"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("quality_ppm").alias("min_q"),
+        F.max("quality_ppm").alias("max_q"),
+        F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
+    )
