@@ -147,3 +147,24 @@ def x4_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_sqdist_e3"),
         )
     )
+
+
+@query(
+    "x4_decode_arrow",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(64 + strlen(text) % 192 AS INTEGER) AS width,
+           CAST(64 + (strlen(text) * 7) % 192 AS INTEGER) AS height,
+           CAST((64 + strlen(text) % 192) * 1000000
+                // (64 + (strlen(text) * 7) % 192) AS BIGINT) AS aspect_ppm
+    FROM documents
+    """,
+)
+def x4_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of x4_multimodal_decode (same oracle): pyarrow
+    RecordBatch compute kernels end to end, no Arrow<->pandas hop."""
+    from ..functions.multimodal import decode_media_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_arrow(media_from_documents(docs))
