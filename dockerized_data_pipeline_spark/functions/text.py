@@ -214,39 +214,54 @@ def _token_val(tok: Column) -> Column:
     return (F.length(tok) * 17 + F.ascii(F.substring(tok, 1, 1))).cast("long")
 
 
-def winnow_fingerprints(text: Column | str, k: int = 5, w: int = 4) -> Column:
+def winnow_fingerprints(df, text_col: str, k: int = 5, w: int = 4, out_col: str = "fingerprints"):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     2003): hash every k-gram of tokens with a portable polynomial rolling
     hash, slide a window of w consecutive k-gram hashes, keep the minimum
-    of each window, return the sorted distinct selection.
+    of each window, return the sorted distinct selection as ``out_col``.
 
     Guarantees: any shared token run of length >= k + w - 1 between two
     documents yields at least one shared fingerprint, at ~1/w storage of
     full k-gram shingling. Pure per-row array expressions -- no shuffle;
-    overlap detection is then a bucket join on the exploded output."""
-    toks = tokens(text)
-    n_grams = F.size(toks) - (k - 1)
+    overlap detection is then a bucket join on the exploded output.
+
+    DataFrame-level on purpose: each stage (token values -> k-gram hashes
+    -> window minima) is materialized as its own projection. Inlining them
+    into one Column re-evaluates the gram construction once per window and
+    the token hash once per gram -- measured 38x slower at sf0.1 (99 s ->
+    2.6 s for 5,000 docs). CollapseProject keeps the stages separate
+    because duplicating higher-order expressions is not considered cheap.
+    """
     empty = F.expr("array()").cast("array<bigint>")
+    d = df.withColumn("__wn_vals", F.transform(tokens(F.col(text_col)), _token_val))
+    n_grams = F.size("__wn_vals") - (k - 1)
     # sequence(1, n) with n < 1 silently DESCENDS ([1, 0]) -- guard required
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.aggregate(
-                F.slice(toks, i, k),
-                F.lit(0).cast("long"),
-                lambda acc, t: (acc * 31 + _token_val(t)) % FINGERPRINT_MOD,
+    d = d.withColumn(
+        "__wn_grams",
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.aggregate(
+                    F.slice("__wn_vals", i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: (acc * 31 + v) % FINGERPRINT_MOD,
+                ),
             ),
-        ),
-    ).otherwise(empty)
-    n_windows = F.size(grams) - (w - 1)
-    mins = F.when(
-        n_windows >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-            lambda i: F.array_min(F.slice(grams, i, w)),
-        ),
-    ).otherwise(empty)
-    # short docs (fewer than w k-grams): fall back to all k-gram hashes
-    selected = F.when(n_windows >= 1, mins).otherwise(grams)
-    return F.array_sort(F.array_distinct(selected))
+        ).otherwise(empty),
+    )
+    n_windows = F.size("__wn_grams") - (w - 1)
+    d = d.withColumn(
+        "__wn_mins",
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda i: F.array_min(F.slice("__wn_grams", i, w)),
+            ),
+        # short docs (fewer than w k-grams): fall back to all k-gram hashes
+        ).otherwise(F.col("__wn_grams")),
+    )
+    return d.withColumn(
+        out_col, F.array_sort(F.array_distinct("__wn_mins"))
+    ).drop("__wn_vals", "__wn_grams", "__wn_mins")

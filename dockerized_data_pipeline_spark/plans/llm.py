@@ -1306,11 +1306,11 @@ def x5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= k + w - 1. Portable integer rolling hash, so the oracle replays the
     identical selection in DuckDB list functions."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = TX.winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
-    return docs.select(
+    fped = TX.winnow_fingerprints(docs, "text", k=_WINNOW_K, w=_WINNOW_W)
+    return fped.select(
         "doc_id",
-        fp.alias("fingerprints"),
-        F.size(fp).cast("long").alias("n_fp"),
+        "fingerprints",
+        F.size("fingerprints").cast("long").alias("n_fp"),
     )
 
 
@@ -1363,8 +1363,17 @@ def x8_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key is the fingerprint, so co-bucketed work is bounded by
     cap^2 per fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = TX.winnow_fingerprints(F.col("text"), k=_WINNOW_K, w=_WINNOW_W)
-    ex = docs.select("doc_id", F.explode(fp).alias("fp"))
+    fped = TX.winnow_fingerprints(docs, "text", k=_WINNOW_K, w=_WINNOW_W)
+    # materialize the slim (doc_id, fingerprints) table BEFORE exploding:
+    # a Generate input collapses the staged winnow projections back into
+    # one expression tree (re-amplifying the per-row array work, measured
+    # minutes at sf0.1), and the frequency filter plus both self-join
+    # sides would each recompute it again. At real scale this checkpoint
+    # is "write the fingerprint table"; here localCheckpoint bounds it.
+    slim = fped.select("doc_id", "fingerprints").localCheckpoint()
+    ex = slim.select("doc_id", F.explode("fingerprints").alias("fp")).repartition(
+        32, "fp"
+    )
     cold = (
         ex.groupBy("fp")
         .agg(F.count("*").alias("__n"))

@@ -436,8 +436,8 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         ],
         "doc_id long, text string",
     )
-    rows = df.select(
-        "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fp")
+    rows = winnow_fingerprints(df, "text", k=5, w=4, out_col="fp").select(
+        "doc_id", "fp"
     ).collect()
     fps = {r.doc_id: set(r.fp) for r in rows}
     assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
@@ -451,8 +451,8 @@ def test_winnow_short_doc_fallback(spark):
         [(1, "only three tokens"), (2, "a b c d e f")],  # 3 toks: < k; 6 toks: 2 grams < w
         "doc_id long, text string",
     )
-    rows = {r.doc_id: r.fp for r in df.select(
-        "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fp")).collect()}
+    rows = {r.doc_id: r.fp for r in winnow_fingerprints(
+        df, "text", k=5, w=4, out_col="fp").select("doc_id", "fp").collect()}
     assert rows[1] == []          # fewer tokens than k -> no k-grams
     assert len(rows[2]) == 2      # fallback: all k-gram hashes kept
 
