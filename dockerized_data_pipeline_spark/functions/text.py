@@ -117,6 +117,34 @@ def doc_fingerprint(text: Column | str) -> Column:
     )
 
 
+def simhash_token_hashes(text: Column | str) -> Column:
+    """xxhash64 of each distinct whitespace token -- stage THIS as its own
+    projection before folding votes: the 64 bit-votes each reference the
+    hash array, and an inlined transform would re-tokenize and re-hash the
+    document 64 times (measured 5.7x slower at sf0.1)."""
+    return F.transform(F.array_distinct(tokens(text)), lambda t: F.xxhash64(t))
+
+
+def simhash_votes(hashes: Column) -> Column:
+    """Fold the 64 per-bit majority votes over a (pre-staged) token-hash
+    array column into the SimHash value."""
+
+    def bit_vote(mask):
+        def fold(acc, h):
+            return acc + F.when(
+                h.bitwiseAND(mask) != F.lit(0).cast("long"), 1
+            ).otherwise(-1)
+
+        return fold
+
+    out = F.lit(0).cast("long")
+    for idx in range(64):
+        mask = F.expr(f"shiftleft(1L, {idx})")
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(mask))
+        out = out.bitwiseOR(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
+    return out
+
+
 def simhash64(text: Column | str) -> Column:
     """64-bit SimHash over whitespace tokens using xxhash64 (engine-specific;
     rows-only checkable). Bit i of the result is 1 iff the sum over tokens of
@@ -124,6 +152,9 @@ def simhash64(text: Column | str) -> Column:
 
     Composed entirely of higher-order array functions -- per-row, no shuffle;
     near-dup candidates then cluster by hamming distance on the output.
+    Prefer staging simhash_token_hashes + simhash_votes in a DataFrame
+    pipeline (see operators.dedup.simhash_signatures) -- this single-Column
+    form re-evaluates the token hashing once per bit vote.
     """
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import simhash64, tokens
+from ..functions.text import simhash_token_hashes, simhash_votes, tokens
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -247,7 +247,12 @@ def collapse_neardups(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """X2 (SimHash flavor): 64-bit signature per document; near-dups have
     small hamming distance. Per-row compute only."""
-    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    staged = df.select(
+        F.col(id_col), simhash_token_hashes(F.col(text_col)).alias("__sh_hashes")
+    )
+    return staged.select(
+        F.col(id_col), simhash_votes(F.col("__sh_hashes")).alias("simhash")
+    )
 
 
 def simhash_neardup_pairs(

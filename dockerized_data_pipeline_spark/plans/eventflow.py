@@ -139,14 +139,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives scale (per-key fanout bounded by max degree, AQE handles the
     hub skew; no all-pairs step anywhere)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x, y = li.alias("x"), li.alias("y")
+    # per-order supplier sets + in-array pair expansion: one aggregation
+    # shuffle instead of a lineitem self-join (2x faster at sf0.1, and the
+    # per-order pair fanout is bounded by order size, not join hash builds)
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
     edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (v, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), w -> struct(v as a, w as b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .select("p.a", "p.b")
         .distinct()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
