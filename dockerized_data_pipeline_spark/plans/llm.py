@@ -1551,3 +1551,68 @@ def x8_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("quality_ppm").alias("max_q"),
         F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
     )
+
+
+@query(
+    "x5_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS labeled,
+             {_LANG_SCORE_SQL['en']} AS en_s,
+             {_LANG_SCORE_SQL['es']} AS es_s,
+             {_LANG_SCORE_SQL['fr']} AS fr_s,
+             {_LANG_SCORE_SQL['de']} AS de_s
+      FROM documents
+    ), g AS (
+      SELECT labeled,
+        CASE
+          WHEN GREATEST(en_s, es_s, fr_s, de_s) = 0 THEN 'und'
+          WHEN en_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'en'
+          WHEN es_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'es'
+          WHEN fr_s = GREATEST(en_s, es_s, fr_s, de_s) THEN 'fr'
+          ELSE 'de'
+        END AS guessed
+      FROM scored
+    )
+    SELECT labeled, guessed, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY labeled, guessed
+    """,
+)
+def x5_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the marker-based
+    lang_guess against the labeled lang column -- the quality-evaluation
+    query a corpus pipeline runs before trusting a classifier gate."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled"),
+            TX.lang_guess(F.col("text")).alias("guessed"),
+        )
+        .groupBy("labeled", "guessed")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@query("x3_ivf_recall_eval")
+def x3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: the recall@10-vs-n_probe curve of the
+    trained-codebook IVF search against the exact cosine top-10 -- the
+    measurement a pipeline runs before choosing its n_probe/n_lists
+    operating point (n_probe = 8 of 8 lists scans everything, so its row
+    must show recall 1.0; fewer probes trade recall for scan fraction).
+    Rows-only (IVF pruning is engine-side) but fully deterministic."""
+    from ..operators import kmeans as KM
+
+    exact = x3_cosine_topk(spark, sf_dir).select("vec_id")
+    k = exact.count()
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = KM.kmeans_fit(emb, "vec_id", "embedding", k=8, iterations=2)
+    probe = _probe_vector(spark, sf_dir)
+    rows = []
+    for n_probe in (1, 2, 3, 4, 8):
+        approx = SIM.ivf_topk(emb, probe, cents, k=10, n_probe=n_probe).select("vec_id")
+        hit = exact.join(approx, "vec_id", "left_semi").count()
+        rows.append((n_probe, int(k), int(hit), int(hit * 1_000_000 // k)))
+    return spark.createDataFrame(
+        rows, "n_probe long, k long, hits long, recall_ppm long"
+    )

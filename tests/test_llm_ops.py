@@ -471,3 +471,15 @@ def test_decode_media_arrow_equals_pandas_path(spark, sf_dir):
     a = {tuple(r) for r in decode_media(media).collect()}
     b = {tuple(r) for r in decode_media_arrow(media).collect()}
     assert a == b and len(a) == 500
+
+
+def test_ivf_recall_curve_monotone_full_probe_exact(spark, sf_dir):
+    from dockerized_data_pipeline_spark import plans
+
+    rows = sorted(
+        (r.n_probe, r.recall_ppm)
+        for r in plans.QUERIES["x3_ivf_recall_eval"](spark, sf_dir).collect()
+    )
+    recalls = [r for _, r in rows]
+    assert recalls == sorted(recalls), "recall must not drop as n_probe grows"
+    assert rows[-1] == (8, 1_000_000), "probing all lists must be exact"
