@@ -375,3 +375,72 @@ def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ewma_num * 1000 div 1023").alias("ewma_milli"),
         )
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=_ORACLE_OBS_GRID + """  -- (spans/grid/j CTEs unused here)
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(close_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(close_cents) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+    FROM obs
+    GROUP BY event_type, EXTRACT(hour FROM bucket)
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per key (the 'seasonal' component of a
+    classical decomposition): mean hourly close per (key, hour-of-day) in
+    exact truncated milli-cents. One partial+final aggregate over the
+    resampled closes."""
+    closes = _hourly_closes(spark, sf_dir)
+    hod = F.hour(F.col("bucket")).cast("bigint")
+    return (
+        closes.groupBy("event_type", hod.alias("hour_of_day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("close_cents").cast("bigint").alias("sum_cents"),
+        )
+        .withColumn(
+            "mean_milli", F.expr("sum_cents * 1000 div n").cast("bigint")
+        )
+    )
+
+
+@query(
+    "ts_seasonal_residual",
+    oracle=_ORACLE_OBS_GRID + """  -- (spans/grid/j CTEs unused here)
+    , prof AS (
+      SELECT event_type, EXTRACT(hour FROM bucket) AS hod,
+             SUM(close_cents) * 1000 // COUNT(*) AS mean_milli
+      FROM obs GROUP BY event_type, EXTRACT(hour FROM bucket)
+    )
+    SELECT o.event_type, o.bucket,
+           CAST(o.close_cents * 1000 - p.mean_milli AS BIGINT) AS residual_milli
+    FROM obs o
+    JOIN prof p ON o.event_type = p.event_type
+                AND EXTRACT(hour FROM o.bucket) = p.hod
+    """,
+)
+def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-seasonalized residual: close minus its key's hour-of-day mean
+    (exact milli-cents). The profile is a tiny aggregate (keys x 24 rows)
+    broadcast back over the series -- no second shuffle of the facts."""
+    closes = _hourly_closes(spark, sf_dir)
+    hod = F.hour(F.col("bucket")).cast("bigint")
+    prof = (
+        closes.groupBy("event_type", hod.alias("hod"))
+        .agg(F.expr("sum(close_cents) * 1000 div count(*)").alias("mean_milli"))
+    )
+    withh = closes.withColumn("hod", hod)
+    return (
+        withh.join(F.broadcast(prof), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("close_cents") * 1000 - F.col("mean_milli"))
+            .cast("bigint")
+            .alias("residual_milli"),
+        )
+    )
