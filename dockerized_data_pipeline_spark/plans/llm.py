@@ -1616,3 +1616,59 @@ def x3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_probe long, k long, hits long, recall_ppm long"
     )
+
+
+_BATCH_PROBES = 5
+
+
+@query(
+    "x3_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {_BATCH_PROBES}
+    ), scored AS (
+      SELECT q.probe_id, e.vec_id,
+             CAST(ROUND(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS DECIMAL(18,4)
+             ) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.probe_id
+    )
+    SELECT probe_id, vec_id, cos_sim FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id) <= 3
+    """,
+)
+def x3_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: exact cosine top-3 neighbors for EACH of the first
+    5 probe vectors in one pass -- broadcast the tiny probe set over the
+    corpus scan (corpus read once for the whole batch, not once per
+    query), then two-phase bucketed top-k per probe so no probe's ranking
+    funnels through a single task."""
+    from ..functions.vectors import cosine
+    from ..operators.skew import bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _BATCH_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4)
+            .cast("decimal(18,4)")
+            .alias("cos_sim"),
+        )
+    )
+    return bucketed_topk(
+        scored,
+        ["probe_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id")],
+        k=3,
+    ).drop("rk")
