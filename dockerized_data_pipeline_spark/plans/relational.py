@@ -669,3 +669,41 @@ def window_hourly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type", "hour", "n", (F.col("n") - F.lag("n").over(w)).alias("delta")
     )
+
+
+@query(
+    "join_salted_hot_status",
+    oracle="""
+    WITH dim AS (
+      SELECT 'O' AS o_orderstatus, 'open' AS status_label UNION ALL
+      SELECT 'F', 'finished' UNION ALL
+      SELECT 'P', 'pending'
+    )
+    SELECT d.status_label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
+    GROUP BY d.status_label
+    """,
+)
+def join_salted_hot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join on a pathologically hot key (o_orderstatus has 3
+    values, so an unsalted shuffle join is 3 tasks): the fact side gets a
+    random salt, the 3-row dim is replicated across 8 salt buckets, and
+    the join key becomes (status, salt) -- spreading each hot key over 8
+    tasks. The salt never leaks into results (each fact row joins exactly
+    once), so the oracle is the plain unsalted join."""
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        "o_orderstatus string, status_label string",
+    )
+    joined = salted_join(o, dim, on="o_orderstatus", salt_buckets=8)
+    return joined.groupBy("status_label").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
