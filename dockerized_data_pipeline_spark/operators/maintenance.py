@@ -12,6 +12,7 @@ fact table.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -181,3 +182,63 @@ def zorder_table(
         .drop("__z", *[f"__zb{i}" for i in range(len(zorder_cols))])
     )
     publish_table(table_path, lambda v: clustered.write.mode("overwrite").parquet(v))
+
+
+def vacuum_table(
+    target_path: str,
+    keep_current: bool = True,
+    dry_run: bool = False,
+) -> dict[str, list[str]]:
+    """Remove leftover artifacts around a versioned table: stale version
+    dirs not pointed to by the current symlink, orphaned flip temp links,
+    and writer debris (_temporary, .crc without a data file). The GC that
+    ``publish_table`` does opportunistically, runnable on demand after a
+    crash (the reference's only cleanup is ``make clean-all`` dropping the
+    whole volume, Makefile:156-162).
+
+    Single-writer assumption (same as publish); ``dry_run`` lists what
+    would be removed without touching anything.
+    """
+    import glob as _glob
+
+    from .atomic import _version_glob
+
+    removed: dict[str, list[str]] = {"versions": [], "flips": [], "debris": []}
+    current = (
+        os.path.realpath(target_path) if os.path.islink(target_path) else None
+    )
+    for d in _glob.glob(_version_glob(target_path)):
+        if keep_current and current and os.path.realpath(d) == current:
+            continue
+        removed["versions"].append(d)
+        if not dry_run:
+            shutil.rmtree(d, ignore_errors=True)
+    for leftover in _glob.glob(_glob.escape(target_path) + ".flip-*"):
+        removed["flips"].append(leftover)
+        if not dry_run:
+            try:
+                os.unlink(leftover)
+            except OSError:
+                pass
+    search_root = current if current else target_path
+    if os.path.isdir(search_root):
+        for r, dirs, files in os.walk(search_root):
+            for d in list(dirs):
+                if d == "_temporary":
+                    p = os.path.join(r, d)
+                    removed["debris"].append(p)
+                    if not dry_run:
+                        shutil.rmtree(p, ignore_errors=True)
+                    dirs.remove(d)
+            for f in files:
+                if f.endswith(".crc") and not os.path.exists(
+                    os.path.join(r, f[1:-4] if f.startswith(".") else f[:-4])
+                ):
+                    p = os.path.join(r, f)
+                    removed["debris"].append(p)
+                    if not dry_run:
+                        try:
+                            os.unlink(p)
+                        except OSError:
+                            pass
+    return removed

@@ -141,3 +141,34 @@ def test_zorder_table_narrows_both_columns(spark, tmp_path):
     assert spans_y[len(spans_y) // 2] < 12000
     # and the worst file still never spans the whole domain on BOTH keys
     assert all(sx < 20000 or sy < 20000 for sx, sy in spans)
+
+
+def test_vacuum_removes_stale_versions_and_debris(spark, tmp_path):
+    import os
+
+    from dockerized_data_pipeline_spark.operators.atomic import publish_table
+    from dockerized_data_pipeline_spark.operators.maintenance import vacuum_table
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    publish_table(target, lambda v: df.write.parquet(v))
+
+    # simulate crash leftovers: a stale version dir, a flip temp, debris
+    stale = str(tmp_path / ".t.v-deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "_SUCCESS"), "a").close()
+    os.symlink(".t.v-deadbeef", target + ".flip-junk")
+    live = os.path.realpath(target)
+    os.makedirs(os.path.join(live, "_temporary"))
+    open(os.path.join(live, ".orphan.parquet.crc"), "a").close()
+
+    report = vacuum_table(target, dry_run=True)
+    assert stale in report["versions"] and os.path.isdir(stale)  # dry run
+
+    report = vacuum_table(target)
+    assert not os.path.isdir(stale)
+    assert not os.path.exists(target + ".flip-junk")
+    assert not os.path.exists(os.path.join(live, "_temporary"))
+    assert not os.path.exists(os.path.join(live, ".orphan.parquet.crc"))
+    # live table untouched and readable
+    assert spark.read.parquet(target).count() == 1
