@@ -444,3 +444,62 @@ def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("residual_milli"),
         )
     )
+
+
+@query(
+    "ts_pair_spearman",
+    oracle=_ORACLE_OBS_GRID + """  -- (spans/grid/j CTEs unused here)
+    , matched AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.bucket,
+             a.close_cents AS ca, b.close_cents AS cb
+      FROM obs a JOIN obs b
+        ON a.bucket = b.bucket AND a.event_type < b.event_type
+    ), ranked AS (
+      SELECT type_a, type_b,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                ORDER BY ca, bucket) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                ORDER BY cb, bucket) AS rb
+      FROM matched
+    )
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+    FROM ranked GROUP BY type_a, type_b
+    """,
+)
+def ts_pair_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation ingredients per key pair over matched
+    hours: n and the exact sum of squared rank differences (rho = 1 -
+    6*sum_d2/(n(n^2-1)) -- the division is left to the consumer so the
+    emitted values stay exact int64). Ties broken by bucket so ranks are a
+    deterministic permutation in both engines. Complements
+    ts_pair_comovement (Pearson numerator) with the rank-based measure."""
+    from pyspark.sql import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    a, b = closes.alias("a"), closes.alias("b")
+    matched = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.close_cents").alias("ca"),
+        F.col("b.close_cents").alias("cb"),
+    )
+    wp = Window.partitionBy("type_a", "type_b")
+    ra = F.row_number().over(wp.orderBy("ca", "bucket"))
+    rb = F.row_number().over(wp.orderBy("cb", "bucket"))
+    d = (ra - rb).cast("bigint")
+    return (
+        matched.withColumn("d2", d * d)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("d2").cast("bigint").alias("sum_d2"),
+        )
+    )
