@@ -296,3 +296,19 @@ def winnow_fingerprints(df, text_col: str, k: int = 5, w: int = 4, out_col: str 
     return d.withColumn(
         out_col, F.array_sort(F.array_distinct("__wn_mins"))
     ).drop("__wn_vals", "__wn_grams", "__wn_mins")
+
+
+def winnow_exploded(
+    df, id_col: str, text_col: str, k: int = 5, w: int = 4
+):
+    """(id, fp) rows -- one per selected fingerprint. ALWAYS use this (not
+    a manual explode of winnow_fingerprints) when feeding joins or
+    aggregations: it materializes the slim fingerprint table before the
+    explode, because a Generate input collapses the staged winnow
+    projections back into one expression tree and re-amplifies the array
+    work ~75x (measured 186 s -> 2.5 s on 50k docs, local[32])."""
+    fped = winnow_fingerprints(df, text_col, k=k, w=w)
+    slim = fped.select(F.col(id_col).alias("id"), "fingerprints").localCheckpoint()
+    return slim.select(
+        F.col("id").alias(id_col), F.explode("fingerprints").alias("fp")
+    )

@@ -1363,17 +1363,13 @@ def x8_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key is the fingerprint, so co-bucketed work is bounded by
     cap^2 per fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
-    fped = TX.winnow_fingerprints(docs, "text", k=_WINNOW_K, w=_WINNOW_W)
-    # materialize the slim (doc_id, fingerprints) table BEFORE exploding:
-    # a Generate input collapses the staged winnow projections back into
-    # one expression tree (re-amplifying the per-row array work, measured
-    # minutes at sf0.1), and the frequency filter plus both self-join
-    # sides would each recompute it again. At real scale this checkpoint
-    # is "write the fingerprint table"; here localCheckpoint bounds it.
-    slim = fped.select("doc_id", "fingerprints").localCheckpoint()
-    ex = slim.select("doc_id", F.explode("fingerprints").alias("fp")).repartition(
-        32, "fp"
-    )
+    # winnow_exploded materializes the slim fingerprint table BEFORE the
+    # explode (Generate would collapse the staged winnow projections and
+    # re-amplify the array work ~75x); at real scale that checkpoint is
+    # "write the fingerprint table"
+    ex = TX.winnow_exploded(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    ).repartition(32, "fp")
     cold = (
         ex.groupBy("fp")
         .agg(F.count("*").alias("__n"))
