@@ -244,3 +244,35 @@ def t8_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(p).cast("decimal(12,2)").alias("hi"),
         )
     )
+
+
+@query(
+    "t8_benford_digits",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus,
+             SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS d
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT o_orderstatus, d AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c GROUP BY o_orderstatus, d
+    """,
+)
+def t8_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit: first-digit distribution of order
+    totals per status (fabricated financial data skews away from the
+    log-uniform digit curve). Digit extracted from the exact integer cents
+    via string head -- bigint-to-string is identical in every engine,
+    unlike double formatting."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select(
+            "o_orderstatus",
+            F.substring(cents.cast("string"), 1, 1).alias("first_digit"),
+        )
+        .groupBy("o_orderstatus", "first_digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
