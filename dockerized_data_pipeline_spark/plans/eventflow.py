@@ -251,3 +251,70 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symspell_pairs(c, "c_custkey", "c_name", max_distance=1).select(
         F.col("id_a"), F.col("id_b"), "name_a", "name_b", "distance"
     )
+
+
+@query(
+    "ab_test_conversion",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ), v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+    )
+    SELECT a.variant,
+           CAST(COUNT(*) AS BIGINT) AS n_exposed,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
+    FROM assign a
+    JOIN v ON a.user_id = v.user_id
+    LEFT JOIN conv c ON a.user_id = c.user_id
+    GROUP BY a.variant
+    """,
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users hash-assigned to variants (first md5 hex
+    nibble -- the same content-addressed split discipline as
+    x8_hash_split), exposure = has a view, conversion = purchase strictly
+    after the first view. Exact counts per variant; significance math is
+    the consumer's job. All joins are keyed on user_id and reuse one
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .select("user_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        assign.join(v, "user_id")
+        .join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exposed"),
+            F.count("__c").cast("bigint").alias("n_converted"),
+        )
+    )
