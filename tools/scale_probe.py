@@ -1,0 +1,71 @@
+"""Scale probe: run the heavy dedup/similarity paths on an N-fold union of
+the sf0.1 fixtures to check for parallelism cliffs that the per-query bench
+cannot see (single-task stages, projection-collapse re-evaluation, hot
+buckets). Prints one JSON line.
+
+Usage: python tools/scale_probe.py [multiplier]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from pyspark.sql import functions as F
+
+    from dockerized_data_pipeline_spark.functions import text as TX
+    from dockerized_data_pipeline_spark.operators import dedup as DD
+    from dockerized_data_pipeline_spark.session import get_session
+
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = docs
+    for i in range(1, mult):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        )
+    big = big.repartition(32).localCheckpoint()
+    n_docs = big.count()
+
+    results: dict[str, float] = {}
+
+    t0 = time.time()
+    DD.minhash_neardup_pairs_native(big, "doc_id", "text").count()
+    results["minhash_pairs"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    TX.winnow_exploded(big, "doc_id", "text").count()
+    results["winnow_exploded"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    DD.exact_dedup(big, ["text"]).count()
+    results["exact_dedup"] = round(time.time() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_total",
+                "value": round(sum(results.values()), 2),
+                "unit": "sec",
+                "stages": results,
+                "n_docs": n_docs,
+                "multiplier": mult,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
