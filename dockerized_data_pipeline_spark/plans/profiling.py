@@ -276,3 +276,66 @@ def t8_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "first_digit")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "t8_mad_robust_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+      FROM c GROUP BY event_type
+    ), dev AS (
+      SELECT c.event_type, c.cents, m.med2,
+             ABS(2 * c.cents - m.med2) AS adev2
+      FROM c JOIN med m ON c.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, med2,
+             CAST(2 * quantile_cont(adev2, 0.5) AS BIGINT) AS mad4
+      FROM dev GROUP BY event_type, med2
+    )
+    SELECT d.event_type,
+           ANY_VALUE(d.med2) AS median_x2_cents,
+           ANY_VALUE(m.mad4) AS mad_x4_cents,
+           CAST(COUNT(CASE WHEN 4 * ABS(2 * d.cents - d.med2) > 3 * m.mad4
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def t8_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per key, fully exact: medians
+    are carried as 2x (even-n midpoints become integers), absolute
+    deviations as 2x, the MAD as 4x, and the 3-sigma-equivalent test
+    compares 4*|2x - med2| > 3*mad4 -- all int64, no float rounding
+    anywhere. Complements the mean/stddev z-score query
+    (t8_value_outliers) with the heavy-tail-safe variant. Two grouped
+    percentile passes + broadcast joins of the tiny per-key stats."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        (2 * F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med2")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type", "med2").agg(
+        (2 * F.expr("percentile(adev2, 0.5)")).cast("bigint").alias("mad4")
+    )
+    out = dev.join(F.broadcast(mad.select("event_type", "mad4")), "event_type")
+    return out.groupBy("event_type").agg(
+        F.first("med2").alias("median_x2_cents"),
+        F.first("mad4").alias("mad_x4_cents"),
+        F.count(
+            F.when(4 * F.abs(2 * F.col("cents") - F.col("med2")) > 3 * F.col("mad4"), 1)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.count("*").cast("bigint").alias("n"),
+    )
