@@ -503,3 +503,47 @@ def ts_pair_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d2").cast("bigint").alias("sum_d2"),
         )
     )
+
+
+@query(
+    "ts_data_islands",
+    oracle=_ORACLE_OBS_GRID + """  -- (spans/grid/j CTEs unused here)
+    , tagged AS (
+      SELECT event_type, bucket,
+             bucket - INTERVAL (ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY bucket)) HOUR AS anchor
+      FROM obs
+    )
+    SELECT event_type,
+           MIN(bucket) AS island_start,
+           MAX(bucket) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM tagged
+    GROUP BY event_type, anchor
+    """,
+)
+def ts_data_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of observed hours per key (the
+    dual of the gap-fill view -- which stretches of the series are solid).
+    The classic anchor trick: bucket minus row_number hours is constant
+    within a contiguous run, so one window + one aggregate, both
+    partitioned by key."""
+    from pyspark.sql import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    anchor = F.col("bucket") - F.expr(
+        "make_interval(0, 0, 0, 0, rn, 0, 0)"
+    )
+    return (
+        closes.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", anchor)
+        .groupBy("event_type", "anchor")
+        .agg(
+            F.min("bucket").alias("island_start"),
+            F.max("bucket").alias("island_end"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+        .drop("anchor")
+        .select("event_type", "island_start", "island_end", "n_hours")
+    )
