@@ -384,3 +384,34 @@ def test_fanout_stream_feeds_two_sinks_from_one_read(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(table).count() == 1
     assert spark.read.parquet(errlog).count() == 1
+
+
+def test_max_files_per_trigger_rate_limits_batches(spark, tmp_path):
+    """T6 streaming analog: maxFilesPerTrigger=1 makes each file its own
+    micro-batch -- the back-pressure knob for a bursty source."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.createDataFrame(
+            [(f"S{i}", t("2024-01-05 15:00:00"), float(i), t("2024-01-05 15:00:00"))],
+            SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+
+    def sink(batch_df, epoch_id):
+        batches.append(batch_df.count())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(batches) == 3
+    assert len(batches) == 3 and all(b == 1 for b in batches)
