@@ -1668,3 +1668,56 @@ def x3_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cos_sim").desc(), F.col("vec_id")],
         k=3,
     ).drop("rk")
+
+
+@query(
+    "x8_dataset_card",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, lang, text,
+             LEN(string_split(text, ' ')) AS n_tokens,
+             CAST(FLOOR(
+               (0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 200.0, 1.0)
+                + 0.5 * LEAST(
+                    CAST(LEN(list_filter(string_split(text, ' '),
+                                         t -> t IN {_STOP_SQL})) AS DOUBLE)
+                    / GREATEST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 0.05, 1.0),
+                    1.0))
+               * 1000000.0
+             ) AS BIGINT) AS q_ppm
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(q_ppm) AS BIGINT) AS sum_quality_ppm,
+           CAST(MIN(q_ppm) AS BIGINT) AS min_quality_ppm,
+           CAST(MAX(q_ppm) AS BIGINT) AS max_quality_ppm
+    FROM scored GROUP BY source
+    """,
+)
+def x8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source summary a team publishes with a
+    training corpus -- sizes, dedup headroom (unique texts), language
+    spread, token volume, and the quality-score envelope, in one grouped
+    pass (quality sums stay exact ppm integers; the mean is the consumer's
+    division)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "lang",
+        "text",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TX.quality_score_ppm(F.col("text")).alias("q_ppm"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct(F.col("text")).cast("bigint").alias("n_unique_texts"),
+        F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("q_ppm").cast("bigint").alias("sum_quality_ppm"),
+        F.min("q_ppm").alias("min_quality_ppm"),
+        F.max("q_ppm").alias("max_quality_ppm"),
+    )
