@@ -547,3 +547,42 @@ def ts_data_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("anchor")
         .select("event_type", "island_start", "island_end", "n_hours")
     )
+
+
+@query(
+    "ts_realized_volatility",
+    oracle=_ORACLE_OBS_GRID + """  -- (spans/grid/j CTEs unused here)
+    , deltas AS (
+      SELECT event_type,
+             CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day,
+             close_cents - LAG(close_cents) OVER (
+               PARTITION BY event_type ORDER BY bucket) AS d
+      FROM obs
+    )
+    SELECT event_type, day,
+           CAST(COUNT(d) AS BIGINT) AS n_moves,
+           CAST(SUM(d * d) AS BIGINT) AS realized_var_cents2,
+           CAST(MAX(ABS(d)) AS BIGINT) AS max_abs_move_cents
+    FROM deltas WHERE d IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def ts_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility per key: the sum of squared hour-to-hour
+    close moves (plus the largest single move) in exact cents^2 integers
+    -- absolute moves, not log returns, precisely so no transcendental
+    float enters the pipeline. One lag window partitioned by key, then a
+    per-(key, day) aggregate."""
+    from pyspark.sql import Window
+
+    closes = _hourly_closes(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    d = (F.col("close_cents") - F.lag("close_cents").over(w)).alias("d")
+    deltas = closes.select(
+        "event_type", F.date_trunc("day", F.col("bucket")).alias("day"), d
+    ).filter(F.col("d").isNotNull())
+    return deltas.groupBy("event_type", "day").agg(
+        F.count("d").cast("bigint").alias("n_moves"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("realized_var_cents2"),
+        F.max(F.abs(F.col("d"))).cast("bigint").alias("max_abs_move_cents"),
+    )
