@@ -318,3 +318,79 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__c").cast("bigint").alias("n_converted"),
         )
     )
+
+
+@query(
+    "s4_cdc_apply",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), feed AS (
+      SELECT 'D' AS op, o_orderkey, o_orderstatus, o_totalprice, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'U', o_orderkey, 'X', o_totalprice + 1, 2
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 'I', -o_orderkey, 'N', o_totalprice, 1
+      FROM orders WHERE o_orderkey % 11 = 0
+    ), newest AS (
+      SELECT op, o_orderkey, o_orderstatus, o_totalprice FROM feed
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC, op DESC) = 1
+    ), merged AS (
+      SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+             COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice
+      FROM target t
+      FULL OUTER JOIN (SELECT * FROM newest WHERE op <> 'D') u
+        ON t.o_orderkey = u.o_orderkey
+    )
+    SELECT m.o_orderkey, m.o_orderstatus,
+           CAST(ROUND(m.o_totalprice * 100) AS BIGINT) AS cents
+    FROM merged m
+    ANTI JOIN (SELECT o_orderkey FROM newest WHERE op = 'D') d
+      ON m.o_orderkey = d.o_orderkey
+    """,
+)
+def s4_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changefeed application as a pure transform (operators/merge.py
+    apply_cdc): a deterministic derived feed deletes every 7th key,
+    updates every 5th (status 'X', price +1), and inserts negated copies
+    of every 11th; per-key terminal state wins (a key both updated and
+    deleted deletes -- seq then op 'U' > 'D' > 'I' as the tiebreak). The
+    oracle replays the same dedup + upsert + anti-join in SQL."""
+    from ..operators.merge import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.lit("D").alias("op"), "o_orderkey", "o_orderstatus",
+            "o_totalprice", F.lit(1).alias("seq"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.lit("U").alias("op"), "o_orderkey",
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 1).alias("o_totalprice"),
+                F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                F.lit("I").alias("op"),
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice", F.lit(1).alias("seq"),
+            )
+        )
+    )
+    applied = apply_cdc(o, feed, ["o_orderkey"], order_by=["seq", "op"])
+    return applied.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
