@@ -1,0 +1,131 @@
+"""Property tests for the round-2 operators against independent reference
+implementations: linear interpolation vs numpy-style rational arithmetic,
+SymSpell candidate generation vs brute-force Levenshtein, CDC application
+vs a dict replay."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dockerized_data_pipeline_spark.operators.fuzzyjoin import symspell_pairs
+from dockerized_data_pipeline_spark.operators.merge import apply_cdc
+from dockerized_data_pipeline_spark.operators.timeseries import (
+    dense_join,
+    interpolate_linear,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def sparse_series(draw):
+    hours = draw(st.lists(st.integers(0, 40), unique=True, min_size=2, max_size=8))
+    return sorted((h, draw(st.integers(1, 10_000))) for h in hours)
+
+
+@given(series=sparse_series())
+@_SETTINGS
+def test_interpolation_matches_rational_reference(spark, series):
+    rows = [("k", BASE + dt.timedelta(hours=h), v) for h, v in series]
+    obs = spark.createDataFrame(rows, "key string, bucket timestamp, v bigint")
+    dense = dense_join(obs, ["key"], unit="hour")
+    got = {
+        int((r.bucket - BASE).total_seconds() // 3600): r.interp
+        for r in interpolate_linear(dense, ["key"], "v", unit="hour").collect()
+    }
+    # reference: exact rational interpolation, truncated at scale 1000
+    known = dict(series)
+    hs = sorted(known)
+    for h in range(hs[0], hs[-1] + 1):
+        if h in known:
+            expect = known[h] * 1000
+        else:
+            h0 = max(x for x in hs if x < h)
+            h1 = min(x for x in hs if x > h)
+            num = known[h0] * (h1 - h) + known[h1] * (h - h0)
+            expect = num * 1000 // (h1 - h0)
+        assert got[h] == expect, (h, got[h], expect)
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        unique=True,
+        min_size=2,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_symspell_equals_bruteforce_levenshtein(spark, names):
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {
+        (r.id_a, r.id_b) for r in symspell_pairs(df, "id", "name").collect()
+    }
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+
+
+@st.composite
+def cdc_case(draw):
+    target = {
+        k: draw(st.integers(0, 9)) for k in draw(st.sets(st.integers(0, 6)))
+    }
+    feed = [
+        (
+            draw(st.sampled_from(["I", "U", "D"])),
+            draw(st.integers(0, 6)),
+            draw(st.integers(0, 9)),
+            seq,
+        )
+        for seq in range(draw(st.integers(0, 6)))
+    ]
+    return target, feed
+
+
+@given(case=cdc_case())
+@_SETTINGS
+def test_apply_cdc_equals_dict_replay(spark, case):
+    target, feed = case
+    tdf = spark.createDataFrame(
+        list(target.items()) or [(None, None)], "k long, v long"
+    ).filter("k IS NOT NULL")
+    fdf = spark.createDataFrame(
+        feed or [("I", None, None, None)], "op string, k long, v long, seq long"
+    ).filter("k IS NOT NULL")
+    got = {r.k: r.v for r in apply_cdc(tdf, fdf, ["k"], order_by=["seq"]).collect()}
+
+    # reference: keep only each key's newest change, then apply
+    expect = dict(target)
+    newest: dict[int, tuple[str, int]] = {}
+    for op, k, v, _seq in feed:  # feed is already seq-ordered
+        newest[k] = (op, v)
+    for k, (op, v) in newest.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    assert got == expect
