@@ -129,3 +129,64 @@ def test_apply_cdc_equals_dict_replay(spark, case):
         else:
             expect[k] = v
     assert got == expect
+
+
+@st.composite
+def diff_case(draw):
+    keys = st.integers(0, 8)
+    vals = st.one_of(st.none(), st.integers(0, 3))
+    left = {k: draw(vals) for k in draw(st.sets(keys))}
+    right = {k: draw(vals) for k in draw(st.sets(keys))}
+    return left, right
+
+
+@given(case=diff_case())
+@_SETTINGS
+def test_table_diff_equals_dict_diff(spark, case):
+    from dockerized_data_pipeline_spark.operators.tablediff import table_diff
+
+    left, right = case
+
+    def df_of(d):
+        return spark.createDataFrame(
+            list(d.items()) or [(None, None)], "k long, v long"
+        ).filter("k IS NOT NULL")
+
+    got = {
+        r.k: r.change_type
+        for r in table_diff(df_of(left), df_of(right), ["k"]).collect()
+    }
+    expect = {}
+    for k in set(left) | set(right):
+        if k not in left:
+            expect[k] = "added"
+        elif k not in right:
+            expect[k] = "removed"
+        elif left[k] == right[k]:  # None == None is 'same' (null-safe)
+            expect[k] = "same"
+        else:
+            expect[k] = "changed"
+    assert got == expect
+
+
+@given(
+    shared=st.lists(st.sampled_from("pqrs"), min_size=8, max_size=12),
+    pre=st.lists(st.sampled_from("abcd"), min_size=0, max_size=5),
+    post=st.lists(st.sampled_from("wxyz"), min_size=0, max_size=5),
+)
+@_SETTINGS
+def test_winnow_guarantee_property(spark, shared, pre, post):
+    """Any two docs sharing a token run of length >= k + w - 1 = 8 must
+    share a winnow fingerprint, wherever the run sits in each doc."""
+    from dockerized_data_pipeline_spark.functions.text import winnow_fingerprints
+
+    doc1 = " ".join(pre + shared + post)
+    doc2 = " ".join(list("mnop") + shared)
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], "doc_id long, text string")
+    rows = {
+        r.doc_id: set(r.fp)
+        for r in winnow_fingerprints(df, "text", k=5, w=4, out_col="fp")
+        .select("doc_id", "fp")
+        .collect()
+    }
+    assert rows[1] & rows[2]
