@@ -707,3 +707,29 @@ def join_salted_hot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+_FRONTDOOR_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM {lineitem}
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_frontdoor_pricing",
+    oracle=_FRONTDOOR_SQL.format(lineitem="lineitem"),
+)
+def sql_frontdoor_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the IDENTICAL dialect-neutral SQL text runs
+    through ``spark.sql`` over a temp view here and through DuckDB as the
+    oracle -- proving a user can bring plain ANSI SQL to this engine, not
+    just the DataFrame API, and Catalyst still plans it (pushdown, partial
+    aggregation) exactly like the DataFrame q1."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ddp_lineitem_frontdoor"
+    )
+    return spark.sql(_FRONTDOOR_SQL.format(lineitem="ddp_lineitem_frontdoor"))
