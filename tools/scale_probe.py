@@ -52,6 +52,20 @@ def main() -> int:
     DD.exact_dedup(big, ["text"]).count()
     results["exact_dedup"] = round(time.time() - t0, 2)
 
+    from dockerized_data_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bige = emb
+    for i in range(1, mult):
+        bige = bige.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    bige = bige.repartition(32).localCheckpoint()
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    t0 = time.time()
+    SIM.cosine_topk(bige, probe, k=10).count()
+    results["cosine_topk"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
