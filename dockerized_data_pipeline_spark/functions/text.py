@@ -312,3 +312,36 @@ def winnow_exploded(
     return slim.select(
         F.col("id").alias(id_col), F.explode("fingerprints").alias("fp")
     )
+
+
+def token_diversity_frame(df, id_col: str, text_col: str):
+    """DataFrame-level token_diversity: stages toks/uniq/counts as their
+    own projections so the nested filter doesn't re-split the document per
+    distinct token (4x faster at sf0.1 than the single-Column form; same
+    values, asserted by the oracle). Returns (id_col, n_tokens,
+    distinct_tokens, ttr_ppm, gini_ppm, top_share_ppm)."""
+    d = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__td_toks"))
+    d = d.withColumn("__td_uniq", F.array_distinct("__td_toks"))
+    d = d.withColumn(
+        "__td_counts",
+        F.transform(
+            "__td_uniq",
+            lambda u: F.size(F.filter("__td_toks", lambda x: x == u)).cast("long"),
+        ),
+    )
+    n = F.size("__td_toks").cast("long")
+    dd = F.size("__td_uniq").cast("long")
+    sum_sq = F.aggregate(
+        "__td_counts", F.lit(0).cast("long"), lambda a, c: a + c * c
+    )
+    top = F.array_max("__td_counts")
+    return d.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        dd.alias("distinct_tokens"),
+        F.floor((dd * 1_000_000) / n).cast("long").alias("ttr_ppm"),
+        (F.lit(1_000_000) - F.floor((sum_sq * 1_000_000) / (n * n)))
+        .cast("long")
+        .alias("gini_ppm"),
+        F.floor((top * 1_000_000) / n).cast("long").alias("top_share_ppm"),
+    )

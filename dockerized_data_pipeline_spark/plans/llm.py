@@ -1260,9 +1260,7 @@ def x5_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine side is zero-shuffle higher-order functions; the oracle uses the
     equivalent explode + two-level aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TX.token_diversity(F.col("text")).alias("m")
-    ).select("doc_id", "m.*")
+    return TX.token_diversity_frame(docs, "doc_id", "text")
 
 
 _WINNOW_K, _WINNOW_W = 5, 4
