@@ -586,3 +586,63 @@ def ts_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * F.col("d")).cast("bigint").alias("realized_var_cents2"),
         F.max(F.abs(F.col("d"))).cast("bigint").alias("max_abs_move_cents"),
     )
+
+
+@query(
+    "ts_top_movers",
+    oracle="""
+    WITH closes AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type, date_trunc('day', ts)
+        ORDER BY ts DESC, event_id DESC) = 1
+    ), moves AS (
+      SELECT event_type, day, cents,
+             LAG(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM closes
+    ), ranked AS (
+      SELECT event_type, day,
+             (cents - prev) * 1000000 // prev AS move_ppm,
+             ABS((cents - prev) * 1000000 // prev) AS mag
+      FROM moves WHERE prev IS NOT NULL AND prev > 0
+    )
+    SELECT day, event_type, CAST(move_ppm AS BIGINT) AS move_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT day, event_type, move_ppm,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY mag DESC, event_type) AS rk
+      FROM ranked
+    ) WHERE rk <= 3
+    """,
+)
+def ts_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-3 movers by absolute close-to-close change (exact signed
+    ppm; integer floor division matches across engines for the magnitude
+    ranking because ABS is applied after the signed division on both
+    sides). Daily close resample -> lag -> per-day ranking."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    closes = TS.resample_last(
+        events, ["event_type"], "ts", "cents", unit="day", tiebreak_cols=["event_id"]
+    ).withColumnRenamed("value", "cents").withColumnRenamed("bucket", "day")
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cents").over(w)
+    moves = (
+        closes.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull() & (F.col("prev") > 0))
+        .withColumn(
+            "move_ppm",
+            F.expr("(cents - prev) * 1000000 div prev").cast("bigint"),
+        )
+        .withColumn("mag", F.abs(F.col("move_ppm")))
+    )
+    wd = Window.partitionBy("day").orderBy(F.col("mag").desc(), F.col("event_type"))
+    return (
+        moves.withColumn("rk", F.row_number().over(wd).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("day", "event_type", "move_ppm", "rk")
+    )
