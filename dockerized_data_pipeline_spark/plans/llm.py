@@ -1719,3 +1719,120 @@ def x8_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q_ppm").alias("min_quality_ppm"),
         F.max("q_ppm").alias("max_quality_ppm"),
     )
+
+
+_OPENING_TOKENS = 8
+
+
+@query(
+    "x8_shared_openings",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             md5(array_to_string(string_split(text, ' ')[1:{_OPENING_TOKENS}], ' ')) AS fp,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_openings
+    FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def x8_shared_openings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix on document openings: fingerprint
+    the first {8} tokens of every doc, and count, per unordered source
+    pair, how many distinct openings they share -- the boilerplate/header
+    leakage signal crawl pipelines use to spot sources copying from each
+    other. At 100 TB: the DISTINCT is one hash-agg shuffle over slim
+    (16-byte fp, source) rows; the self-join shuffles only that distinct
+    set on fp, and only fingerprints present in >=2 sources produce output,
+    so candidate cost tracks shared-boilerplate density, never n^2 over
+    docs."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        F.md5(
+            F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, _OPENING_TOKENS))
+        ).alias("fp"),
+        "source",
+    ).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_openings"))
+    )
+
+
+@query(
+    "x5_token_rank_score",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+    ), vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk
+      FROM freq QUALIFY rnk <= {1000}
+    ), scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(COALESCE(v.rnk, {1000} + 1)) AS rank_sum
+      FROM tk t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rank_sum AS BIGINT) AS rank_sum,
+           CAST(rank_sum * 1000000 // n_tokens AS BIGINT) AS mean_rank_ppm
+    FROM scored
+    """,
+)
+def x5_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-frequency rank per document (CCNet-style common-token
+    quality signal, exact integers end to end): rank the corpus's top-1000
+    tokens by frequency (ties broken by token text), score every doc by the
+    mean rank of its tokens with out-of-vocab tokens pinned at rank 1001.
+    Low mean rank = the doc is built from the corpus's most common words;
+    high = rare-token soup. Exact-arithmetic stand-in for perplexity
+    filtering with a graded (not binary-OOV) signal. At 100 TB: token
+    frequency is one hash-agg shuffle with map-side combine; the top-K is a
+    distributed TakeOrdered; the rank window runs over a constant K=1000
+    rows and the ranked vocab broadcasts into the per-doc join."""
+    from pyspark.sql import Window
+
+    K = 1000
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    freq = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    # TakeOrderedAndProject trims the vocab to K rows BEFORE the
+    # single-task rank window, so the window input is bounded by the
+    # constant K, never the corpus vocabulary.
+    topk = freq.orderBy(F.col("c").desc(), F.col("tok")).limit(K)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    vocab = topk.select(
+        "tok", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+    scored = (
+        tk.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("rnk"), F.lit(K + 1))).alias("rank_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("rank_sum").cast("bigint").alias("rank_sum"),
+        F.floor(F.col("rank_sum") * 1_000_000 / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("mean_rank_ppm"),
+    )
