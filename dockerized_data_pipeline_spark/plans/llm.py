@@ -1836,3 +1836,118 @@ def x5_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_rank_ppm"),
     )
+
+
+_FXP = 4096  # 2^12 fixed-point scale: round(x * 2^12) is the same integer in
+# any engine (power-of-two scaling is exact in IEEE doubles; both engines
+# round halves away from zero), so centroid component SUMS are exact bigints
+# and order-independent -- the float-accumulation trap that normally makes
+# per-group vector means un-oracle-able.
+
+
+@query(
+    "x3_centroid_purity",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_FXP}) AS BIGINT) AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS cand, i, SUM(q) AS s FROM comp GROUP BY label, i
+    ), cnorm AS (
+      SELECT cand, SUM(s * s) AS cn2 FROM cent GROUP BY cand
+    ), vnorm AS (
+      SELECT vec_id, SUM(q * q) AS vn2 FROM comp GROUP BY vec_id
+    ), dots AS (
+      SELECT c.vec_id, v.cand, SUM(c.q * v.s) AS dot
+      FROM comp c JOIN cent v ON c.i = v.i
+      GROUP BY c.vec_id, v.cand
+    ), scored AS (
+      SELECT d.vec_id, d.cand,
+             CAST(FLOOR(CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(n.vn2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS cos_ppm
+      FROM dots d
+      JOIN vnorm n ON d.vec_id = n.vec_id
+      JOIN cnorm cn ON d.cand = cn.cand
+    ), nearest AS (
+      SELECT vec_id, cand, cos_ppm,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_ppm DESC, cand) AS rn
+      FROM scored
+    )
+    SELECT e.label AS true_label, nr.cand AS nearest_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(nr.cos_ppm) AS BIGINT) AS min_cos_ppm,
+           CAST(MAX(nr.cos_ppm) AS BIGINT) AS max_cos_ppm
+    FROM nearest nr JOIN embeddings e ON nr.vec_id = e.vec_id
+    WHERE nr.rn = 1
+    GROUP BY true_label, nearest_label
+    """,
+)
+def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-quality audit: per-label centroids, then a
+    nearest-centroid confusion matrix (true label x nearest centroid's
+    label) -- the standard "are my labels/clusters coherent" eval before
+    training on labeled embeddings. Exact cross-engine arithmetic: each
+    float component becomes round(x * 2^12) (identical bigint in any
+    engine), so centroid sums, dot products, and norms are exact integers;
+    cosine rescaling by the group count cancels, so centroids are used as
+    un-normalized SUM vectors. At 100 TB: the component explode is a slim
+    (id, i, q) stream with no shuffle; centroids are one hash-agg down to
+    n_labels x dim rows that broadcast into the dot join; per-vector
+    aggregates shuffle on the high-cardinality vec_id only; the argmax
+    window is partitioned per vector over n_labels rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * _FXP, 0).cast("bigint").alias("q"),
+    )
+    cent = comp.groupBy(F.col("label").alias("cand"), "i").agg(
+        F.sum("q").alias("s")
+    )
+    cnorm = cent.groupBy("cand").agg(F.sum(F.col("s") * F.col("s")).alias("cn2"))
+    vnorm = comp.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("vn2"))
+    dots = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cand")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("dot"))
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "cand")
+        .select(
+            "vec_id",
+            "cand",
+            F.floor(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("vn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_ppm").desc(), F.col("cand"))
+    nearest = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        nearest.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("cand").alias("nearest_label"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("cos_ppm").cast("bigint").alias("min_cos_ppm"),
+            F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
+        )
+    )
