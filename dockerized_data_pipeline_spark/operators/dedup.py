@@ -355,6 +355,32 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH band rows (doc, band, sig) from a MinHash signature table.
+
+    Slim bucket-join input: the exploded band table carries only (doc,
+    band, sig) -- 24 bytes/row -- so the n*bands shuffle stays cheap at
+    corpus scale; full signatures rejoin only for the (few) candidate
+    pairs. The signature table (and this derived band table) is the
+    persistable LSH *index*: write it once per corpus snapshot (ideally
+    bucketed by sig for a shuffle-free probe join) and incremental batches
+    probe it without re-reading corpus text."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def minhash_neardup_pairs_native(
     df: DataFrame,
     id_col: str,
@@ -380,22 +406,7 @@ def minhash_neardup_pairs_native(
     """
     num_hashes = bands * rows_per_band
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-
-    # Slim bucket join: the exploded band table carries only (doc, band,
-    # sig) -- 24 bytes/row -- so the n*bands shuffle stays cheap at corpus
-    # scale; full signatures rejoin only for the (few) candidate pairs.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    banded = banded_signatures(sig, bands, rows_per_band)
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -421,6 +432,97 @@ def minhash_neardup_pairs_native(
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
         .join(sb, F.col("doc_b") == F.col("sb.doc"))
         .select("doc_a", "doc_b", est_ppm.alias("est_jaccard_ppm"))
+        .filter(F.col("est_jaccard_ppm") >= min_est_jaccard_ppm)
+    )
+
+
+def incremental_neardup_pairs(
+    corpus_sig: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    min_est_jaccard_ppm: int = 300_000,
+) -> DataFrame:
+    """Incremental near-dup detection: dedup a NEW batch against an
+    existing corpus without touching corpus text -- the operational shape
+    at 100 TB, where recomputing full-corpus LSH for a 0.1% daily delta
+    would be 1000x wasted work.
+
+    ``corpus_sig`` is the persisted MinHash signature index
+    (``minhash_signatures`` output, one slim row per corpus doc). The
+    batch is shingled/signed fresh; its band rows probe the corpus band
+    rows plus the batch's own (new docs can duplicate each other), so the
+    only pairs produced TOUCH the batch -- corpus-corpus pairs are never
+    recomputed. Cost: one signature pass over the batch + a bucket join
+    whose corpus side is the 24-byte/row index (store it bucketed by sig
+    to make that side shuffle-free).
+
+    Returns (doc_a, doc_b, est_jaccard_ppm, pair_type) where pair_type is
+    'batch_batch' or 'batch_corpus'. Doc ids must be globally unique
+    across corpus and batch.
+    """
+    num_hashes = bands * rows_per_band
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    missing = [c for c in mh_cols if c not in corpus_sig.columns]
+    if missing:
+        raise ValueError(
+            f"corpus_sig lacks signature columns {missing}; build it with "
+            f"minhash_signatures(num_hashes={num_hashes})"
+        )
+    batch_sig = minhash_signatures(batch, id_col, text_col, n, num_hashes)
+
+    batch_banded = banded_signatures(batch_sig, bands, rows_per_band)
+    corpus_banded = banded_signatures(
+        corpus_sig.select("doc", *mh_cols), bands, rows_per_band
+    )
+    probe_side = corpus_banded.withColumn(
+        "is_corpus", F.lit(True)
+    ).unionByName(batch_banded.withColumn("is_corpus", F.lit(False)))
+
+    a = batch_banded.alias("a")
+    b_ = probe_side.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+            F.col("b.is_corpus").alias("is_corpus"),
+        )
+        # batch-batch candidates surface twice (once per direction) and a
+        # corpus doc can also collide on several bands: one row per pair,
+        # batch_corpus wins if both flavors appear (ids are unique, so a
+        # pair is one flavor only; max() just collapses band multiplicity).
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("is_corpus").alias("is_corpus"))
+    )
+
+    all_sig = corpus_sig.select("doc", *mh_cols).unionByName(batch_sig)
+    sa = all_sig.alias("sa")
+    sb = all_sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est_ppm = F.floor(matches * F.lit(1_000_000.0) / F.lit(num_hashes)).cast("bigint")
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est_ppm.alias("est_jaccard_ppm"),
+            F.when(F.col("is_corpus"), F.lit("batch_corpus"))
+            .otherwise(F.lit("batch_batch"))
+            .alias("pair_type"),
+        )
         .filter(F.col("est_jaccard_ppm") >= min_est_jaccard_ppm)
     )
 

@@ -1951,3 +1951,21 @@ def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
         )
     )
+
+
+@query("x2_incremental_neardup")
+def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (rows-only; minhash has no SQL
+    oracle): treat doc_id % 10 == 0 as today's arriving batch and the rest
+    as the already-indexed corpus, then find every near-dup pair TOUCHING
+    the batch by probing the corpus's persisted MinHash signature index --
+    corpus text is never re-read and corpus-corpus pairs are never
+    recomputed. The daily-delta shape that keeps 100 TB dedup O(batch),
+    not O(corpus). Deterministic: xxhash64 signatures, no seeds."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus_sig = DD.minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=16)
+    return DD.incremental_neardup_pairs(
+        corpus_sig, batch, "doc_id", "text"
+    ).orderBy("doc_a", "doc_b")

@@ -483,3 +483,52 @@ def test_ivf_recall_curve_monotone_full_probe_exact(spark, sf_dir):
     recalls = [r for _, r in rows]
     assert recalls == sorted(recalls), "recall must not drop as n_probe grows"
     assert rows[-1] == (8, 1_000_000), "probing all lists must be exact"
+
+
+def test_incremental_neardup_against_corpus_index(spark):
+    from dockerized_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_neardup_pairs_native,
+        minhash_signatures,
+    )
+
+    near = BASE.replace("green", "blue")
+    batch_twin_a = BASE.replace("barn", "shed") + " tail tokens here"
+    batch_twin_b = BASE.replace("barn", "shed") + " tail tokens there"
+    novel = "entirely fresh subject matter about streaming watermarks and state stores"
+    corpus = _docs(spark, [(1, BASE), (2, "older corpus article about markets and rates " * 3)])
+    batch = _docs(spark, [(10, near), (11, batch_twin_a), (12, batch_twin_b), (13, novel)])
+
+    corpus_sig = minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=16)
+    out = incremental_neardup_pairs(corpus_sig, batch, "doc_id", "text").collect()
+    typed = {(r.doc_a, r.doc_b): r.pair_type for r in out}
+
+    assert typed.get((1, 10)) == "batch_corpus"  # batch near-copy of corpus doc
+    assert typed.get((11, 12)) == "batch_batch"  # dup pair inside the batch
+    assert all(not (a <= 2 and b <= 2) for a, b in typed)  # no corpus-corpus recompute
+    assert 13 not in {d for p in typed for d in p}  # novel doc pairs with nothing
+
+    # Incremental == full recompute restricted to pairs that touch the batch.
+    full = minhash_neardup_pairs_native(corpus.unionByName(batch), "doc_id", "text")
+    batch_ids = {10, 11, 12, 13}
+    expected = {
+        (r.doc_a, r.doc_b): r.est_jaccard_ppm
+        for r in full.collect()
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    }
+    got = {(r.doc_a, r.doc_b): r.est_jaccard_ppm for r in out}
+    assert got == expected
+
+
+def test_incremental_neardup_rejects_short_index(spark):
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_signatures,
+    )
+
+    corpus = _docs(spark, [(1, BASE)])
+    sig8 = minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8)
+    with _pytest.raises(ValueError):
+        incremental_neardup_pairs(sig8, corpus, "doc_id", "text")  # needs 16
