@@ -51,6 +51,9 @@ HEADLINE = [
     # r2 late additions: time-series + winnowing families
     "ts_hourly_gapfill_locf",
     "x5_winnow_fingerprints",
+    # r2 final additions: embedding label audit + incremental dedup
+    "x3_centroid_purity",
+    "x2_incremental_neardup",
 ]
 
 
