@@ -118,3 +118,53 @@ def bucketed_running_sum(
         joined.withColumn(out_col, F.coalesce(F.col("__off"), zero) + F.col("__local"))
         .drop("__bkt", "__local", "__off")
     )
+
+
+def hot_key_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    hot_threshold: int = 1_000_000,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Partial salting: salt ONLY the hot keys, join the cold majority
+    plain.
+
+    Full salting replicates the entire small side salt_buckets times --
+    at 100 TB that multiplies the broadcast/shuffle for every key to fix
+    a handful. Here keys whose large-side row count exceeds
+    ``hot_threshold`` are split onto the salted path; everything else
+    takes the ordinary join untouched, so the replication cost is
+    O(hot keys), not O(small side).
+
+    ``hot_keys``: pass a precomputed one-column DataFrame of hot key
+    values (e.g. from the t8_skew_audit query or table statistics) to
+    skip the detection aggregate; by default one count-per-key pass over
+    the large side finds them. The hot-key set must be broadcast-sized --
+    that is the premise of skew (few pathological keys).
+
+    Correctness: the two branches partition the large side's rows by key
+    (semi/anti on the same hot set), each branch equals the plain join
+    restricted to its keys, and their union is the plain join. Supports
+    how='inner' and how='left' (right/full would drop unmatched small
+    rows at the branch boundary).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_key_salted_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = (
+            large.groupBy(on)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > hot_threshold)
+            .select(on)
+        )
+    hot_keys = F.broadcast(hot_keys)
+    large_hot = large.join(hot_keys, on, "left_semi")
+    large_cold = large.join(hot_keys, on, "left_anti")
+    small_hot = small.join(hot_keys, on, "left_semi")
+    cold = large_cold.join(small, on, how)
+    hot = salted_join(large_hot, small_hot, on, salt_buckets, how, seed)
+    return cold.unionByName(hot)

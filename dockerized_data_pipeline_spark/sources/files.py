@@ -20,6 +20,7 @@ scans get partition pruning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
@@ -96,3 +97,44 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw media ingestion: Spark's ``binaryFile`` source reads whole files
+    as binary blobs with (path, modificationTime, length, content) columns
+    -- the standard on-ramp for image/audio corpora before decode. Scale
+    posture: one input partition per file group (spark.sql.files.
+    maxPartitionBytes governs packing of small files); filters on path /
+    length push to the listing, and content bytes never touch the driver.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def media_from_binary_files(
+    spark: SparkSession,
+    path: str,
+    kind: str = "image",
+    glob: str | None = None,
+) -> DataFrame:
+    """binaryFile rows -> the multimodal MEDIA_SCHEMA contract
+    (media_id, kind, blob, meta): ids are xxhash64(path) -- stable across
+    re-ingests -- and source path/mtime/length ride along as meta, so the
+    decode / frame-sample / feature stages run unchanged on real files."""
+    raw = read_binary_files(spark, path, glob)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("blob"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("length"), F.col("length").cast("string"),
+            F.lit("mtime"), F.col("modificationTime").cast("string"),
+        ).alias("meta"),
+    )

@@ -119,3 +119,39 @@ def test_stream_reader_polls_become_microbatches(spark, tmp_path):
 
     polls = sorted(_j.loads(r.payload)["poll"] for r in rows)
     assert polls == [0, 0, 1, 1, 2, 2]
+
+
+def test_hot_key_salted_join_equals_plain_join(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dockerized_data_pipeline_spark.operators.skew import hot_key_salted_join
+
+    # 90% of large-side rows land on key 1 (the hot key); rest spread.
+    large = spark.range(5000).select(
+        F.when(F.col("id") < 4500, F.lit(1))
+        .otherwise(F.col("id") % 37)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(37).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    # key 40 on the large side has no small match: exercises left-join nulls
+    large = large.unionByName(
+        spark.range(3).select(F.lit(40).alias("k"), F.col("id").alias("v"))
+    )
+    for how in ("inner", "left"):
+        got = hot_key_salted_join(large, small, "k", hot_threshold=100, how=how)
+        want = large.join(small, "k", how)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    # precomputed hot-key set path
+    hot = spark.createDataFrame([(1,)], "k long")
+    got = hot_key_salted_join(large, small, "k", how="inner", hot_keys=hot)
+    want = large.join(small, "k", "inner")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    with _pytest.raises(ValueError):
+        hot_key_salted_join(large, small, "k", how="full")

@@ -447,3 +447,37 @@ def test_symspell_pairs_recall_and_precision(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        decode_media,
+        extract_features,
+    )
+    from dockerized_data_pipeline_spark.sources.files import media_from_binary_files
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    blobs = {
+        "a.img": b"\x89fakepng" + bytes(range(200)),
+        "b.img": b"\xfffakejpg" + bytes(100),
+        "skip.txt": b"not media",
+    }
+    for name, data in blobs.items():
+        (media_dir / name).write_bytes(data)
+
+    media = media_from_binary_files(spark, str(media_dir), glob="*.img")
+    rows = media.collect()
+    assert len(rows) == 2  # glob filtered the .txt out
+    assert {len(r.blob) for r in rows} == {len(blobs["a.img"]), len(blobs["b.img"])}
+    assert all(r.meta["path"].endswith(".img") for r in rows)
+    assert all(int(r.meta["length"]) == len(r.blob) for r in rows)
+
+    decoded = decode_media(media).collect()
+    assert {d.n_bytes for d in decoded} == {len(blobs["a.img"]), len(blobs["b.img"])}
+    feats = extract_features(media).collect()
+    assert all(len(f.feature) == 8 for f in feats)
+
+    # ids are content-addressed on path: re-ingest is stable
+    again = {r.media_id for r in media_from_binary_files(spark, str(media_dir), glob="*.img").collect()}
+    assert again == {r.media_id for r in rows}
