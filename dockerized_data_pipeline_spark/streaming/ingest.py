@@ -220,3 +220,74 @@ def fanout_stream(
     else:
         writer = writer.trigger(processingTime="1 hour")
     return writer.start()
+
+
+def neardup_stream(
+    stream_docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    min_est_jaccard_ppm: int = 300_000,
+    available_now: bool = True,
+):
+    """Streaming incremental near-dup dedup: every arriving micro-batch of
+    documents is MinHash-signed, probed against the signature index built
+    from all PRIOR batches (plus itself), discovered near-dup pairs land
+    in ``pairs_path``, and the batch's signatures join the index -- the
+    streaming twin of ``operators.dedup.incremental_neardup_pairs``.
+
+    State is the parquet signature index, so it is bounded by corpus size
+    (one slim row per doc ever seen), not by stream length or watermark.
+    Both writes go to ``.../epoch=N`` directories with overwrite, so a
+    replayed micro-batch after crash-recovery rewrites its own epoch
+    instead of appending duplicates (effectively-once, same posture as
+    the MERGE ingest sink).
+    """
+    import os
+
+    from ..operators.dedup import incremental_neardup_pairs, minhash_signatures
+
+    num_hashes = bands * rows_per_band
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.isdir(index_path) and any(
+            e.startswith("epoch=") for e in os.listdir(index_path)
+        ):
+            corpus_sig = spark.read.parquet(index_path).select(
+                "doc", *[f"mh{i}" for i in range(num_hashes)]
+            )
+        else:
+            corpus_sig = spark.createDataFrame(
+                [],
+                "doc long, " + ", ".join(f"mh{i} long" for i in range(num_hashes)),
+            )
+        pairs = incremental_neardup_pairs(
+            corpus_sig,
+            batch_df,
+            id_col,
+            text_col,
+            n=n,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            min_est_jaccard_ppm=min_est_jaccard_ppm,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/epoch={epoch_id}")
+        batch_sig = minhash_signatures(batch_df, id_col, text_col, n, num_hashes)
+        batch_sig.write.mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -415,3 +415,53 @@ def test_max_files_per_trigger_rate_limits_batches(spark, tmp_path):
     q.awaitTermination(120)
     assert sum(batches) == 3
     assert len(batches) == 3 and all(b == 1 for b in batches)
+
+
+def test_neardup_stream_builds_index_and_pairs(spark, tmp_path):
+    """Streaming incremental near-dup: batch 2 docs probe the index built
+    from batch 1 (batch_corpus pairs) and each other (batch_batch pairs);
+    the signature index ends up covering every doc ever seen."""
+    import time as _time
+
+    from dockerized_data_pipeline_spark.streaming.ingest import neardup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "the bird fly over the green field near the old barn"
+    )
+    twin_a = base.replace("barn", "shed") + " extra tail alpha"
+    twin_b = base.replace("barn", "shed") + " extra tail omega"
+    src = str(tmp_path / "docs_src")
+    doc_schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus prose about shuffle partitions and catalyst rules")],
+        doc_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: file source processes oldest first
+    spark.createDataFrame(
+        [(10, base.replace("green", "blue")), (11, twin_a), (12, twin_b)],
+        doc_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    index_path = str(tmp_path / "sig_index")
+    pairs_path = str(tmp_path / "pairs")
+    q = neardup_stream(
+        stream, index_path, pairs_path, checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.pair_type
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert pairs.get((1, 10)) == "batch_corpus"
+    assert pairs.get((11, 12)) == "batch_batch"
+    assert (1, 2) not in pairs
+    index = spark.read.parquet(index_path)
+    assert {r.doc for r in index.select("doc").collect()} == {1, 2, 10, 11, 12}
+    assert "mh15" in index.columns
