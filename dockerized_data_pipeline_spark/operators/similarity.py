@@ -218,3 +218,82 @@ def verified_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def centroid_purity(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    fxp: int = 4096,
+) -> DataFrame:
+    """Nearest-centroid label confusion matrix (embedding label-quality
+    audit). Exact cross-engine arithmetic: components become
+    round(x * fxp) bigints (power-of-two scaling is exact in doubles and
+    both Spark and DuckDB round halves away from zero), so centroid sums,
+    dots, and norms are exact integers; cosine is scale-invariant, so the
+    un-normalized centroid SUM vector stands in for the mean. At 100 TB:
+    the component explode is a slim (id, i, q) stream, centroids reduce to
+    n_labels x dim rows that broadcast into the dot join, per-vector
+    aggregates shuffle on the high-cardinality id only, and the argmax
+    window is per-vector over n_labels rows. Returns (true_label,
+    nearest_label, n_vecs, min_cos_ppm, max_cos_ppm)."""
+    from pyspark.sql import Window
+
+    comp = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * fxp, 0).cast("bigint").alias("q"),
+    )
+    cent = comp.groupBy(F.col("label").alias("cand"), "i").agg(
+        F.sum("q").alias("s")
+    )
+    cnorm = cent.groupBy("cand").agg(F.sum(F.col("s") * F.col("s")).alias("cn2"))
+    vnorm = comp.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("vn2"))
+    dots = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cand")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("dot"))
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "cand")
+        .select(
+            "vec_id",
+            "cand",
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("vn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_ppm").desc(), F.col("cand"))
+    nearest = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        nearest.join(
+            emb.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")),
+            "vec_id",
+        )
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("cand").alias("nearest_label"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("cos_ppm").cast("bigint").alias("min_cos_ppm"),
+            F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
+        )
+    )

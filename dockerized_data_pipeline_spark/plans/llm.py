@@ -1899,57 +1899,8 @@ def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_labels x dim rows that broadcast into the dot join; per-vector
     aggregates shuffle on the high-cardinality vec_id only; the argmax
     window is partitioned per vector over n_labels rows."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("i0", "x"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("x").cast("double") * _FXP, 0).cast("bigint").alias("q"),
-    )
-    cent = comp.groupBy(F.col("label").alias("cand"), "i").agg(
-        F.sum("q").alias("s")
-    )
-    cnorm = cent.groupBy("cand").agg(F.sum(F.col("s") * F.col("s")).alias("cn2"))
-    vnorm = comp.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("vn2"))
-    dots = (
-        comp.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "cand")
-        .agg(F.sum(F.col("q") * F.col("s")).alias("dot"))
-    )
-    scored = (
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "cand")
-        .select(
-            "vec_id",
-            "cand",
-            F.floor(
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("vn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
-                * 1_000_000
-            )
-            .cast("bigint")
-            .alias("cos_ppm"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_ppm").desc(), F.col("cand"))
-    nearest = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return (
-        nearest.join(emb.select("vec_id", "label"), "vec_id")
-        .groupBy(
-            F.col("label").alias("true_label"),
-            F.col("cand").alias("nearest_label"),
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_vecs"),
-            F.min("cos_ppm").cast("bigint").alias("min_cos_ppm"),
-            F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
-        )
+    return SIM.centroid_purity(
+        load_table(spark, sf_dir, "embeddings"), fxp=_FXP
     )
 
 

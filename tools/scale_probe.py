@@ -66,6 +66,24 @@ def main() -> int:
     SIM.cosine_topk(bige, probe, k=10).count()
     results["cosine_topk"] = round(time.time() - t0, 2)
 
+    # Incremental dedup: 10% of the big corpus arrives as today's batch and
+    # probes the signature index of the other 90% -- must cost O(batch).
+    corpus = big.filter(F.col("doc_id") % 10 != 0)
+    batch = big.filter(F.col("doc_id") % 10 == 0)
+    corpus_sig = DD.minhash_signatures(
+        corpus, "doc_id", "text", n=3, num_hashes=16
+    ).localCheckpoint()
+    _ = corpus_sig.count()  # index build excluded: it is the persisted state
+    t0 = time.time()
+    DD.incremental_neardup_pairs(corpus_sig, batch, "doc_id", "text").count()
+    results["incremental_neardup"] = round(time.time() - t0, 2)
+
+    # Centroid purity: component explode + broadcast dot join at 10x vectors
+    # (same plan as the registered x3_centroid_purity, driven off the union).
+    t0 = time.time()
+    SIM.centroid_purity(bige).count()
+    results["centroid_purity"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
