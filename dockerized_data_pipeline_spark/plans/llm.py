@@ -1920,3 +1920,62 @@ def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.incremental_neardup_pairs(
         corpus_sig, batch, "doc_id", "text"
     ).orderBy("doc_a", "doc_b")
+
+
+_FH_DIM = 64
+
+
+@query(
+    "x5_feature_hash_sparse",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hx AS (
+      SELECT doc, md5(tok) AS h FROM tk
+    ), b AS (
+      SELECT doc,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % {_FH_DIM} AS bucket,
+             CASE WHEN (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM hx
+    )
+    SELECT doc, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(s) AS BIGINT) AS weight
+    FROM b GROUP BY doc, bucket HAVING SUM(s) != 0
+    """,
+)
+def x5_feature_hash_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hash embedding, sparse form (hashing trick, Weinberger
+    ICML'09): tokens hash to one of 64 signed buckets via portable md5
+    hex-char arithmetic, a doc's representation is its per-bucket signed
+    counts -- text becomes a vector with no vocabulary, no model, no
+    Python. Exact bigint weights make the whole embedding SQL-oracle-able
+    -- rare for an embedding pipeline. At 100 TB: one explode + one
+    (doc, bucket) hash-agg with map-side combine; output is at most 64
+    slim rows per doc."""
+    from ..operators.hashembed import feature_hash_sparse
+
+    d = load_table(spark, sf_dir, "documents")
+    out = feature_hash_sparse(d, "doc_id", "text", dim=_FH_DIM)
+    return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"), "weight")
+
+
+@query("x3_hash_embed_topk")
+def x3_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text -> vector -> retrieval with zero external models
+    (rows-only: md5-derived buckets have no SQL-oracle-able cosine):
+    feature-hash every document into a dense 64-dim vector, then exact
+    cosine top-10 against doc 0's vector -- the full similarity-search
+    pipeline shape (embed -> index -> probe) running on in-engine
+    embeddings. Deterministic: md5 buckets, exact integer weights, one
+    single-row driver fetch for the probe (same discipline as
+    x3_cosine_topk)."""
+    from ..operators.hashembed import feature_hash_embed
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = feature_hash_embed(d, "doc_id", "text", dim=_FH_DIM).withColumnRenamed(
+        "doc", "vec_id"
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SIM.cosine_topk(emb, probe, k=10)

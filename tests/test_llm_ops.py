@@ -532,3 +532,44 @@ def test_incremental_neardup_rejects_short_index(spark):
     sig8 = minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8)
     with _pytest.raises(ValueError):
         incremental_neardup_pairs(sig8, corpus, "doc_id", "text")  # needs 16
+
+
+def test_feature_hash_embed_dense_matches_sparse(spark):
+    from dockerized_data_pipeline_spark.operators.hashembed import (
+        feature_hash_embed,
+        feature_hash_sparse,
+    )
+
+    docs = _docs(
+        spark,
+        [(0, BASE), (1, BASE.replace("green", "blue")), (2, "solo words only here")],
+    )
+    sparse = {
+        (r.doc, r.bucket): r.weight
+        for r in feature_hash_sparse(docs, dim=16).collect()
+    }
+    dense = {r.doc: r.embedding for r in feature_hash_embed(docs, dim=16).collect()}
+    for doc, vec in dense.items():
+        assert len(vec) == 16
+        for b, x in enumerate(vec):
+            assert x == float(sparse.get((doc, b), 0))
+    # every nonzero sparse entry is represented
+    assert all(dense[d][b] == float(w) for (d, b), w in sparse.items())
+
+    # near-identical docs get near-identical vectors; disjoint docs do not
+    import math
+
+    def cos(u, v):
+        dot = sum(a * b for a, b in zip(u, v))
+        return dot / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+    assert cos(dense[0], dense[1]) > 0.9
+    assert cos(dense[0], dense[2]) < 0.9
+
+
+def test_hash_embed_topk_probe_ranks_itself_first(spark, sf_dir):
+    from dockerized_data_pipeline_spark.plans.llm import x3_hash_embed_topk
+
+    rows = x3_hash_embed_topk(spark, sf_dir).collect()
+    assert rows[0].vec_id == 0  # the probe doc is its own nearest neighbor
+    assert float(rows[0].cos_sim) == 1.0
