@@ -177,6 +177,10 @@ def neardup_clusters(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once: pairs is typically an expensive lineage
+        # (LSH banding + exact verification) that every iteration's joins
+        # and convergence count would otherwise re-evaluate from scratch
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -1979,3 +1979,51 @@ def x3_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return SIM.cosine_topk(emb, probe, k=10)
+
+
+@query("x7_corpus_prep_neardup")
+def x7_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone corpus pipeline with NEAR-dup collapse (rows-only:
+    minhash banding has no SQL oracle; every stage is individually
+    oracled/tested elsewhere): quality gates -> repetition gate -> language
+    allowlist -> exact dedup -> MinHash-LSH candidates -> exact-Jaccard
+    verification -> connected-component collapse (keep min id) ->
+    deterministic md5 split -> per-(lang, split) stats. This is
+    x7_corpus_prep_full upgraded from exact-only to fuzzy dedup -- the
+    pipeline a 100 TB pretraining corpus actually runs. Collapse cost
+    tracks duplicate density (banded candidates, pairwise verification),
+    never n^2."""
+    from ..operators.quality import repetition_metrics
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = repetition_metrics(d).select("doc_id", "n_tokens", "top_token_ppm")
+    n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
+    filtered = (
+        d.join(rep, "doc_id")
+        .withColumn("n_stop", n_stop)
+        .filter(
+            F.col("n_tokens").between(20, 1000)
+            & (F.col("n_stop") * 50 >= F.col("n_tokens"))
+            & (F.col("top_token_ppm") < 500000)
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    # exact dedup first: shrinks the LSH input and anchors keep_id
+    exact = filtered.groupBy("lang", "text").agg(
+        F.min("doc_id").alias("doc_id"), F.max("n_tokens").alias("n_tokens")
+    )
+    pairs = DD.verified_neardup_pairs(exact, "doc_id", "text")
+    kept = DD.collapse_neardups(exact, pairs.select("doc_a", "doc_b"), "doc_id")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    return (
+        kept.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang", "split")
+    )
