@@ -733,3 +733,44 @@ def sql_frontdoor_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ddp_lineitem_frontdoor"
     )
     return spark.sql(_FRONTDOOR_SQL.format(lineitem="ddp_lineitem_frontdoor"))
+
+
+@query(
+    "join_partial_salted_status",
+    oracle="""
+    WITH dim AS (
+      SELECT 'O' AS o_orderstatus, 'open' AS status_label UNION ALL
+      SELECT 'F', 'finished' UNION ALL
+      SELECT 'P', 'pending'
+    )
+    SELECT d.status_label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
+    GROUP BY d.status_label
+    """,
+)
+def join_partial_salted_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL salting (the 100 TB refinement of join_salted_hot_status):
+    a count-per-key pass detects which status values are actually hot
+    (> 2000 fact rows -- at sf0.01 'O'/'F' qualify, the rare 'P' does
+    not); only hot keys take the salted path while the cold remainder
+    joins plain, so dim replication cost is O(hot keys). Results are
+    salt-free and branch-partitioned by key, so the oracle is the plain
+    join."""
+    from ..operators.skew import hot_key_salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        "o_orderstatus string, status_label string",
+    )
+    joined = hot_key_salted_join(
+        o, dim, on="o_orderstatus", hot_threshold=2000, salt_buckets=8
+    )
+    return joined.groupBy("status_label").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
