@@ -2027,3 +2027,40 @@ def x7_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@query("x3_hash_embed_clusters")
+def x3_hash_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised corpus organization with zero external models
+    (rows-only: md5 buckets + iterative k-means have no SQL oracle, but
+    every stage is deterministic and separately tested): feature-hash each
+    doc into a 64-dim vector, train a k=8 codebook with the deterministic
+    distributed k-means (content-addressed init, decimal-exact means),
+    assign every doc to its nearest centroid as a pure per-row projection
+    (codebook is a plan literal -- no join, no shuffle), and report
+    per-cluster corpus stats. The "what is in my 100 TB corpus" topic
+    census: one embed shuffle + k-means's bounded iterations + one stats
+    agg."""
+    from ..operators.hashembed import feature_hash_embed
+    from ..operators.kmeans import kmeans_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = feature_hash_embed(d, "doc_id", "text", dim=_FH_DIM).withColumnRenamed(
+        "doc", "vec_id"
+    )
+    emb = emb.localCheckpoint(eager=True)  # k-means iterates over it
+    centroids = kmeans_fit(emb, k=8, iterations=2)
+    assigned = SIM.ivf_assignments(emb, centroids)
+    return (
+        assigned.join(
+            d.select(F.col("doc_id").alias("vec_id"), "lang", "source"), "vec_id"
+        )
+        .groupBy(F.col("cluster_id").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("vec_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("cluster")
+    )
