@@ -229,3 +229,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_feature_hash_sparse_is_one_shuffle(spark, sf_dir):
+    """The hashing-trick embedding must be explode -> two-phase hash-agg:
+    exactly one exchange (keyed on doc,bucket), no join, no window."""
+    import re
+
+    plan = _formatted_plan(spark, sf_dir, "x5_feature_hash_sparse")
+    # formatted output lists each node twice (tree + detail): count details
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_centroid_purity_broadcasts_centroids(spark, sf_dir):
+    """Centroid tables (n_labels x dim and n_labels rows) must broadcast
+    into the dot join; no sort-merge joins anywhere in the plan."""
+    plan = _formatted_plan(spark, sf_dir, "x3_centroid_purity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shared_openings_dedups_before_self_join(spark, sf_dir):
+    """The contamination matrix must aggregate (fp, source) down to a
+    distinct set BEFORE the self-join -- the join input is the slim
+    fingerprint table, never raw documents x documents."""
+    plan = _formatted_plan(spark, sf_dir, "x8_shared_openings")
+    pre_join = plan.split("Join")[0]
+    assert "HashAggregate" in pre_join  # distinct runs upstream of the join
+    assert "CartesianProduct" not in plan
