@@ -449,11 +449,17 @@ def incremental_neardup_pairs(
     bands: int = 8,
     rows_per_band: int = 2,
     min_est_jaccard_ppm: int = 300_000,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: dedup a NEW batch against an
     existing corpus without touching corpus text -- the operational shape
     at 100 TB, where recomputing full-corpus LSH for a 0.1% daily delta
     would be 1000x wasted work.
+
+    ``corpus_banded``: optionally pass the persisted band table (e.g. a
+    bucketed-by-sig table from ``build_neardup_index``) instead of
+    re-deriving bands from ``corpus_sig``; with bucketed storage the
+    corpus side of the probe join needs NO exchange.
 
     ``corpus_sig`` is the persisted MinHash signature index
     (``minhash_signatures`` output, one slim row per corpus doc). The
@@ -479,9 +485,12 @@ def incremental_neardup_pairs(
     batch_sig = minhash_signatures(batch, id_col, text_col, n, num_hashes)
 
     batch_banded = banded_signatures(batch_sig, bands, rows_per_band)
-    corpus_banded = banded_signatures(
-        corpus_sig.select("doc", *mh_cols), bands, rows_per_band
-    )
+    if corpus_banded is None:
+        corpus_banded = banded_signatures(
+            corpus_sig.select("doc", *mh_cols), bands, rows_per_band
+        )
+    else:
+        corpus_banded = corpus_banded.select("doc", "band", "sig")
     probe_side = corpus_banded.withColumn(
         "is_corpus", F.lit(True)
     ).unionByName(batch_banded.withColumn("is_corpus", F.lit(False)))
@@ -663,4 +672,66 @@ def minhash_neardup_pairs(
             F.col("datasetB.doc").alias("doc_b"),
             F.round("jaccard_dist", 6).cast("decimal(18,6)").alias("jaccard_dist"),
         )
+    )
+
+
+def build_neardup_index(
+    docs: DataFrame,
+    table_prefix: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    num_buckets: int = 8,
+) -> None:
+    """Persist the corpus's near-dup index as two bucketed tables:
+    ``{prefix}_bands`` (doc, band, sig) bucketed+sorted by sig -- the
+    probe join's corpus side then needs NO exchange (HashPartitioning on
+    sig satisfies the (band, sig) clustering because sig is a subset of
+    the join keys) -- and ``{prefix}_sigs`` (doc, mh0..mh{k-1}) bucketed
+    by doc for the shuffle-free verification re-join. Rebuild is one
+    signature pass over the corpus; daily batches then pay only their own
+    signing + a one-sided shuffle into num_buckets."""
+    from .bucketing import write_bucketed
+
+    sig = minhash_signatures(docs, id_col, text_col, n, bands * rows_per_band)
+    write_bucketed(
+        banded_signatures(sig, bands, rows_per_band),
+        f"{table_prefix}_bands",
+        f"{path}/bands",
+        bucket_col="sig",
+        num_buckets=num_buckets,
+    )
+    write_bucketed(
+        sig, f"{table_prefix}_sigs", f"{path}/sigs", bucket_col="doc",
+        num_buckets=num_buckets,
+    )
+
+
+def incremental_neardup_pairs_indexed(
+    spark,
+    table_prefix: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    min_est_jaccard_ppm: int = 300_000,
+) -> DataFrame:
+    """Probe a ``build_neardup_index`` index with a new batch: identical
+    results to ``incremental_neardup_pairs``, but the corpus band/sig
+    tables stream out of bucketed storage with no exchange."""
+    return incremental_neardup_pairs(
+        spark.table(f"{table_prefix}_sigs"),
+        batch,
+        id_col,
+        text_col,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        min_est_jaccard_ppm=min_est_jaccard_ppm,
+        corpus_banded=spark.table(f"{table_prefix}_bands"),
     )

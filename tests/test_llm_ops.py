@@ -573,3 +573,44 @@ def test_hash_embed_topk_probe_ranks_itself_first(spark, sf_dir):
     rows = x3_hash_embed_topk(spark, sf_dir).collect()
     assert rows[0].vec_id == 0  # the probe doc is its own nearest neighbor
     assert float(rows[0].cos_sim) == 1.0
+
+
+def test_indexed_incremental_neardup_matches_and_reads_bucketed(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from dockerized_data_pipeline_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup_pairs,
+        incremental_neardup_pairs_indexed,
+        minhash_signatures,
+    )
+
+    near = BASE.replace("green", "blue")
+    corpus = _docs(
+        spark,
+        [(1, BASE), (2, "older corpus article about markets and rates " * 3)],
+    )
+    batch = _docs(spark, [(10, near), (11, "fresh unrelated content about state stores")])
+    build_neardup_index(corpus, "nd_idx", str(tmp_path / "nd"), num_buckets=4)
+    try:
+        got = incremental_neardup_pairs_indexed(spark, "nd_idx", batch, "doc_id", "text")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan  # corpus index streams from buckets
+
+        want = incremental_neardup_pairs(
+            minhash_signatures(corpus, "doc_id", "text", num_hashes=16),
+            batch,
+            "doc_id",
+            "text",
+        )
+        key = lambda rows: {(r.doc_a, r.doc_b): (r.est_jaccard_ppm, r.pair_type) for r in rows}
+        got_rows, want_rows = key(got.collect()), key(want.collect())
+        assert got_rows == want_rows
+        assert (1, 10) in got_rows
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nd_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS nd_idx_sigs")
