@@ -339,3 +339,41 @@ def t8_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "t8_ingest_coverage",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(ts AS DATE) AS day,
+             date_trunc('minute', ts) AS minute
+      FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT minute) AS BIGINT) AS minutes_present,
+           CAST(COUNT(DISTINCT minute) * 1000000 // 1440 AS BIGINT) AS coverage_ppm
+    FROM m GROUP BY day
+    """,
+)
+def t8_ingest_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-continuity audit for a scheduled pipeline (the reference
+    runs on a cron DAG with no backfill -- dags/stock_data_pipeline.py:22
+    `catchup=False` -- so missed runs become silent gaps): per day, how
+    many of the 1440 minute slots contain at least one event, as an exact
+    coverage ppm. A day whose coverage dips below its neighbors is a
+    missed-run scar. One scan, one grouped distinct -- the partial
+    aggregate carries (day, minute) pairs, bounded at 1440/day regardless
+    of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    )
+    return m.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("minute").cast("bigint").alias("minutes_present"),
+        F.floor(F.count_distinct("minute") * 1_000_000 / 1440)
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )
