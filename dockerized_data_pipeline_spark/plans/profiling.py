@@ -377,3 +377,58 @@ def t8_ingest_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_ppm"),
     )
+
+
+@query(
+    "t8_distribution_drift",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS in_w1
+      FROM events
+    ), c AS (
+      SELECT event_type,
+             SUM(in_w1) AS n1,
+             SUM(1 - in_w1) AS n2
+      FROM w GROUP BY event_type
+    ), t AS (
+      SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM c
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(n1 * 1000000 // t1 AS BIGINT) AS share1_ppm,
+           CAST(n2 * 1000000 // t2 AS BIGINT) AS share2_ppm,
+           CAST(ABS(n1 * 1000000 // t1 - n2 * 1000000 // t2) AS BIGINT)
+               AS drift_ppm
+    FROM c, t
+    """,
+)
+def t8_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-drift audit (PSI-style, exact integers): compare each
+    event type's share of traffic between the first and second half of
+    the window; drift_ppm is the absolute share shift. The pre-deploy
+    check for 'did my upstream mix change' -- at 100 TB one scan, one
+    per-type aggregate, and a single-row totals broadcast (cross join of
+    an aggregate is a 1-row BroadcastNestedLoopJoin, not a shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .alias("in_w1"),
+    )
+    c = w.groupBy("event_type").agg(
+        F.sum("in_w1").alias("n1"), F.sum(1 - F.col("in_w1")).alias("n2")
+    )
+    t = c.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    share1 = F.floor(F.col("n1") * 1_000_000 / F.col("t1")).cast("bigint")
+    share2 = F.floor(F.col("n2") * 1_000_000 / F.col("t2")).cast("bigint")
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        share1.alias("share1_ppm"),
+        share2.alias("share2_ppm"),
+        F.abs(share1 - share2).cast("bigint").alias("drift_ppm"),
+    )
