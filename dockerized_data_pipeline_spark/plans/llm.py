@@ -2064,3 +2064,124 @@ def x3_hash_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# target pretraining mixture: ppm share of the token budget per source
+_MIX_TARGET_PPM = {"src0": 400_000, "src1": 300_000, "src2": 200_000, "src3": 60_000, "src4": 40_000}
+_MIX_BUDGET_TOKENS = 20_000
+_MIX_SQL = " UNION ALL ".join(
+    f"SELECT '{s}' AS source, CAST({p} AS BIGINT) AS target_ppm"
+    for s, p in sorted(_MIX_TARGET_PPM.items())
+)
+
+
+@query(
+    "x8_token_budget_mixture",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ), tgt AS ({_MIX_SQL})
+    SELECT t.source,
+           COALESCE(a.available_tokens, 0) AS available_tokens,
+           t.target_ppm,
+           CAST({_MIX_BUDGET_TOKENS} * t.target_ppm // 1000000 AS BIGINT)
+               AS required_tokens,
+           CAST(LEAST(
+             1000000,
+             ({_MIX_BUDGET_TOKENS} * t.target_ppm // 1000000) * 1000000
+               // GREATEST(COALESCE(a.available_tokens, 0), 1)
+           ) AS BIGINT) AS keep_rate_ppm
+    FROM tgt t LEFT JOIN avail a ON t.source = a.source
+    """,
+)
+def x8_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture planner: given a token budget and target ppm
+    shares per source, compute each source's required tokens and the
+    deterministic keep rate (capped at 1.0) against what the corpus
+    actually has -- the arithmetic a data team runs before
+    x8_mixture_sample_summary executes the sampling. Exact integer floor
+    division end to end. At 100 TB: one per-source token-count aggregate;
+    the target table is a literal."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("available_tokens")
+    )
+    tgt = spark.createDataFrame(
+        sorted(_MIX_TARGET_PPM.items()), "source string, target_ppm bigint"
+    )
+    required = F.floor(F.lit(_MIX_BUDGET_TOKENS) * F.col("target_ppm") / 1_000_000).cast(
+        "bigint"
+    )
+    return (
+        tgt.join(avail, "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("available_tokens"), F.lit(0)).alias("available_tokens"),
+            "target_ppm",
+            required.alias("required_tokens"),
+            F.least(
+                F.lit(1_000_000),
+                F.floor(
+                    required
+                    * 1_000_000
+                    / F.greatest(F.coalesce(F.col("available_tokens"), F.lit(0)), F.lit(1))
+                ),
+            )
+            .cast("bigint")
+            .alias("keep_rate_ppm"),
+        )
+    )
+
+
+@query(
+    "x5_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(string_split(text, ' ')[i:i+2], ' ') AS shingle
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, GREATEST(LEN(string_split(text, ' ')) - 2, 0))) AS i)
+    ), df AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE d.n_docs = 1) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) FILTER (WHERE d.n_docs = 1) * 1000000 // COUNT(*)
+                AS BIGINT) AS novelty_ppm
+    FROM sh s JOIN df d ON s.shingle = d.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def x5_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty per document: the fraction of a doc's distinct
+    3-gram shingles that appear in NO other document -- high novelty =
+    original content, low = boilerplate assembled from corpus-common
+    phrases (the content-quality complement of near-dup detection).
+    At 100 TB: shingle explode -> document-frequency hash-agg -> join
+    back on shingle -> per-doc aggregate; every shuffled row is a
+    (shingle-hash, id) pair, and the DF table can be digest-keyed so the
+    join carries 8-byte hashes, not strings."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingles(d.select("doc_id", "text"), "text", 3).select(
+        "doc_id", "shingle"
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("n_docs") == 1, 1)).cast("bigint").alias("n_unique"),
+            F.floor(
+                F.count(F.when(F.col("n_docs") == 1, 1))
+                * 1_000_000
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )
