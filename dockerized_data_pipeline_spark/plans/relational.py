@@ -774,3 +774,71 @@ def join_partial_salted_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@query(
+    "window_dist_gallery",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_ppm,
+           NTH_VALUE(event_id, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_dist_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-function gallery (percent_rank / cume_dist /
+    nth_value) partitioned by the high-cardinality user_id -- each
+    partition is one user's events, so no single-task sort. percent_rank
+    = k/(n-1) and cume_dist = k/n are single divisions of exact integers
+    (portable doubles), floored to ppm."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.percent_rank().over(w) * 1_000_000).cast("bigint").alias("prank_ppm"),
+        F.floor(F.cume_dist().over(w) * 1_000_000).cast("bigint").alias("cume_ppm"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_event"),
+    )
+
+
+@query(
+    "agg_mode_per_status",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE aggregate (most frequent value per group, ties
+    broken by value): two-level hash-agg then a per-group argmax via
+    max_by on a (count, inverted-value) struct -- no window, no sort; the
+    second agg reduces each group to one row. The struct comparison makes
+    the tiebreak explicit rather than engine-dependent (SQL MODE() has no
+    portable tie rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    # argmax by (n, value asc): min over (-n, value) struct picks the pair
+    best = c.groupBy("o_orderstatus").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderpriority"))).alias("b")
+    )
+    return best.select(
+        "o_orderstatus",
+        F.col("b.o_orderpriority").alias("mode_priority"),
+        (-F.col("b.neg_n")).cast("bigint").alias("n"),
+    )
