@@ -529,3 +529,38 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@query(
+    "f_regex_gallery",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS vowel_runs,
+           regexp_extract(text, '[a-z]*tion') AS first_tion_word,
+           CAST(LEN(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+               AS len_no_vowels,
+           CASE WHEN regexp_matches(text, '^[aeiou]') THEN 1 ELSE 0 END
+               AS starts_with_vowel
+    FROM documents
+    """,
+)
+def f_regex_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar-function breadth (F8-adjacent: the reference leans on
+    regex-free string ops, but any SQL surface needs these): count of
+    matches, first-match extraction, global replace, anchored match test.
+    Patterns stay in the Java-regex/RE2-portable subset (character
+    classes, no lookaround) -- the same discipline as the PII redactor.
+    Pure per-row expressions: zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+"))
+        .cast("bigint")
+        .alias("vowel_runs"),
+        F.regexp_extract(F.col("text"), "[a-z]*tion", 0).alias("first_tion_word"),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+        .cast("bigint")
+        .alias("len_no_vowels"),
+        F.when(F.col("text").rlike("^[aeiou]"), 1).otherwise(0).alias("starts_with_vowel"),
+    )
