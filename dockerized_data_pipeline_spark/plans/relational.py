@@ -842,3 +842,32 @@ def agg_mode_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_orderpriority").alias("mode_priority"),
         (-F.col("b.neg_n")).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "set_symmetric_diff_buyers",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ), w2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_custkey FROM (
+      (SELECT o_custkey FROM w1 EXCEPT SELECT o_custkey FROM w2)
+      UNION ALL
+      (SELECT o_custkey FROM w2 EXCEPT SELECT o_custkey FROM w1)
+    )
+    """,
+)
+def set_symmetric_diff_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference (§2.7 completion): customers active in exactly
+    one of two eras -- churned-or-new, never-both. Composed from the same
+    set-semantics subtract as set_except_never_ordered; both branches
+    reuse one scan's distinct sets."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    w1 = o.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    w2 = o.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    return w1.subtract(w2).unionAll(w2.subtract(w1))
