@@ -2185,3 +2185,71 @@ def x5_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+_TRUNC_DIM = 16
+
+
+@query(
+    "x3_truncated_dim_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv,
+             CAST(embedding[1:{_TRUNC_DIM}] AS DOUBLE[]) AS qt
+      FROM embeddings WHERE vec_id = {_PROBE_VEC_ID}
+    ), full_top AS (
+      SELECT vec_id FROM embeddings, q
+      ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+               / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) DESC,
+               vec_id
+      LIMIT 10
+    ), trunc_top AS (
+      SELECT vec_id FROM embeddings, q
+      ORDER BY list_dot_product(CAST(embedding[1:{_TRUNC_DIM}] AS DOUBLE[]), qt)
+               / sqrt(list_dot_product(CAST(embedding[1:{_TRUNC_DIM}] AS DOUBLE[]),
+                                       CAST(embedding[1:{_TRUNC_DIM}] AS DOUBLE[]))) DESC,
+               vec_id
+      LIMIT 10
+    )
+    SELECT CAST({_TRUNC_DIM} AS BIGINT) AS trunc_dim,
+           CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM full_top f
+                 JOIN trunc_top t ON f.vec_id = t.vec_id) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM full_top f
+                 JOIN trunc_top t ON f.vec_id = t.vec_id) * 1000000 // 10
+                AS BIGINT) AS recall_ppm
+    """,
+)
+def x3_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval eval: how much of
+    the exact top-10 survives when cosine runs on only the first 16 of 64
+    dimensions -- the operating-point measurement behind dimension-
+    truncated ANN (coarse search on a prefix, rerank on the full vector;
+    prefix scan cost is dim/4). Both rankings order by (cos desc, vec_id)
+    so ties resolve identically; the dot products are sequential
+    left-to-right folds, bit-identical across engines. At 100 TB each
+    ranking is one scan + TakeOrderedAndProject; the overlap join is 10x10
+    rows."""
+    from ..functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _probe_vector(spark, sf_dir)
+
+    def topk(vec_col, probe):
+        probe_arr = F.array(*[F.lit(float(x)) for x in probe])
+        return (
+            emb.select(
+                "vec_id", cosine(vec_col.cast("array<double>"), probe_arr).alias("c")
+            )
+            .orderBy(F.col("c").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+    full_top = topk(F.col("embedding"), q)
+    trunc_top = topk(F.slice(F.col("embedding"), 1, _TRUNC_DIM), q[:_TRUNC_DIM])
+    hits = full_top.join(trunc_top, "vec_id").count()
+    return spark.createDataFrame(
+        [(_TRUNC_DIM, 10, hits, hits * 1_000_000 // 10)],
+        "trunc_dim bigint, k bigint, hits bigint, recall_ppm bigint",
+    )
