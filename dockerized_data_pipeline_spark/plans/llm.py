@@ -2253,3 +2253,29 @@ def x3_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_TRUNC_DIM, 10, hits, hits * 1_000_000 // 10)],
         "trunc_dim bigint, k bigint, hits bigint, recall_ppm bigint",
     )
+
+
+@query(
+    "x6_json_key_census",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, unnest(json_keys(props)) AS key FROM events
+    )
+    SELECT event_type, key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM k GROUP BY event_type, key
+    """,
+)
+def x6_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema discovery: which JSON keys actually occur in
+    the props payload, per event type, with occurrence counts -- the
+    census a pipeline runs before hardening a schema (keys that appear in
+    0.01% of rows get a rescue column, not a typed one). Spark side parses
+    once to a map and explodes the keys; one hash-agg, pure JVM."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.select("event_type", F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("event_type", "key")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
