@@ -217,6 +217,105 @@ def audio_frame_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFram
     return media.mapInPandas(batches, schema=ENERGY_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL codec path: WAV/PCM via stdlib ``wave`` (no external deps). Unlike the
+# stubbed image decode above, nothing here is faked: blobs are genuine RIFF
+# containers, and decode parses the real header and PCM frames. Synthesis is
+# deterministic from media_id, so an SQL oracle can derive every decoded
+# property arithmetically -- the wave round-trip is oracle-checked end-to-end.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+WAV_SCHEMA = (
+    "media_id long, kind string, blob binary,"
+    " meta map<string,string>"
+)
+WAV_DECODED_SCHEMA = (
+    "media_id long, n_channels int, sample_width int, sample_rate int,"
+    " n_frames long, peak int, energy long"
+)
+
+
+def _wav_frame_count(media_id: int) -> int:
+    return 64 + media_id % 64
+
+
+def _wav_samples(media_id: int):
+    """Deterministic int16 mono waveform: sample i = (((id*31 + i*7) % 256)
+    - 128) * 256. Pure integer arithmetic so DuckDB reproduces it exactly."""
+    import numpy as np
+
+    i = np.arange(_wav_frame_count(media_id), dtype=np.int64)
+    return ((((media_id * 31 + i * 7) % 256) - 128) * 256).astype("<i2")
+
+
+def _wav_encode(media_id: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(_wav_samples(media_id).tobytes())
+    return buf.getvalue()
+
+
+def wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(ids) -> real WAV blobs, one per id, synthesized executor-side in
+    Arrow batches (the ingest half of the audio pipeline; swap ``_wav_encode``
+    for an S3/HTTP fetch and the shape is production ingest)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "audio/wav",
+                    "blob": [_wav_encode(int(m)) for m in mids],
+                    "meta": [
+                        {"rate": str(WAV_RATE), "codec": "pcm_s16le"} for _ in mids
+                    ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL decode: parse the RIFF/WAVE header and PCM16 frames with stdlib
+    ``wave`` + numpy, emitting exact integer signal stats (peak = max |s|,
+    energy = sum s^2). Same distributed shape as decode_media: Arrow-batched
+    mapInPandas, zero shuffle, scan-speed parallelism."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "n_channels", "sample_width", "sample_rate",
+                "n_frames", "peak", "energy",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                with wave.open(io.BytesIO(blob), "rb") as w:
+                    frames = w.readframes(w.getnframes())
+                    samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                    out["media_id"].append(mid)
+                    out["n_channels"].append(w.getnchannels())
+                    out["sample_width"].append(w.getsampwidth())
+                    out["sample_rate"].append(w.getframerate())
+                    out["n_frames"].append(w.getnframes())
+                    out["peak"].append(int(np.abs(samples).max(initial=0)))
+                    out["energy"].append(int((samples * samples).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=WAV_DECODED_SCHEMA)
+
+
 def decode_media_arrow(media: DataFrame) -> DataFrame:
     """Arrow-native twin of ``decode_media`` via ``mapInArrow``: operates
     on pyarrow RecordBatches directly, skipping the Arrow<->pandas

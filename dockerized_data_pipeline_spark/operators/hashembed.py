@@ -67,15 +67,18 @@ def feature_hash_embed(
 ) -> DataFrame:
     """Dense form: (doc, embedding array<double>[dim]) -- drop-in input for
     cosine_topk / kmeans_fit / ivf_topk. Densification is per-doc map
-    assembly over at most ``dim`` aggregated entries (bounded, no extra
-    shuffle beyond the sparse aggregate)."""
+    assembly over at most ``dim`` aggregated entries. Every input doc gets
+    a row: docs whose signed token counts fully cancel (and empty-token
+    docs) yield the zero vector via the left join back to the distinct doc
+    ids -- without it they would silently vanish from downstream
+    cosine/k-means."""
     sparse = feature_hash_sparse(docs, id_col, text_col, dim)
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
     )
+    ids = docs.select(F.col(id_col).alias("doc")).distinct()
     return (
-        sparse.groupBy("doc")
-        .agg(m.alias("m"))
+        ids.join(sparse.groupBy("doc").agg(m.alias("m")), "doc", "left")
         .select(
             "doc",
             F.transform(

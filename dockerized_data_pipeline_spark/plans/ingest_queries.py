@@ -82,8 +82,8 @@ def f1_timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p4_typed_casts",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DECIMAL(15,4)) AS qty_dec,
-           CAST(l_extendedprice AS DECIMAL(15,4)) AS price_dec,
+           CAST(CAST(l_quantity AS DECIMAL(15,4)) AS DOUBLE) AS qty_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(15,4)) AS DOUBLE) AS price_dec,
            CAST(l_shipdate AS DATE) AS ship_date,
            CAST(l_orderkey AS VARCHAR) AS orderkey_str
     FROM lineitem

@@ -17,8 +17,8 @@ from .registry import query
     oracle="""
     SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS lo,
-           CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS hi
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS lo,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS hi
     FROM orders GROUP BY 1
     """,
 )
@@ -158,7 +158,7 @@ def t8_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT)) AS syy
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
-           CAST(CAST(e.value AS DECIMAL(12,4)) AS DECIMAL(12,4)) AS value
+           CAST(CAST(e.value AS DECIMAL(12,4)) AS DOUBLE) AS value
     FROM events e JOIN s ON e.event_type = s.event_type
     WHERE CAST(s.n * CAST(CAST(e.value AS DECIMAL(12,4)) * 10000 AS HUGEINT)
                - s.sy AS DOUBLE)
@@ -209,8 +209,8 @@ def t8_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice <= q3 THEN 2
                 ELSE 3 END AS bucket,
            COUNT(*) AS n,
-           CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS lo,
-           CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS hi
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS lo,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS hi
     FROM orders, thr GROUP BY 1
     """,
 )
@@ -397,9 +397,10 @@ def t8_ingest_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-           CAST(n1 * 1000000 // t1 AS BIGINT) AS share1_ppm,
-           CAST(n2 * 1000000 // t2 AS BIGINT) AS share2_ppm,
-           CAST(ABS(n1 * 1000000 // t1 - n2 * 1000000 // t2) AS BIGINT)
+           CAST(n1 * 1000000 // GREATEST(t1, 1) AS BIGINT) AS share1_ppm,
+           CAST(n2 * 1000000 // GREATEST(t2, 1) AS BIGINT) AS share2_ppm,
+           CAST(ABS(n1 * 1000000 // GREATEST(t1, 1)
+                    - n2 * 1000000 // GREATEST(t2, 1)) AS BIGINT)
                AS drift_ppm
     FROM c, t
     """,
@@ -422,8 +423,14 @@ def t8_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_w1").alias("n1"), F.sum(1 - F.col("in_w1")).alias("n2")
     )
     t = c.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
-    share1 = F.floor(F.col("n1") * 1_000_000 / F.col("t1")).cast("bigint")
-    share2 = F.floor(F.col("n2") * 1_000_000 / F.col("t2")).cast("bigint")
+    # GREATEST(t, 1) on both sides: an empty half-window must yield share 0,
+    # not NULL (Spark floor(n/0)) vs a division-by-zero error (DuckDB //).
+    share1 = F.floor(
+        F.col("n1") * 1_000_000 / F.greatest(F.col("t1"), F.lit(1))
+    ).cast("bigint")
+    share2 = F.floor(
+        F.col("n2") * 1_000_000 / F.greatest(F.col("t2"), F.lit(1))
+    ).cast("bigint")
     return c.crossJoin(F.broadcast(t)).select(
         "event_type",
         F.col("n1").cast("bigint").alias("n1"),

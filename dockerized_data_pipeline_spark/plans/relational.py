@@ -51,11 +51,11 @@ _REVENUE_SQL = (
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
-           CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS sum_disc_price,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
-                AS DECIMAL(38,6)) AS avg_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           CAST(FLOOR({_REVENUE_SQL} * 100) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(38,6)) AS DOUBLE) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -76,7 +76,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
             F.sum(ext).cast("decimal(38,4)").alias("sum_base_price"),
-            _revenue_col().cast("decimal(38,8)").alias("sum_disc_price"),
+            # FLOOR to cents then divide as doubles: the exact scale-8 sum's
+            # unscaled value exceeds 2^53 at sf0.1+, where a direct
+            # decimal->double cast double-rounds in DuckDB (hugeint->double,
+            # then /1e8) but single-rounds in Spark -> 1-ULP drift; and
+            # decimal DOWNSCALE casts are not portable either (DuckDB
+            # truncates, Spark rounds half-up). FLOOR(x*100) is unambiguous
+            # in both engines and cents fit a double exactly.
+            (F.floor(_revenue_col() * 100).cast("double") / F.lit(100.0)).alias(
+                "sum_disc_price"
+            ),
             (F.sum(qty).cast("double") / F.count("*")).cast("decimal(38,6)").alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -107,7 +116,7 @@ def agg_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataF
     "agg_rollup_revenue",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -147,7 +156,7 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_unshipped_revenue_top10",
     oracle=f"""
     SELECT l_orderkey,
-           CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue,
+           CAST({_REVENUE_SQL} AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -183,7 +192,7 @@ def q3_unshipped_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_region_nation_revenue",
     oracle=f"""
-    SELECT n_name, CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue
+    SELECT n_name, CAST({_REVENUE_SQL} AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -472,7 +481,7 @@ def window_topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER (
              PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,4)) AS running_value
+           ) AS DOUBLE) AS running_value
     FROM events
     """,
 )
@@ -542,7 +551,7 @@ def window_rank_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(CAST(value AS DECIMAL(12,4)) - LAG(CAST(value AS DECIMAL(12,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-           ) AS DECIMAL(38,4)) AS delta
+           ) AS DOUBLE) AS delta
     FROM events
     """,
 )
@@ -560,10 +569,10 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
     SELECT event_id, user_id,
-           CAST(AVG(CAST(value AS DECIMAL(12,4))) OVER (
+           CAST(CAST(AVG(CAST(value AS DECIMAL(12,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,8)) AS avg3_value
+           ) AS DECIMAL(38,8)) AS DOUBLE) AS avg3_value
     FROM events
     """,
 )
@@ -711,7 +720,7 @@ def join_salted_hot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONTDOOR_SQL = """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM {lineitem}
     WHERE l_shipdate <= DATE '1998-09-02'

@@ -18,7 +18,7 @@ from .registry import query
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )

@@ -26,7 +26,7 @@ _RATE = "decimal(7,4)"
     "q6_forecast_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-                    * CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(38,8)) AS revenue,
+                    * CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -58,8 +58,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_linestatus
@@ -121,7 +121,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS total_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey, o_custkey, o_totalprice
     HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 150
@@ -171,7 +171,7 @@ def q17_near_brand_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue_top20",
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue
+           CAST({_REVENUE_SQL} AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -233,7 +233,7 @@ def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     oracle=f"""
-    SELECT CAST({_REVENUE_SQL} AS DECIMAL(38,8)) AS revenue, COUNT(*) AS n
+    SELECT CAST({_REVENUE_SQL} AS DOUBLE) AS revenue, COUNT(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
        OR (p_type = 'PROMO' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
@@ -303,7 +303,7 @@ def q2_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
       SELECT CAST(SUM(bal) AS DECIMAL(38,4)) AS total, COUNT(*) AS n FROM pos
     )
-    SELECT c_custkey, c_name, CAST(bal AS DECIMAL(12,4)) AS acctbal
+    SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS acctbal
     FROM pos, stats
     WHERE bal * n > total
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -367,7 +367,7 @@ def q4_orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT supp_nation, cust_nation, l_year,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
                     * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))))
-                AS DECIMAL(38,8)) AS revenue
+                AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -498,7 +498,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,8)) AS sum_profit
+    SELECT nation, o_year,
+           CAST(CAST(SUM(amount) AS DECIMAL(38,8)) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -574,7 +575,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT l_suppkey AS s_suppkey,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
                       * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))))
-                  AS DECIMAL(38,8)) AS total_revenue
+                  AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -654,7 +655,7 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       GROUP BY l_partkey, l_suppkey
     )
-    SELECT l_partkey, l_suppkey, value
+    SELECT l_partkey, l_suppkey, CAST(value AS DOUBLE) AS value
     FROM val
     WHERE CAST(value AS DOUBLE) * (SELECT COUNT(*) FROM val)
           > 3.0 * (SELECT CAST(SUM(value) AS DOUBLE) FROM val)

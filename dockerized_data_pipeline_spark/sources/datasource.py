@@ -9,6 +9,9 @@ Modes:
     tested path in this container.
   * no ``payload_dir``: live mode -- each partition GETs the Alpha Vantage
     endpoint (requests, 30 s timeout per scripts/fetch_stock_data.py:27).
+    The ``endpoint`` option overrides the URL (self-hosted API gateways;
+    also how tests/test_datasource_live.py exercises this branch against a
+    loopback HTTP server with no fakes in the request path).
 
 The source emits raw (symbol, payload, error) rows; parsing stays in
 sources.parse.parse_timeseries so the typed-row logic exists exactly once.
@@ -31,6 +34,9 @@ from pyspark.sql.types import StructType
 from .retry import call_with_retry
 
 RAW_SCHEMA_DDL = "symbol string, payload string, error string"
+
+# Public API URL (scripts/fetch_stock_data.py:14); override via .option("endpoint", ...)
+DEFAULT_ENDPOINT = "https://www.alphavantage.co/query"
 
 
 @dataclass
@@ -62,6 +68,7 @@ class StockApiReader(DataSourceReader):
         self.symbols = [s.strip().upper() for s in raw.split(",") if s.strip()]
         self.payload_dir = options.get("payload_dir")
         self.api_key = options.get("api_key", "demo")
+        self.endpoint = options.get("endpoint", DEFAULT_ENDPOINT)
         # T5 retry policy (options arrive as strings from .option(...)).
         # Defaults mirror PipelineConfig: 3 retries, 5-min first delay
         # (dags/stock_data_pipeline.py:19-20), exponential backoff.
@@ -103,7 +110,7 @@ class StockApiReader(DataSourceReader):
         import requests
 
         resp = requests.get(
-            "https://www.alphavantage.co/query",
+            self.endpoint,
             params={
                 "function": "TIME_SERIES_INTRADAY",
                 "symbol": sym,
@@ -146,6 +153,7 @@ class StockApiStreamReader(DataSourceStreamReader):
             raise ValueError("stock_api stream requires a 'symbols' option")
         self.payload_dir = options.get("payload_dir")
         self.api_key = options.get("api_key", "demo")
+        self.endpoint = options.get("endpoint", DEFAULT_ENDPOINT)
         self.max_retries = int(options.get("max_retries", "3"))
         self.retry_delay_sec = float(options.get("retry_delay_sec", "300"))
         self._live_polls = 0

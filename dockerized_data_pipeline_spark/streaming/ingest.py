@@ -258,12 +258,25 @@ def neardup_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if os.path.isdir(index_path) and any(
-            e.startswith("epoch=") for e in os.listdir(index_path)
-        ):
-            corpus_sig = spark.read.parquet(index_path).select(
-                "doc", *[f"mh{i}" for i in range(num_hashes)]
-            )
+        # Corpus = strictly EARLIER epochs only. A crash between the
+        # epoch=N index write and the checkpoint commit replays batch N;
+        # reading the whole index would then include the batch's OWN
+        # signatures, duplicating every pair and relabeling batch-batch
+        # pairs as batch-corpus (F.max(is_corpus) picks the corpus flavor).
+        prior = (
+            [
+                os.path.join(index_path, e)
+                for e in os.listdir(index_path)
+                if e.startswith("epoch=")
+                and int(e.split("=", 1)[1]) < epoch_id
+            ]
+            if os.path.isdir(index_path)
+            else []
+        )
+        if prior:
+            corpus_sig = spark.read.option("basePath", index_path).parquet(
+                *prior
+            ).select("doc", *[f"mh{i}" for i in range(num_hashes)])
         else:
             corpus_sig = spark.createDataFrame(
                 [],

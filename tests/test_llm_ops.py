@@ -614,3 +614,67 @@ def test_indexed_incremental_neardup_matches_and_reads_bucketed(spark, tmp_path)
     finally:
         spark.sql("DROP TABLE IF EXISTS nd_idx_bands")
         spark.sql("DROP TABLE IF EXISTS nd_idx_sigs")
+
+
+def test_feature_hash_embed_zero_vector_docs_survive(spark):
+    """ADVICE r2: docs whose signed token counts fully cancel (and docs with
+    no tokens at all) must yield a ZERO vector, not silently vanish from the
+    dense output (downstream cosine/k-means would lose them)."""
+    from dockerized_data_pipeline_spark.operators.hashembed import (
+        feature_hash_embed,
+        feature_hash_sparse,
+    )
+
+    # dim=1: every token lands in bucket 0, so any text whose +1/-1 token
+    # signs cancel produces an all-zero doc. md5 sign = parity of 3rd hex
+    # char: find two one-token texts with opposite signs.
+    import hashlib
+
+    def sign(tok):
+        return 1 if int(hashlib.md5(tok.encode()).hexdigest()[2], 16) % 2 == 0 else -1
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    pos = next(w for w in words if sign(w) == 1)
+    neg = next(w for w in words if sign(w) == -1)
+
+    # doc 2: null text -> zero tokens (split("") would yield one empty-string
+    # token under whitespace tokenization, so null is the true no-token case)
+    docs = _docs(spark, [(0, f"{pos} {neg}"), (1, pos), (2, None)])
+    assert feature_hash_sparse(docs, dim=1).filter("doc = 0").count() == 0
+    dense = {r.doc: r.embedding for r in feature_hash_embed(docs, dim=1).collect()}
+    assert set(dense) == {0, 1, 2}  # cancelled + token-less docs still present
+    assert dense[0] == [0.0]
+    assert dense[2] == [0.0]
+    assert dense[1] != [0.0]
+
+
+def test_wav_codec_roundtrip_real_bytes(spark):
+    """The REAL WAV path: wav_media emits genuine RIFF containers (stdlib
+    wave can open them independently) and decode_wav recovers the exact
+    synthesized PCM."""
+    import io
+    import wave as wavelib
+
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        WAV_RATE,
+        _wav_samples,
+        decode_wav,
+        wav_media,
+    )
+
+    ids = spark.createDataFrame([(3,), (64,), (100,)], "doc_id long")
+    blobs = {r.media_id: bytes(r.blob) for r in wav_media(ids).collect()}
+    # container is real: stdlib wave parses it without our code in the loop
+    with wavelib.open(io.BytesIO(blobs[3]), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, WAV_RATE)
+        assert w.getnframes() == 64 + 3 % 64
+
+    decoded = {r.media_id: r for r in decode_wav(wav_media(ids)).collect()}
+    for mid in (3, 64, 100):
+        s = _wav_samples(mid).astype(np.int64)
+        d = decoded[mid]
+        assert d.n_frames == len(s)
+        assert d.peak == int(np.abs(s).max())
+        assert d.energy == int((s * s).sum())

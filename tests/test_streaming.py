@@ -465,3 +465,44 @@ def test_neardup_stream_builds_index_and_pairs(spark, tmp_path):
     index = spark.read.parquet(index_path)
     assert {r.doc for r in index.select("doc").collect()} == {1, 2, 10, 11, 12}
     assert "mh15" in index.columns
+
+
+def test_neardup_stream_crash_replay_excludes_own_epoch(spark, tmp_path):
+    """Effectively-once under crash replay (ADVICE r2): if a run crashed
+    AFTER writing index_path/epoch=0 but BEFORE the checkpoint committed,
+    the replayed batch 0 must not read its own signatures back as corpus --
+    that would emit duplicate pairs and relabel batch_batch pairs as
+    batch_corpus. Simulated by pre-seeding epoch=0 with the exact
+    signatures batch 0 is about to write."""
+    from dockerized_data_pipeline_spark.operators.dedup import minhash_signatures
+    from dockerized_data_pipeline_spark.streaming.ingest import neardup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "the bird fly over the green field near the old barn"
+    )
+    batch = [(11, base + " extra tail alpha"), (12, base + " extra tail omega")]
+    doc_schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(batch, doc_schema).coalesce(1).write.parquet(src)
+
+    index_path = str(tmp_path / "sig_index")
+    # the "crashed run" already wrote this batch's own signatures as epoch=0
+    minhash_signatures(
+        spark.createDataFrame(batch, doc_schema), "doc_id", "text", 3, 16
+    ).write.parquet(f"{index_path}/epoch=0")
+
+    pairs_path = str(tmp_path / "pairs")
+    q = neardup_stream(
+        spark.readStream.schema(doc_schema).parquet(src),
+        index_path,
+        pairs_path,
+        checkpoint_dir=str(tmp_path / "ck"),  # fresh -> replays as epoch 0
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(pairs_path).collect()
+    # exactly one pair, still batch_batch -- no self-corpus contamination
+    assert [(r.doc_a, r.doc_b, r.pair_type) for r in rows] == [
+        (11, 12, "batch_batch")
+    ]

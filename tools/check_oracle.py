@@ -2,8 +2,16 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` counterpart
 on DuckDB at the given scale factor, then compares row count, column names,
-and an order-insensitive multiset of normalized row values. Flags queries
-with raw float/double outputs produced by aggregation (hash-fragile).
+and an order-insensitive multiset of normalized row values.
+
+Driver-faithful normalization (VERDICT r2 item 2): the driver coerces DuckDB
+DECIMAL and HUGEINT result columns to float64 (pandas-style) while Spark
+Decimal values surface as ``decimal.Decimal`` objects, so the two sides are
+normalized ASYMMETRICALLY here — duck-side Decimal/HUGEINT become float64,
+spark-side Decimal keeps a distinct ``dec:`` tag.  Consequence: a query whose
+Spark output contains a Decimal column can never hash-match, which is exactly
+the driver's behavior (all 10 CORRECTNESS_r02 reds).  Such queries are also
+flagged explicitly as PORT (portability) failures even when values agree.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -27,13 +35,15 @@ TABLES = (
 ).split()
 
 
-def norm_value(v):
+def norm_value(v, duck=False):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return f"dec:{v}"
+        # Driver semantics: DuckDB DECIMAL results are coerced to float64;
+        # Spark Decimal objects are NOT (they stay distinct -> hash mismatch).
+        return repr(float(v)) if duck else f"dec:{v}"
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
@@ -43,16 +53,25 @@ def norm_value(v):
     if isinstance(v, bool):
         return f"bool:{v}"
     if isinstance(v, (list, tuple)):
-        return tuple(norm_value(x) for x in v)
+        return tuple(norm_value(x, duck) for x in v)
     return v
 
 
-def rows_multiset(cols, rows):
+def rows_multiset(cols, rows, duck=False, float_cols=frozenset()):
     import collections
 
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return collections.Counter(
-        tuple(norm_value(r[i]) for i in idx) for r in rows
+        tuple(
+            norm_value(
+                float(r[i])
+                if i in float_cols and r[i] is not None and not isinstance(r[i], float)
+                else r[i],
+                duck,
+            )
+            for i in idx
+        )
+        for r in rows
     ), [cols[i] for i in idx]
 
 
@@ -81,6 +100,10 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             s_cols = sdf.columns
+            s_port = [
+                f.name for f in sdf.schema.fields
+                if "decimal" in f.dataType.simpleString()
+            ]
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL  {name}: spark error")
@@ -88,20 +111,42 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            n_rowsonly += 1
+            if s_port:
+                print(f"FAIL  {name}: PORT spark decimal output {s_port}")
+                n_fail += 1
+            else:
+                print(
+                    f"ROWS  {name}: {len(s_rows)} rows (no oracle)"
+                    f" [{time.time()-t0:.1f}s]"
+                )
+                n_rowsonly += 1
             continue
         try:
             rel = con.sql(oracles[name])
             d_cols = [c.lower() for c in rel.columns]
+            d_types = [str(t).upper() for t in rel.types]
+            d_port = [
+                f"{c}:{t}" for c, t in zip(d_cols, d_types)
+                if "DECIMAL" in t or "HUGEINT" in t
+            ]
+            # Driver semantics: DECIMAL/HUGEINT duck columns arrive as float64.
+            d_float_cols = frozenset(
+                i for i, t in enumerate(d_types) if "DECIMAL" in t or "HUGEINT" in t
+            )
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         s_ms, s_sorted_cols = rows_multiset([c.lower() for c in s_cols], s_rows)
-        d_ms, d_sorted_cols = rows_multiset(d_cols, d_rows)
+        d_ms, d_sorted_cols = rows_multiset(
+            d_cols, d_rows, duck=True, float_cols=d_float_cols
+        )
         problems = []
+        if s_port:
+            problems.append(f"PORT spark decimal output {s_port}")
+        if d_port:
+            problems.append(f"PORT duck decimal/hugeint output {d_port}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if s_sorted_cols != d_sorted_cols:
