@@ -316,6 +316,141 @@ def decode_wav(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=WAV_DECODED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL image codec path: netpbm PGM (P5 binary graymap) -- a real image
+# format with a pure-stdlib container, so like the WAV path above nothing is
+# faked: blobs are genuine P5 files (header + raw pixels), decode parses the
+# real header, and resize resamples real pixel data with numpy. Synthesis is
+# deterministic from media_id so SQL oracles re-derive pixel sums exactly.
+# ---------------------------------------------------------------------------
+
+PGM_DECODED_SCHEMA = (
+    "media_id long, width int, height int, maxval int,"
+    " n_pixels long, pixel_sum long, pixel_max int"
+)
+
+PGM_RESIZED_SCHEMA = (
+    "media_id long, out_width int, out_height int, pixel_sum long"
+)
+
+
+def _pgm_dims(media_id: int) -> tuple[int, int]:
+    return 8 + media_id % 9, 8 + (media_id * 3) % 9  # (width, height)
+
+
+def _pgm_pixels(media_id: int):
+    """Deterministic grayscale image: pixel(y, x) = (id*31 + y*17 + x*7) % 256.
+    Pure integer arithmetic -> DuckDB reproduces every pixel exactly."""
+    import numpy as np
+
+    w, h = _pgm_dims(media_id)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    return ((media_id * 31 + y * 17 + x * 7) % 256).astype(np.uint8)
+
+
+def _pgm_encode(media_id: int) -> bytes:
+    px = _pgm_pixels(media_id)
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _pgm_parse(blob: bytes):
+    """Real P5 parse: magic, whitespace/comment-tolerant header, raw pixels."""
+    import numpy as np
+
+    if blob[:2] != b"P5":
+        raise ValueError("not a P5 (binary PGM) blob")
+    # header = magic + 3 whitespace-separated ints (comments start with '#')
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            i = blob.index(b"\n", i) + 1
+            continue
+        j = i
+        while not blob[j : j + 1].isspace():
+            j += 1
+        fields.append(int(blob[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=i).reshape(h, w)
+    return w, h, maxval, px
+
+
+def pgm_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(ids) -> real PGM image blobs, one per id (the image twin of
+    wav_media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "image/x-portable-graymap",
+                    "blob": [_pgm_encode(int(m)) for m in mids],
+                    "meta": [{"codec": "pgm-p5"} for _ in mids],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+def decode_pgm(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse the P5 header and pixel payload, emit exact
+    integer stats (sum/max over real pixel bytes). Arrow-batched
+    mapInPandas, zero shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "maxval",
+                "n_pixels", "pixel_sum", "pixel_max",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, maxval, px = _pgm_parse(bytes(blob))
+                s = px.astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(maxval)
+                out["n_pixels"].append(w * h)
+                out["pixel_sum"].append(int(s.sum()))
+                out["pixel_max"].append(int(s.max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=PGM_DECODED_SCHEMA)
+
+
+def resize_pgm(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """REAL resize: nearest-neighbor resample of the decoded pixel grid
+    (source index = floor(out_index * src_dim / out_dim) -- the standard
+    NN mapping, integer-exact so the oracle can re-derive the resampled
+    checksum). Returns the resized image's exact pixel sum."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "out_width": [], "out_height": [], "pixel_sum": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, _maxval, px = _pgm_parse(bytes(blob))
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                resized = px[np.ix_(ys, xs)].astype(np.int64)
+                out["media_id"].append(mid)
+                out["out_width"].append(out_w)
+                out["out_height"].append(out_h)
+                out["pixel_sum"].append(int(resized.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=PGM_RESIZED_SCHEMA)
+
+
 def decode_media_arrow(media: DataFrame) -> DataFrame:
     """Arrow-native twin of ``decode_media`` via ``mapInArrow``: operates
     on pyarrow RecordBatches directly, skipping the Arrow<->pandas

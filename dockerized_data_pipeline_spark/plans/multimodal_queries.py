@@ -200,3 +200,66 @@ def x4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_wav(wav_media(docs))
+
+
+@query(
+    "x4_pgm_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 3) % 9 AS h,
+             flatten(list_transform(
+               range(0, CAST(8 + (doc_id * 3) % 9 AS INTEGER)),
+               y -> list_transform(
+                 range(0, CAST(8 + doc_id % 9 AS INTEGER)),
+                 x -> (doc_id * 31 + y * 17 + x * 7) % 256))) AS p
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(255 AS INTEGER) AS maxval,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(p) AS BIGINT) AS pixel_sum,
+           CAST(list_max(p) AS INTEGER) AS pixel_max
+    FROM px
+    """,
+)
+def x4_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: synthesize genuine netpbm P5 (binary
+    PGM) blobs -- a real image format, header + raw pixel payload -- then
+    parse the header and pixel bytes back and report exact integer pixel
+    stats. The pixel grid is a deterministic integer function of media_id,
+    so the oracle re-derives width/height/sum/max arithmetically: any
+    defect in the container round-trip (header layout, offset math, pixel
+    order) hash-fails here. The image twin of x4_wav_decode."""
+    from ..functions.multimodal import decode_pgm, pgm_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_pgm(pgm_media(docs))
+
+
+@query(
+    "x4_pgm_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 AS INTEGER) AS out_width,
+           CAST(4 AS INTEGER) AS out_height,
+           CAST(list_sum(flatten(list_transform(range(0, 4),
+             y -> list_transform(range(0, 4),
+               x -> (doc_id * 31
+                     + ((y * (8 + (doc_id * 3) % 9)) // 4) * 17
+                     + ((x * (8 + doc_id % 9)) // 4) * 7) % 256))))
+             AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def x4_pgm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: nearest-neighbor resample of genuine decoded PGM
+    pixels to 4x4 (src index = floor(out_index * src_dim / out_dim)),
+    verified by the resampled image's exact pixel checksum -- the oracle
+    replays the same index arithmetic on the synthesized pixel function."""
+    from ..functions.multimodal import pgm_media, resize_pgm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return resize_pgm(pgm_media(docs), out_w=4, out_h=4)

@@ -678,3 +678,40 @@ def test_wav_codec_roundtrip_real_bytes(spark):
         assert d.n_frames == len(s)
         assert d.peak == int(np.abs(s).max())
         assert d.energy == int((s * s).sum())
+
+
+def test_pgm_codec_roundtrip_real_bytes(spark):
+    """The REAL image path: pgm_media emits genuine P5 netpbm files and
+    decode_pgm/resize_pgm recover the exact synthesized pixels; the parser
+    also handles the format's comment lines."""
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _pgm_parse,
+        _pgm_pixels,
+        decode_pgm,
+        pgm_media,
+        resize_pgm,
+    )
+
+    ids = spark.createDataFrame([(0,), (5,), (17,)], "doc_id long")
+    blobs = {r.media_id: bytes(r.blob) for r in pgm_media(ids).collect()}
+    assert blobs[5].startswith(b"P5\n")
+
+    decoded = {r.media_id: r for r in decode_pgm(pgm_media(ids)).collect()}
+    resized = {r.media_id: r for r in resize_pgm(pgm_media(ids)).collect()}
+    for mid in (0, 5, 17):
+        px = _pgm_pixels(mid).astype(np.int64)
+        d = decoded[mid]
+        assert (d.width, d.height) == (px.shape[1], px.shape[0])
+        assert d.pixel_sum == int(px.sum())
+        assert d.pixel_max == int(px.max())
+        r = resized[mid]
+        ys = (np.arange(4) * px.shape[0]) // 4
+        xs = (np.arange(4) * px.shape[1]) // 4
+        assert r.pixel_sum == int(px[np.ix_(ys, xs)].sum())
+
+    # header parse tolerates netpbm comment lines (real-world P5 files)
+    w, h, maxval, px = _pgm_parse(b"P5\n# a comment\n3 2\n255\n" + bytes(range(6)))
+    assert (w, h, maxval) == (3, 2, 255)
+    assert px.tolist() == [[0, 1, 2], [3, 4, 5]]
