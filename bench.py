@@ -54,6 +54,9 @@ HEADLINE = [
     # r2 final additions: embedding label audit + incremental dedup
     "x3_centroid_purity",
     "x2_incremental_neardup",
+    # r3 additions: real-codec multimodal paths (Arrow mapInPandas decode)
+    "x4_wav_decode",
+    "x4_pgm_decode",
 ]
 
 

@@ -297,3 +297,81 @@ def centroid_purity(
             F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    partition the embedding space with a k-means codebook, then score
+    cosine ONLY within each cluster -- the quadratic scan drops from
+    O(n^2) to O(sum c_i^2), and with k ~ sqrt(n) clusters that is ~O(n)
+    pairs. Vectors are L2-normalized BEFORE the self-join so each pair
+    costs one dot-product fold, not three; scores are rounded to a fixed
+    point so the >= threshold cut is stable run-to-run.
+
+    At 100 TB: the join shuffles both sides once on cluster_id; hot
+    (oversized) clusters are the skew risk -- raise k, or route clusters
+    above a size cap through lsh_neardup_pairs instead of the exact scan.
+    """
+    from ..functions.vectors import dot, norm
+
+    # materialize the norm as its own column first: referencing norm(vec)
+    # inside the transform lambda would re-evaluate the O(dim) fold per
+    # ELEMENT (O(dim^2) per row)
+    assigned = (
+        ivf_assignments(df, centroids, id_col, vec_col)
+        .withColumn("__n", norm(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("__n")
+            ).alias("u"),
+        )
+    )
+    a = assigned.select(
+        F.col("cluster_id").alias("ca"), F.col(id_col).alias("id_a"), F.col("u").alias("ua")
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cb"), F.col(id_col).alias("id_b"), F.col("u").alias("ub")
+    )
+    sim = F.round(dot(F.col("ua"), F.col("ub")), round_digits)
+    return (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("ca").alias("cluster_id"),
+            F.floor(sim * (10 ** round_digits)).cast("bigint").alias("cos_fp"),
+        )
+        .filter(F.col("cos_fp") >= int(threshold * 10 ** round_digits))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 32,
+    iterations: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full SemDeDup pass: k-means codebook -> within-cluster cosine pairs
+    -> connected-component collapse keeping the minimum id per semantic
+    group. Returns the surviving rows of ``df`` (drop-in corpus filter).
+    Deterministic end-to-end: content-addressed k-means init, decimal
+    centroid sums, fixed-point scores."""
+    from .dedup import collapse_neardups
+    from .kmeans import kmeans_fit
+
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iterations=iterations)
+    pairs = semantic_dedup_pairs(
+        df, centroids, threshold, id_col, vec_col
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return collapse_neardups(df, pairs, id_col=id_col)

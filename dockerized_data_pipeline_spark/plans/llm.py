@@ -2317,3 +2317,84 @@ def x6_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "key")
         .agg(F.count("*").cast("bigint").alias("n_rows"))
     )
+
+
+@query("x3_semantic_dedup")
+def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus (rows-only:
+    the k-means codebook is iterative, not SQL-expressible): cluster the
+    space, score cosine only within clusters, collapse connected near-dup
+    groups keeping the minimum id. Returns the surviving vector ids --
+    the corpus filter a pretraining pipeline applies after exact/fuzzy
+    text dedup to remove SEMANTIC duplicates (same content, different
+    words). Deterministic: content-addressed init, decimal centroid sums,
+    fixed-point scores (asserted by the registry determinism test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        SIM.semantic_dedup(emb, k=32, iterations=3, threshold=0.95)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "x8_training_order",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bkt
+      FROM documents
+    ), r AS (
+      SELECT doc_id, bkt,
+             ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY h, doc_id) AS rk
+      FROM b
+    ), off AS (
+      SELECT bkt,
+             SUM(n) OVER (ORDER BY bkt
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+      FROM (SELECT bkt, COUNT(*) AS n FROM b GROUP BY bkt)
+    )
+    SELECT r.doc_id, CAST(r.bkt AS BIGINT) AS bucket,
+           CAST(COALESCE(off.off, 0) + r.rk AS BIGINT) AS position
+    FROM r JOIN off ON r.bkt = off.bkt
+    """,
+)
+def x8_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort:
+    every document gets a stable pseudo-random position (reproducible
+    epoch-0 data order, same under re-runs and re-partitioning). Two-phase:
+    md5 prefix -> 256 buckets (parallel per-bucket row_number windows),
+    then position = bucket offset + within-bucket rank, where offsets come
+    from a 256-row running-sum broadcast back over the rows. A naive
+    ROW_NUMBER() OVER (ORDER BY md5) funnels 100 TB through ONE task; this
+    plan's only global structure is the 256-row offset table."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hexv = "0123456789abcdef"
+    h = F.md5(F.col("doc_id").cast("string"))
+    bkt = (
+        (F.instr(F.lit(hexv), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(hexv), F.substring(h, 2, 1)) - 1)
+    )
+    b = docs.select("doc_id", h.alias("h"), bkt.alias("bkt"))
+    w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    r = b.select("doc_id", "bkt", F.row_number().over(w).alias("rk"))
+    counts = b.groupBy("bkt").agg(F.count("*").alias("n"))
+    woff = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = counts.select(
+        F.col("bkt").alias("obkt"), F.sum("n").over(woff).alias("off")
+    )
+    return (
+        r.join(F.broadcast(off), r.bkt == off.obkt)
+        .select(
+            "doc_id",
+            F.col("bkt").cast("bigint").alias("bucket"),
+            (F.coalesce(F.col("off"), F.lit(0)) + F.col("rk"))
+            .cast("bigint")
+            .alias("position"),
+        )
+    )

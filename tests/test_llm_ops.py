@@ -715,3 +715,44 @@ def test_pgm_codec_roundtrip_real_bytes(spark):
     w, h, maxval, px = _pgm_parse(b"P5\n# a comment\n3 2\n255\n" + bytes(range(6)))
     assert (w, h, maxval) == (3, 2, 255)
     assert px.tolist() == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    """SemDeDup composition: two planted semantic-duplicate groups in
+    well-separated clusters collapse to their minimum ids; singletons and
+    sub-threshold neighbors survive."""
+    import math
+
+    from dockerized_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    def vec(axis, eps=0.0):
+        # unit vector near one of 3 orthogonal axes, nudged by eps on the next
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    rows = [
+        (0, vec(0)), (1, vec(0, 0.01)), (2, vec(0, 0.02)),   # group -> keep 0
+        (10, vec(3)), (11, vec(3, 0.015)),                   # group -> keep 10
+        (20, vec(6)),                                        # singleton
+        (21, vec(6, 0.5)),                                   # same cluster, cos~0.89 < 0.95
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    survivors = sorted(
+        r.vec_id
+        for r in semantic_dedup(emb, k=3, iterations=3, threshold=0.95).collect()
+    )
+    assert survivors == [0, 10, 20, 21]
+
+    # pairs stay within clusters and carry fixed-point scores
+    from dockerized_data_pipeline_spark.operators.kmeans import kmeans_fit
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=3, iterations=3)
+    pairs = semantic_dedup_pairs(emb, cents, threshold=0.95).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1), (0, 2), (1, 2), (10, 11)}
+    assert all(p.cos_fp >= 9500 for p in pairs)
