@@ -2398,3 +2398,54 @@ def x8_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("position"),
         )
     )
+
+
+@query("x5_quality_classifier")
+def x5_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality gate: distill the heuristic quality score
+    (`functions/text.py::quality_score_ppm`, a nonlinear least/greatest
+    composite) into a logistic-regression model over cheap per-doc
+    features (log token count, stopword ratio, scaled length) trained IN
+    the engine (`operators/logreg.py`: decimal gradient sums, zero RNG).
+    The real-world pattern: an expensive labeler (LLM judge, human
+    ratings) labels once; a linear model over cheap features applies the
+    gate at 100 TB for the cost of one codegen'd scan. Output: per-source
+    teacher/model agreement counts. Rows-only: iterative GD training is
+    not SQL-expressible; determinism is probed by the registry test."""
+    from ..operators.logreg import logreg_fit, logreg_score
+
+    d = load_table(spark, sf_dir, "documents")
+    # features are centered/scaled with FIXED literal constants (never
+    # data-derived statistics) so training stays deterministic and the
+    # fitted model applies unchanged to new corpus batches
+    feats = d.select(
+        "doc_id",
+        "source",
+        (F.log1p(TX.token_count(F.col("text")).cast("double")) - F.lit(4.0)).alias(
+            "f_logtok"
+        ),
+        (TX.stopword_ratio(F.col("text")).cast("double") * F.lit(5.0) - F.lit(1.0)).alias(
+            "f_stop"
+        ),
+        (F.col("n_chars").cast("double") / F.lit(1000.0) - F.lit(0.5)).alias("f_len"),
+        (TX.quality_score_ppm(F.col("text")) >= F.lit(600000))
+        .cast("int")
+        .alias("teacher"),
+    )
+    w = logreg_fit(
+        feats, ["f_logtok", "f_stop", "f_len"], "teacher", iterations=40, lr=4.0
+    )
+    scored = logreg_score(feats, w, ["f_logtok", "f_stop", "f_len"])
+    model_pos = (F.col("score") >= F.lit(0.5)).cast("int")
+    return (
+        scored.withColumn("model", model_pos)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("teacher").cast("bigint").alias("n_teacher_pos"),
+            F.sum("model").cast("bigint").alias("n_model_pos"),
+            F.sum((F.col("teacher") == F.col("model")).cast("int"))
+            .cast("bigint")
+            .alias("n_agree"),
+        )
+    )
