@@ -60,15 +60,24 @@ def _flip(target_path: str, version_dir: str) -> None:
     os.replace(tmp, target_path)
 
 
-def publish_table(target_path: str, write_fn: Callable[[str], None]) -> str:
+def publish_table(
+    target_path: str,
+    write_fn: Callable[[str], None],
+    keep_versions: int = 1,
+) -> str:
     """Publish a new version of the table at ``target_path``.
 
     ``write_fn(version_dir)`` must write a complete table to the given
     directory (e.g. ``df.write.parquet(version_dir)`` -- Spark writes the
     ``_SUCCESS`` completeness marker last). Readers of ``target_path``
     see the previous complete version until the atomic flip, then the new
-    one. Old versions and flip temp files are garbage-collected after a
-    successful flip. Returns the new version directory.
+    one. Flip temp files and versions beyond the ``keep_versions`` most
+    recent are garbage-collected after a successful flip; with the
+    default of 1 only the new current version survives, while a larger
+    value retains history for :func:`read_table_version` time travel
+    (snapshot pinning: a training run records which corpus version it
+    read, and the version stays readable until retention rolls it off).
+    Returns the new version directory.
     """
     new_version = _new_version_path(target_path)
     write_fn(new_version)
@@ -86,9 +95,12 @@ def publish_table(target_path: str, write_fn: Callable[[str], None]) -> str:
         open(os.path.join(prev, _SUCCESS), "a").close()
     _flip(target_path, new_version)
 
-    # GC: every version other than the one now current (single writer).
+    # GC: keep the newest keep_versions versions (current included),
+    # newest-first by mtime; drop the rest plus incomplete debris
+    # (single writer).
+    keep = set(list_versions(target_path)[: max(keep_versions, 1)])
     for d in glob.glob(_version_glob(target_path)):
-        if os.path.abspath(d) != os.path.abspath(new_version):
+        if os.path.abspath(d) not in keep:
             shutil.rmtree(d, ignore_errors=True)
     for leftover in glob.glob(glob.escape(target_path) + ".flip-*"):
         try:
@@ -96,6 +108,44 @@ def publish_table(target_path: str, write_fn: Callable[[str], None]) -> str:
         except OSError:
             pass
     return new_version
+
+
+def list_versions(target_path: str) -> list[str]:
+    """Complete version directories of ``target_path``, newest first.
+    The current version (the symlink's target) is always index 0; the
+    rest order by directory mtime. Incomplete versions (no ``_SUCCESS``)
+    are excluded -- they are crash debris, never readable history."""
+    complete = [
+        os.path.abspath(d)
+        for d in glob.glob(_version_glob(target_path))
+        if _is_complete(d)
+    ]
+    current = (
+        os.path.abspath(os.path.realpath(target_path))
+        if os.path.exists(target_path)
+        else None
+    )
+    ordered = sorted(complete, key=lambda d: (os.path.getmtime(d), d), reverse=True)
+    if current in ordered:
+        ordered.remove(current)
+        ordered.insert(0, current)
+    return ordered
+
+
+def read_table_version(spark, target_path: str, n_back: int = 0):
+    """Time-travel read: the table as of ``n_back`` publishes ago
+    (0 = current). Versions are immutable once published, so the returned
+    DataFrame is a stable snapshot even while new versions land -- the
+    reproducibility anchor for "re-run the job against the exact corpus
+    snapshot a model trained on". Raises IndexError past the retention
+    horizon (``publish_table(..., keep_versions=N)`` bounds history)."""
+    versions = list_versions(target_path)
+    if n_back >= len(versions):
+        raise IndexError(
+            f"read_table_version: only {len(versions)} version(s) retained "
+            f"at {target_path}, requested n_back={n_back}"
+        )
+    return spark.read.parquet(versions[n_back])
 
 
 def recover_table(target_path: str) -> str | None:

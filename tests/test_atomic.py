@@ -193,3 +193,48 @@ def test_write_audit_publish_null_audit(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, None)], "k long, v string")
     with pytest.raises(AuditError, match="NULL"):
         write_audit_publish(spark, df, target, [expect_no_nulls(["v"])])
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    from dockerized_data_pipeline_spark.operators.atomic import (
+        list_versions,
+        read_table_version,
+    )
+
+    path = str(tmp_path / "tt")
+    for v in (1, 2, 3):
+        df = _rows(spark, [("AAPL", t(f"2024-01-0{v} 00:00:00"), float(v))])
+        publish_table(path, lambda d, df=df: df.write.parquet(d), keep_versions=3)
+
+    assert len(list_versions(path)) == 3
+    # n_back=0 == the live pointer
+    assert read_table_version(spark, path, 0).collect()[0].close_price == 3.0
+    assert spark.read.parquet(path).collect()[0].close_price == 3.0
+    # history is intact and ordered
+    assert read_table_version(spark, path, 1).collect()[0].close_price == 2.0
+    assert read_table_version(spark, path, 2).collect()[0].close_price == 1.0
+    with pytest.raises(IndexError):
+        read_table_version(spark, path, 3)
+
+
+def test_retention_rolls_old_versions_off(spark, tmp_path):
+    from dockerized_data_pipeline_spark.operators.atomic import list_versions
+
+    path = str(tmp_path / "roll")
+    for v in range(4):
+        df = _rows(spark, [("AAPL", t("2024-01-01 00:00:00"), float(v))])
+        publish_table(path, lambda d, df=df: df.write.parquet(d), keep_versions=2)
+    vs = list_versions(path)
+    assert len(vs) == 2
+    assert spark.read.parquet(vs[0]).collect()[0].close_price == 3.0
+    assert spark.read.parquet(vs[1]).collect()[0].close_price == 2.0
+
+
+def test_default_publish_keeps_single_version(spark, tmp_path):
+    from dockerized_data_pipeline_spark.operators.atomic import list_versions
+
+    path = str(tmp_path / "single")
+    for v in (1, 2):
+        df = _rows(spark, [("AAPL", t("2024-01-01 00:00:00"), float(v))])
+        publish_table(path, lambda d, df=df: df.write.parquet(d))
+    assert len(list_versions(path)) == 1

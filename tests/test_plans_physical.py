@@ -261,3 +261,37 @@ def test_shared_openings_dedups_before_self_join(spark, sf_dir):
     pre_join = plan.split("Join")[0]
     assert "HashAggregate" in pre_join  # distinct runs upstream of the join
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Scale posture: a fact table partitioned on the join key scans ONLY
+    the partitions the filtered dim actually joins to -- Catalyst inserts
+    a dynamic-pruning subquery into the fact's partition filters, so at
+    100 TB a one-nation query reads 1/25th of the files instead of all of
+    them. (Static pruning can't do this: the nation keys come from the
+    dim filter at runtime.)"""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "cust_by_nation")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.partitionBy(
+        "c_nationkey"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name") == "CHINA"
+    )
+    j = fact.join(dim, fact.c_nationkey == dim.n_nationkey).groupBy(
+        "n_name"
+    ).agg(F.count("*").alias("n"))
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower()
+    # and the pruning actually lands on the fact scan's partition filters
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("dynamicpruning" in l.lower() for l in pf)
