@@ -2449,3 +2449,74 @@ def x5_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_agree"),
         )
     )
+
+
+@query(
+    "x3_int8_quantize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             GREATEST(list_max(list_transform(v, e -> abs(e))) / 127.0,
+                      1e-30) AS scale
+      FROM x
+    )
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           CAST(list_max(list_transform(v,
+                e -> abs(floor(e / scale + 0.5)))) AS BIGINT) AS max_abs_code,
+           CAST(FLOOR(
+             list_reduce(list_transform(v,
+               e -> (e - floor(e / scale + 0.5) * scale)
+                  * (e - floor(e / scale + 0.5) * scale)), (a, b) -> a + b)
+             / GREATEST(list_reduce(list_transform(v, e -> e * e),
+                                    (a, b) -> a + b), 1e-30)
+             * 1000000.0) AS BIGINT) AS err_ppm
+    FROM s
+    """,
+)
+def x3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding table: per-vector
+    scale = max|x|/127, codes = floor(x/scale + 0.5) in [-127, 127],
+    reported as per-vector reconstruction-error ppm -- the 4x storage
+    compression an embedding store applies before ANN indexing at 100 TB
+    (codes + one float scale per vector replace float32 dims). Pure
+    higher-order-function expressions, zero shuffle, zero Python; floor-
+    based rounding (round() half-even vs half-up differs across engines,
+    floor of identical IEEE operands never does). The scale is
+    materialized as its own column first: referencing it inside the
+    transform lambda would re-evaluate the O(dim) array_max per ELEMENT."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("v"),
+    ).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda e: F.abs(e))) / F.lit(127.0),
+            F.lit(1e-30),
+        ),
+    )
+    code = lambda e: F.floor(e / F.col("scale") + F.lit(0.5))
+    err_num = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda e: (e - code(e) * F.col("scale")) * (e - code(e) * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    err_den = F.aggregate(
+        F.transform(F.col("v"), lambda e: e * e), F.lit(0.0), lambda a, b: a + b
+    )
+    return d.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.array_max(F.transform(F.col("v"), lambda e: F.abs(code(e))))
+        .cast("bigint")
+        .alias("max_abs_code"),
+        F.floor(err_num / F.greatest(err_den, F.lit(1e-30)) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
