@@ -597,6 +597,44 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_1h_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_1h
+    FROM events
+    """,
+)
+def window_range_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE sliding frame: per-user sum of activity value over the
+    trailing hour AT EACH EVENT -- the frame flavor ROWS windows cannot
+    express (membership depends on timestamps, not row offsets). Ordered
+    by integer epoch-seconds on both engines so frame boundaries are
+    identical; RANGE frames are peer-inclusive, so same-second events
+    agree regardless of tie order. Decimal sum keeps the value exact.
+    Scale: partitioned by high-cardinality user_id -- each user's bounded
+    sort parallelizes across the cluster, nothing global."""
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    v = F.col("value").cast(PRICE_DEC)
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("__sec", sec)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(v).over(w).cast("decimal(38,4)").alias("sum_1h"),
+        )
+    )
+
+
+@query(
     "scd2_point_in_time_join",
     oracle="""
     WITH dim AS (
