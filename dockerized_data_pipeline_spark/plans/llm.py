@@ -2520,3 +2520,112 @@ def x3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_ppm"),
     )
+
+
+@query(
+    "x8_rate_cap_user_hour",
+    oracle="""
+    SELECT event_id, user_id, rk FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rk
+      FROM events) WHERE rk <= 5
+    """,
+)
+def x8_rate_cap_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frequency capping: keep at most k=5 events per (user, hour),
+    earliest-first -- the politeness/anti-flood cap a crawl or event
+    pipeline applies per origin per time bucket (distinct from
+    x8_source_cap's global per-domain cap: the key here is
+    (entity, time bucket), so hot entities are bounded per WINDOW, not
+    overall). The composite key is high-cardinality, so the ranking
+    window parallelizes; ties cannot exist ((ts, event_id) is unique)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "x5_bigram_lift",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT UNNEST(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM uni
+    ), bi AS (
+      SELECT UNNEST(list_transform(generate_series(1, LEN(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ), bcnt AS (
+      SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg
+    )
+    SELECT bg, c12,
+           CAST(FLOOR(CAST(c12 AS DECIMAL(38,0)) * tot.n * 1000000
+                      / (CAST(u1.c AS DECIMAL(38,0)) * u2.c)) AS BIGINT)
+             AS lift_ppm
+    FROM bcnt, tot
+    JOIN ucnt u1 ON u1.w = string_split(bg, ' ')[1]
+    JOIN ucnt u2 ON u2.w = string_split(bg, ' ')[2]
+    ORDER BY c12 DESC, bg LIMIT 20
+    """,
+)
+def x5_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: lift (observed/expected co-occurrence ratio) of
+    the corpus's top-20 bigrams -- the PMI-style association signal that
+    finds multi-word expressions for tokenizer vocab construction, kept
+    in EXACT integer/decimal arithmetic (lift_ppm = c12*N*1e6/(c1*c2))
+    instead of a log: libm log ulps differ across engines, integer ratios
+    never do. Scale: two hash aggregates over exploded tokens (shuffle
+    carries partial counts), unigram counts re-joined only against the 20
+    surviving bigrams; the total-token count broadcasts as a 1-row side."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("t")
+    )
+    uni = docs.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.select(F.count("*").alias("n"))
+    bi = docs.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("t"), i + 2)),
+            )
+        ).alias("bg")
+    )
+    top = (
+        bi.groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+        .orderBy(F.desc("c12"), "bg")
+        .limit(20)
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        top.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            "c12",
+            F.floor(
+                F.col("c12").cast("decimal(38,0)") * F.col("n") * F.lit(1000000)
+                / (F.col("c1").cast("decimal(38,0)") * F.col("c2"))
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
