@@ -504,3 +504,173 @@ def decode_media_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInArrow(batches, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec: YUV4MPEG2 (.y4m) -- plain-text stream header, FRAME
+# markers, raw planar YUV payload. A genuine public video container
+# (mjpegtools/ffmpeg interchange format) that is fully parseable with the
+# stdlib, which makes the VIDEO modality real end-to-end: genuine container
+# bytes, real header/frame-marker parsing, real plane decode -- the same
+# posture as the WAV (audio) and PGM (image) codecs. The pixel planes are
+# deterministic integer functions of (media_id, frame, y, x) so a DuckDB
+# oracle re-derives every plane sum arithmetically; any container bug
+# (header layout, frame offsets, plane order/sizes) hash-fails the query.
+# ---------------------------------------------------------------------------
+
+Y4M_DECODED_SCHEMA = (
+    "media_id long, width int, height int, n_frames int,"
+    " y_sum long, uv_sum long, y_max int"
+)
+
+Y4M_FRAME_SCHEMA = "media_id long, frame_idx int, y_sum long"
+
+
+def _y4m_dims(media_id: int) -> tuple[int, int]:
+    # even dims (C420 subsamples chroma 2x2): w in {4,6,8,10}, h likewise
+    return 2 * (2 + media_id % 4), 2 * (2 + (media_id * 3) % 4)
+
+
+def _y4m_frame_count(media_id: int) -> int:
+    return 3 + media_id % 6
+
+
+def _y4m_planes(media_id: int, t: int):
+    """Deterministic planar YUV420 frame: pure integer pixel functions."""
+    import numpy as np
+
+    w, h = _y4m_dims(media_id)
+    yy = np.arange(h, dtype=np.int64)[:, None]
+    xx = np.arange(w, dtype=np.int64)[None, :]
+    y_plane = ((media_id * 31 + t * 13 + yy * 17 + xx * 7) % 256).astype(np.uint8)
+    cy = np.arange(h // 2, dtype=np.int64)[:, None]
+    cx = np.arange(w // 2, dtype=np.int64)[None, :]
+    u_plane = ((media_id * 7 + t * 11 + cy * 5 + cx * 3) % 256).astype(np.uint8)
+    v_plane = ((media_id * 13 + t * 3 + cy * 7 + cx * 11) % 256).astype(np.uint8)
+    return y_plane, u_plane, v_plane
+
+
+def _y4m_encode(media_id: int) -> bytes:
+    w, h = _y4m_dims(media_id)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for t in range(_y4m_frame_count(media_id)):
+        y, u, v = _y4m_planes(media_id, t)
+        out.append(b"FRAME\n")
+        out.append(y.tobytes())
+        out.append(u.tobytes())
+        out.append(v.tobytes())
+    return b"".join(out)
+
+
+def _y4m_parse(blob: bytes):
+    """Real YUV4MPEG2 parse: stream header tokens, per-frame FRAME markers
+    (parameter-tolerant), raw C420 planes. Returns (w, h, frames) with
+    frames = list of (Y, U, V) uint8 arrays."""
+    import numpy as np
+
+    nl = blob.index(b"\n")
+    tokens = blob[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = b"C420"  # the spec's default
+    for tok in tokens[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("missing W/H in stream header")
+    if not colorspace.startswith(b"C420"):
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    frames = []
+    i = nl + 1
+    while i < len(blob):
+        if blob[i : i + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {i}")
+        i = blob.index(b"\n", i) + 1  # frame params (if any) end at newline
+        y = np.frombuffer(blob, np.uint8, y_size, i).reshape(h, w)
+        u = np.frombuffer(blob, np.uint8, c_size, i + y_size).reshape(h // 2, w // 2)
+        v = np.frombuffer(blob, np.uint8, c_size, i + y_size + c_size).reshape(
+            h // 2, w // 2
+        )
+        frames.append((y, u, v))
+        i += y_size + 2 * c_size
+    return w, h, frames
+
+
+def y4m_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(ids) -> real .y4m video blobs, one per id (the video sibling of
+    wav_media / pgm_media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "video/x-yuv4mpeg2",
+                    "blob": [_y4m_encode(int(m)) for m in mids],
+                    "meta": [{"codec": "y4m-c420"} for _ in mids],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+def decode_y4m(media: DataFrame) -> DataFrame:
+    """REAL video decode: parse the stream header, walk the FRAME markers,
+    decode every YUV plane, emit exact integer stats. Arrow-batched
+    mapInPandas, zero shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_frames",
+                "y_sum", "uv_sum", "y_max",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, frames = _y4m_parse(bytes(blob))
+                y_sum = uv_sum = 0
+                y_max = 0
+                for y, u, v in frames:
+                    y_sum += int(y.astype(np.int64).sum())
+                    uv_sum += int(u.astype(np.int64).sum()) + int(
+                        v.astype(np.int64).sum()
+                    )
+                    y_max = max(y_max, int(y.max(initial=0)))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["y_sum"].append(y_sum)
+                out["uv_sum"].append(uv_sum)
+                out["y_max"].append(y_max)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=Y4M_DECODED_SCHEMA)
+
+
+def sample_y4m_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling: decode only frames 0, stride, 2*stride, ...
+    and emit one row per kept frame with its exact luma sum -- the
+    keyframe-extraction shape of a video training pipeline
+    (row-multiplying mapInPandas, like audio_frame_energy)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "y_sum": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                _w, _h, frames = _y4m_parse(bytes(blob))
+                for t in range(0, len(frames), stride):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(t)
+                    out["y_sum"].append(int(frames[t][0].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=Y4M_FRAME_SCHEMA)

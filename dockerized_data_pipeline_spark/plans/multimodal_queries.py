@@ -263,3 +263,82 @@ def x4_pgm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return resize_pgm(pgm_media(docs), out_w=4, out_h=4)
+
+
+@query(
+    "x4_y4m_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             2 * (2 + doc_id % 4) AS w,
+             2 * (2 + (doc_id * 3) % 4) AS h,
+             3 + doc_id % 6 AS n
+      FROM documents
+    ), yp AS (
+      SELECT doc_id, w, h, n,
+        flatten(flatten(list_transform(range(0, CAST(n AS INTEGER)), t ->
+          list_transform(range(0, CAST(h AS INTEGER)), y ->
+            list_transform(range(0, CAST(w AS INTEGER)), x ->
+              (doc_id * 31 + t * 13 + y * 17 + x * 7) % 256))))) AS yv,
+        flatten(flatten(list_transform(range(0, CAST(n AS INTEGER)), t ->
+          list_transform(range(0, CAST(h // 2 AS INTEGER)), cy ->
+            list_transform(range(0, CAST(w // 2 AS INTEGER)), cx ->
+              (doc_id * 7 + t * 11 + cy * 5 + cx * 3) % 256
+              + (doc_id * 13 + t * 3 + cy * 7 + cx * 11) % 256))))) AS uvv
+      FROM d)
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST(list_sum(yv) AS BIGINT) AS y_sum,
+           CAST(list_sum(uvv) AS BIGINT) AS uv_sum,
+           CAST(list_max(yv) AS INTEGER) AS y_max
+    FROM yp
+    """,
+)
+def x4_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end: synthesize genuine YUV4MPEG2 (.y4m)
+    streams -- a real public video container: text stream header, FRAME
+    markers, raw planar C420 payload -- then parse the container back and
+    report exact integer plane stats. The planes are deterministic integer
+    functions of (media_id, frame, y, x), so the oracle re-derives every
+    sum arithmetically: any header/frame-offset/plane-order bug
+    hash-fails. Completes the real-codec trio (WAV audio, PGM image,
+    Y4M video)."""
+    from ..functions.multimodal import decode_y4m, y4m_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_y4m(y4m_media(docs))
+
+
+@query(
+    "x4_y4m_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             2 * (2 + doc_id % 4) AS w,
+             2 * (2 + (doc_id * 3) % 4) AS h,
+             3 + doc_id % 6 AS n
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w, h,
+             UNNEST(range(0, CAST(n AS INTEGER), 2)) AS t
+      FROM d)
+    SELECT doc_id AS media_id,
+           CAST(t AS INTEGER) AS frame_idx,
+           CAST(list_sum(flatten(list_transform(range(0, CAST(h AS INTEGER)),
+             y -> list_transform(range(0, CAST(w AS INTEGER)),
+               x -> (doc_id * 31 + t * 13 + y * 17 + x * 7) % 256))))
+             AS BIGINT) AS y_sum
+    FROM t
+    """,
+)
+def x4_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL keyframe extraction: decode only every 2nd frame of each real
+    .y4m stream and emit one row per kept frame with its exact luma sum --
+    the frame-sampling stage of a video training pipeline, on genuine
+    container bytes (row-multiplying mapInPandas)."""
+    from ..functions.multimodal import sample_y4m_frames, y4m_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_y4m_frames(y4m_media(docs), stride=2)

@@ -756,3 +756,49 @@ def test_semantic_dedup_collapses_planted_groups(spark):
     pairs = semantic_dedup_pairs(emb, cents, threshold=0.95).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(0, 1), (0, 2), (1, 2), (10, 11)}
     assert all(p.cos_fp >= 9500 for p in pairs)
+
+
+def test_y4m_codec_roundtrip_real_bytes(spark):
+    """The .y4m blobs are genuine YUV4MPEG2 streams and the parser does
+    real container work: header tokens, FRAME markers (parameter-
+    tolerant), plane offsets."""
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _y4m_encode,
+        _y4m_frame_count,
+        _y4m_parse,
+        _y4m_planes,
+    )
+
+    blob = _y4m_encode(11)
+    assert blob.startswith(b"YUV4MPEG2 ")
+    w, h, frames = _y4m_parse(blob)
+    assert len(frames) == _y4m_frame_count(11)
+    for t, (y, u, v) in enumerate(frames):
+        ey, eu, ev = _y4m_planes(11, t)
+        assert (y == ey).all() and (u == eu).all() and (v == ev).all()
+
+    # frame-level parameters after the FRAME marker must be tolerated
+    # (the spec allows e.g. "FRAME Ixyz\n")
+    patched = blob.replace(b"FRAME\n", b"FRAME Ix\n", 1)
+    w2, h2, frames2 = _y4m_parse(patched)
+    assert (frames2[0][0] == frames[0][0]).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _y4m_parse(b"RIFF1234")
+    with _pytest.raises(ValueError):
+        _y4m_parse(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(16))
+
+
+def test_y4m_frame_sampling_keeps_strided_frames(spark):
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        sample_y4m_frames,
+        y4m_media,
+    )
+
+    ids = spark.createDataFrame([(4,)], "doc_id long")  # 3+4%6 = 7 frames
+    rows = sample_y4m_frames(y4m_media(ids), stride=3).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 3, 6]
