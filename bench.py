@@ -57,6 +57,7 @@ HEADLINE = [
     # r3 additions: real-codec multimodal paths (Arrow mapInPandas decode)
     "x4_wav_decode",
     "x4_pgm_decode",
+    "x4_y4m_decode",
 ]
 
 
