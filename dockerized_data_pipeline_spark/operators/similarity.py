@@ -96,6 +96,22 @@ def ivf_assignments(
     )
 
 
+def rank_probe_clusters(query_vec, centroids, n_probe: int) -> list[int]:
+    """The n_probe cluster ids nearest the query by centroid cosine
+    (driver-side over the tiny codebook; ties break to the lower id)."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    return sorted(
+        range(len(centroids)), key=lambda c: (-cos(query_vec, centroids[c]), c)
+    )[:n_probe]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec,
@@ -115,18 +131,7 @@ def ivf_topk(
     """
     from ..functions.vectors import literal_vector
 
-    # rank clusters by centroid similarity to the query (driver-side, tiny)
-    import math
-
-    def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
-    probe = sorted(
-        range(len(centroids)), key=lambda c: (-cos(query_vec, centroids[c]), c)
-    )[:n_probe]
+    probe = rank_probe_clusters(query_vec, centroids, n_probe)
 
     assigned = ivf_assignments(df, centroids, id_col, vec_col)
     q = literal_vector(query_vec)
@@ -375,3 +380,82 @@ def semantic_dedup(
         df, centroids, threshold, id_col, vec_col
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return collapse_neardups(df, pairs, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Disk-backed IVF index: the FAISS-IVF-on-object-store shape for 100 TB ANN.
+# The corpus is laid out partitioned BY CLUSTER (hive directories), so a
+# probe is a parquet read whose partition filter keeps only the n_probe
+# matching directories -- the scan itself shrinks to n_probe/n_lists of the
+# corpus bytes BEFORE any compute, which no inline-assignment plan can do.
+# ---------------------------------------------------------------------------
+
+_CODEBOOK_FILE = "_CODEBOOK.json"
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Assign every vector to its nearest centroid and publish the corpus
+    partitioned by ``cluster_id=K`` directories, with the codebook stored
+    alongside (underscore-prefixed, invisible to parquet discovery).
+    Published atomically via the versioned-table protocol, so probes see
+    the old index until the new one flips in. Returns the version dir."""
+    import json
+    import os
+
+    from .atomic import publish_table
+
+    assigned = ivf_assignments(df, centroids, id_col, vec_col)
+
+    def write(version_dir: str) -> None:
+        assigned.write.partitionBy("cluster_id").mode("overwrite").parquet(
+            version_dir
+        )
+        with open(os.path.join(version_dir, _CODEBOOK_FILE), "w") as f:
+            json.dump(centroids, f)
+
+    return publish_table(index_path, write)
+
+
+def read_ivf_codebook(index_path: str) -> list[list[float]]:
+    import json
+    import os
+
+    with open(os.path.join(index_path, _CODEBOOK_FILE)) as f:
+        return json.load(f)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """ANN top-k against a disk IVF index: rank the stored codebook
+    driver-side, read ONLY the ``cluster_id IN probe`` partitions
+    (partition pruning -- n_probe/n_lists of the files, asserted in
+    tests via inputFiles), score, TakeOrderedAndProject. Identical
+    results to the inline ``ivf_topk`` for the same codebook/n_probe."""
+    probe = rank_probe_clusters(query_vec, read_ivf_codebook(index_path), n_probe)
+    q = literal_vector(query_vec)
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("cluster_id").isin(*probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_digits)
+            .cast(f"decimal(18,{round_digits})")
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,84 @@
+"""Disk-backed IVF index (operators/similarity.py): partition-pruned ANN
+probes must equal the inline IVF plan while reading only n_probe/n_lists
+of the index files."""
+
+from __future__ import annotations
+
+from dockerized_data_pipeline_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_topk,
+    ivf_topk_indexed,
+    rank_probe_clusters,
+    read_ivf_codebook,
+)
+
+
+def _vectors(spark, n=60, dim=8):
+    rows = []
+    for i in range(n):
+        # three well-separated lobes plus deterministic jitter
+        axis = i % 3
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 3) % dim] = ((i * 7) % 10) / 100.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+CENTS = [
+    [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+]
+PROBE_VEC = [0.9, 0.1, 0.0, 0.05, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_indexed_probe_equals_inline_ivf(spark, tmp_path):
+    df = _vectors(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(df, CENTS, idx)
+    assert read_ivf_codebook(idx) == CENTS
+    inline = ivf_topk(df, PROBE_VEC, CENTS, k=10, n_probe=2).collect()
+    indexed = ivf_topk_indexed(spark, idx, PROBE_VEC, k=10, n_probe=2).collect()
+    assert [(r.vec_id, r.cos_sim) for r in inline] == [
+        (r.vec_id, r.cos_sim) for r in indexed
+    ]
+
+
+def test_probe_reads_only_matching_partitions(spark, tmp_path):
+    df = _vectors(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(df, CENTS, idx)
+    probe = rank_probe_clusters(PROBE_VEC, CENTS, 2)
+    assert probe == [0, 1]
+    scored = ivf_topk_indexed(spark, idx, PROBE_VEC, k=10, n_probe=2)
+    # inputFiles() lists the relation pre-pruning; the pruning contract
+    # lives in the scan's PartitionFilters (applied at physical planning,
+    # so only cluster_id IN probe directories are ever opened)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scored.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    assert any("cluster_id" in l and " IN " in l.upper() for l in pf), pf
+
+
+def test_index_republish_is_atomic_and_visible(spark, tmp_path):
+    df = _vectors(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(df, CENTS, idx)
+    before = ivf_topk_indexed(spark, idx, PROBE_VEC, k=5, n_probe=3).collect()
+    # grow the corpus and republish under the same path
+    import pyspark.sql.functions as F
+
+    df2 = df.unionByName(
+        df.limit(5).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    build_ivf_index(df2, CENTS, idx)
+    after = ivf_topk_indexed(spark, idx, PROBE_VEC, k=5, n_probe=3).collect()
+    assert len(before) == 5 and len(after) == 5  # readable pre- and post-flip
+    assert spark.read.parquet(idx).count() == 65  # the flip exposed the grown corpus
