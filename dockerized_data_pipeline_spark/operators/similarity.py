@@ -459,3 +459,74 @@ def ivf_topk_indexed(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def semantic_dedup_incremental(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Incremental SemDeDup: score an arriving batch against the PERSISTED
+    disk IVF index (and within itself) instead of re-clustering the
+    corpus -- the O(batch) daily-delta shape of x2's incremental text
+    dedup, at the embedding level. The batch assigns to the STORED
+    codebook; the corpus side is read with ``cluster_id IN (batch's
+    clusters)``, so partition pruning drops every list the batch never
+    touches before any compute. Assumes batch ids are disjoint from the
+    corpus (new documents). Returns canonicalized pairs
+    (id_a < id_b, origin 'corpus'|'batch', fixed-point score)."""
+    from ..functions.vectors import dot, norm
+
+    cents = read_ivf_codebook(index_path)
+
+    def unit(df: DataFrame, cluster_known: bool) -> DataFrame:
+        assigned = df if cluster_known else ivf_assignments(df, cents, id_col, vec_col)
+        return (
+            assigned.withColumn("__n", norm(F.col(vec_col)))
+            .select(
+                F.col(id_col),
+                F.col("cluster_id"),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") / F.col("__n")
+                ).alias("u"),
+            )
+        )
+
+    b = unit(batch, cluster_known=False)
+    clusters = sorted(
+        r.cluster_id for r in b.select("cluster_id").distinct().collect()
+    )
+    corpus = unit(
+        spark.read.parquet(index_path).filter(F.col("cluster_id").isin(clusters)),
+        cluster_known=True,
+    )
+
+    def pairs(left: DataFrame, right: DataFrame, origin: str, self_join: bool):
+        l = left.select(
+            F.col("cluster_id").alias("ca"), F.col(id_col).alias("ia"), F.col("u").alias("ua")
+        )
+        r = right.select(
+            F.col("cluster_id").alias("cb"), F.col(id_col).alias("ib"), F.col("u").alias("ub")
+        )
+        cond = F.col("ca") == F.col("cb")
+        cond = cond & (F.col("ia") < F.col("ib")) if self_join else cond
+        sim = F.round(dot(F.col("ua"), F.col("ub")), round_digits)
+        return (
+            l.join(r, cond)
+            .select(
+                F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                F.col("ca").alias("cluster_id"),
+                F.lit(origin).alias("origin"),
+                F.floor(sim * (10 ** round_digits)).cast("bigint").alias("cos_fp"),
+            )
+            .filter(F.col("cos_fp") >= int(threshold * 10 ** round_digits))
+        )
+
+    return pairs(b, corpus, "corpus", self_join=False).unionByName(
+        pairs(b, b, "batch", self_join=True)
+    )

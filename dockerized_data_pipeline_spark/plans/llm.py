@@ -2677,3 +2677,53 @@ def x3_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk_indexed(
         spark, idx, _probe_vector(spark, sf_dir), k=10, n_probe=3
     )
+
+
+def _persisted_semantic_index(spark: SparkSession, sf_dir: str) -> str:
+    """Corpus-only (vec_id % 10 != 0) disk IVF index for the incremental
+    semantic-dedup probe -- the embedding analog of _persisted_corpus_sig:
+    persisted state built once per fixture, probed per batch."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-{st.st_size}-{int(st.st_mtime)}"
+    )
+    out = f"/tmp/spark_graft_cache/semantic_index8/{tag}"
+    if not os.path.exists(os.path.join(out, "_CODEBOOK.json")):
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 != 0
+        )
+        cents = [
+            list(r[0])
+            for r in emb.filter(F.col("vec_id") < 9)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ][:8]
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        SIM.build_ivf_index(emb, cents, out)
+    return out
+
+
+@query("x3_semantic_dedup_incremental")
+def x3_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (rows-only): treat vec_id % 10 == 0 as today's
+    arriving embeddings and probe the corpus's PERSISTED disk IVF index --
+    the batch assigns to the STORED codebook, the corpus read partition-
+    prunes to the batch's clusters, and only batch-touching pairs are
+    scored. O(batch) like x2_incremental_neardup, at the semantic level;
+    equals the full-recompute restriction by construction
+    (tests/test_ivf_index.py). Threshold 0.35 is fixture-calibrated: the
+    synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51,
+    p99.9 ~0.38), so a production 0.9+ cut matches nothing here; the
+    planted-duplicate tests exercise the high-threshold regime."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = _persisted_semantic_index(spark, sf_dir)
+    return (
+        SIM.semantic_dedup_incremental(spark, idx, batch, threshold=0.35)
+        .orderBy("id_a", "id_b")
+    )

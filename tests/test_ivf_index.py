@@ -82,3 +82,59 @@ def test_index_republish_is_atomic_and_visible(spark, tmp_path):
     after = ivf_topk_indexed(spark, idx, PROBE_VEC, k=5, n_probe=3).collect()
     assert len(before) == 5 and len(after) == 5  # readable pre- and post-flip
     assert spark.read.parquet(idx).count() == 65  # the flip exposed the grown corpus
+
+
+def test_incremental_semantic_dedup_equals_full_recompute(spark, tmp_path):
+    """Pairs touching the batch from the O(batch) index probe must equal
+    the full-corpus semantic_dedup_pairs restricted to batch-touching
+    pairs (same codebook)."""
+    import math
+
+    from dockerized_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        semantic_dedup_pairs,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    corpus_rows = [(0, vec(0)), (1, vec(0, 0.01)), (10, vec(3)), (20, vec(6))]
+    batch_rows = [
+        (100, vec(0, 0.02)),   # near-dup of corpus 0/1
+        (101, vec(3, 0.015)),  # near-dup of corpus 10
+        (102, vec(0, 0.021)),  # near-dup of batch 100 AND corpus 0/1
+        (103, vec(6, 0.5)),    # same cluster as 20, below threshold
+    ]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    cents = [vec(0), vec(3), vec(6)]
+
+    from dockerized_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    idx = str(tmp_path / "semidx")
+    build_ivf_index(corpus, cents, idx)
+
+    inc = semantic_dedup_incremental(spark, idx, batch, threshold=0.95)
+    got = {(r.id_a, r.id_b, r.origin) for r in inc.collect()}
+
+    batch_ids = {r[0] for r in batch_rows}
+    full = semantic_dedup_pairs(
+        corpus.unionByName(batch), cents, threshold=0.95
+    ).collect()
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in full
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert {(a, b) for a, b, _ in got} == want_pairs
+    # origins: corpus rows tag 'corpus', batch-batch pairs tag 'batch'
+    for a, b, origin in got:
+        expected = "batch" if (a in batch_ids and b in batch_ids) else "corpus"
+        assert origin == expected, (a, b, origin)
+    # scores are fixed-point and above the cut
+    assert all(r.cos_fp >= 9500 for r in inc.collect())
