@@ -34,3 +34,47 @@ def literal_vector(values) -> Column:
     """A query vector as a literal array column (broadcast as a constant into
     every task -- no join needed for 1-vector probes)."""
     return F.array(*[F.lit(float(v)) for v in values])
+
+
+def int8_quantize_stats(
+    df, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Symmetric int8 scalar quantization stats per vector: scale =
+    max|x|/127, codes = floor(x/scale + 0.5) in [-127, 127], plus exact
+    reconstruction-error ppm -- pure higher-order-function expressions,
+    zero shuffle, zero Python. floor-based rounding is engine-portable
+    where round() half-ties are not. The scale is materialized as its own
+    column first: referencing it inside the transform lambda would
+    re-evaluate the O(dim) array_max per ELEMENT."""
+    d = df.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("v"),
+    ).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda e: F.abs(e))) / F.lit(127.0),
+            F.lit(1e-30),
+        ),
+    )
+    code = lambda e: F.floor(e / F.col("scale") + F.lit(0.5))
+    err_num = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda e: (e - code(e) * F.col("scale")) * (e - code(e) * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    err_den = F.aggregate(
+        F.transform(F.col("v"), lambda e: e * e), F.lit(0.0), lambda a, b: a + b
+    )
+    return d.select(
+        id_col,
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.array_max(F.transform(F.col("v"), lambda e: F.abs(code(e))))
+        .cast("bigint")
+        .alias("max_abs_code"),
+        F.floor(err_num / F.greatest(err_den, F.lit(1e-30)) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("err_ppm"),
+    )

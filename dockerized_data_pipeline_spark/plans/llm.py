@@ -2486,40 +2486,12 @@ def x3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     based rounding (round() half-even vs half-up differs across engines,
     floor of identical IEEE operands never does). The scale is
     materialized as its own column first: referencing it inside the
-    transform lambda would re-evaluate the O(dim) array_max per ELEMENT."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("v"),
-    ).withColumn(
-        "scale",
-        F.greatest(
-            F.array_max(F.transform(F.col("v"), lambda e: F.abs(e))) / F.lit(127.0),
-            F.lit(1e-30),
-        ),
-    )
-    code = lambda e: F.floor(e / F.col("scale") + F.lit(0.5))
-    err_num = F.aggregate(
-        F.transform(
-            F.col("v"),
-            lambda e: (e - code(e) * F.col("scale")) * (e - code(e) * F.col("scale")),
-        ),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    err_den = F.aggregate(
-        F.transform(F.col("v"), lambda e: e * e), F.lit(0.0), lambda a, b: a + b
-    )
-    return d.select(
-        "vec_id",
-        F.size("v").cast("bigint").alias("n_dims"),
-        F.array_max(F.transform(F.col("v"), lambda e: F.abs(code(e))))
-        .cast("bigint")
-        .alias("max_abs_code"),
-        F.floor(err_num / F.greatest(err_den, F.lit(1e-30)) * F.lit(1000000.0))
-        .cast("bigint")
-        .alias("err_ppm"),
-    )
+    transform lambda would re-evaluate the O(dim) array_max per ELEMENT
+    (expressions in functions/vectors.py::int8_quantize_stats,
+    property-tested for code and error bounds)."""
+    from ..functions.vectors import int8_quantize_stats
+
+    return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
 
 
 @query(

@@ -190,3 +190,76 @@ def test_winnow_guarantee_property(spark, shared, pre, post):
         .collect()
     }
     assert rows[1] & rows[2]
+
+
+# --- int8 scalar quantization: bounded codes, bounded reconstruction error
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=4,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_int8_quantize_code_and_error_bounds(spark, vecs):
+    """For ANY vector: |code| <= 127 (the int8 envelope), and the
+    reconstruction error per element is <= scale/2 by construction of
+    floor(x/s + 0.5), so err_num <= dim * (s/2)^2."""
+    from dockerized_data_pipeline_spark.functions.vectors import (
+        int8_quantize_stats,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in int8_quantize_stats(emb).collect()}
+    for i, v in rows:
+        r = out[i]
+        assert r.n_dims == len(v)
+        assert 0 <= r.max_abs_code <= 127
+        s = max(max(abs(x) for x in v) / 127.0, 1e-30)
+        den = sum(x * x for x in v)
+        if den > 0:
+            bound_ppm = len(v) * (s / 2) ** 2 / den * 1e6
+            # +1 for the floor; tiny float slack on the analytic bound
+            assert r.err_ppm <= bound_ppm * (1 + 1e-9) + 1, (v, r.err_ppm, bound_ppm)
+        else:
+            assert r.max_abs_code == 0
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-8.0, max_value=8.0, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=6,
+        unique_by=lambda v: tuple(v),
+    ),
+    parts=st.integers(1, 5),
+)
+@_SETTINGS
+def test_logreg_partition_invariance_property(spark, vecs, parts):
+    """Decimal gradient sums: the fitted weights are EXACTLY equal under
+    any repartitioning, for arbitrary feature data."""
+    from dockerized_data_pipeline_spark.operators.logreg import logreg_fit
+
+    rows = [
+        (i, v[0], v[1], 1 if v[2] + v[3] > 0 else 0) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y int")
+    w1 = logreg_fit(df.repartition(1), ["x1", "x2"], "y", iterations=4)
+    wp = logreg_fit(df.repartition(parts), ["x1", "x2"], "y", iterations=4)
+    assert w1 == wp
