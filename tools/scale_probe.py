@@ -84,6 +84,33 @@ def main() -> int:
     SIM.centroid_purity(bige).count()
     results["centroid_purity"] = round(time.time() - t0, 2)
 
+    # SemDeDup pairs at Nx vectors: must track sum(c_i^2) over clusters,
+    # never n^2. The documented 100 TB posture scales k WITH the corpus so
+    # per-list sizes stay bounded (sum c_i^2 ~ n^2/k: linear-in-n cost
+    # needs k ~ n) -- the probe does the same.
+    n_lists = max(32, 32 * mult // 10)
+    cents = [
+        list(r[0])
+        for r in emb.filter(F.col("vec_id") < n_lists).orderBy("vec_id")
+        .select("embedding").collect()
+    ]
+    t0 = time.time()
+    SIM.semantic_dedup_pairs(bige, cents, threshold=0.35).count()
+    results["semantic_pairs"] = round(time.time() - t0, 2)
+
+    # Incremental semantic dedup: 10% arriving batch probes the persisted
+    # disk IVF index of the other 90% (index build excluded: persisted
+    # state) -- partition-pruned corpus read + batch-touching pairs only.
+    import tempfile
+
+    ecorpus = bige.filter(F.col("vec_id") % 10 != 0)
+    ebatch = bige.filter(F.col("vec_id") % 10 == 0)
+    idx = tempfile.mkdtemp(prefix="scale_probe_") + "/ivf"
+    SIM.build_ivf_index(ecorpus, cents, idx)
+    t0 = time.time()
+    SIM.semantic_dedup_incremental(spark, idx, ebatch, threshold=0.35).count()
+    results["incremental_semantic"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
