@@ -479,31 +479,60 @@ def semantic_dedup_incremental(
     touches before any compute. Assumes batch ids are disjoint from the
     corpus (new documents). Returns canonicalized pairs
     (id_a < id_b, origin 'corpus'|'batch', fixed-point score)."""
-    from ..functions.vectors import dot, norm
-
     cents = read_ivf_codebook(index_path)
-
-    def unit(df: DataFrame, cluster_known: bool) -> DataFrame:
-        assigned = df if cluster_known else ivf_assignments(df, cents, id_col, vec_col)
-        return (
-            assigned.withColumn("__n", norm(F.col(vec_col)))
-            .select(
-                F.col(id_col),
-                F.col("cluster_id"),
-                F.transform(
-                    F.col(vec_col), lambda x: x.cast("double") / F.col("__n")
-                ).alias("u"),
-            )
-        )
-
-    b = unit(batch, cluster_known=False)
+    b = unit_assigned(batch, cents, id_col, vec_col)
     clusters = sorted(
         r.cluster_id for r in b.select("cluster_id").distinct().collect()
     )
-    corpus = unit(
+    corpus = unit_assigned(
         spark.read.parquet(index_path).filter(F.col("cluster_id").isin(clusters)),
-        cluster_known=True,
+        None,
+        id_col,
+        vec_col,
     )
+    return semantic_pairs_against(b, corpus, threshold, id_col, round_digits)
+
+
+def unit_assigned(
+    df: DataFrame,
+    centroids: list[list[float]] | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id, u): cluster assignment (computed against
+    ``centroids``, or taken from an existing ``cluster_id`` column when
+    None) plus the L2-normalized vector -- the working shape of every
+    semantic-dedup join. The norm is materialized as its own column so
+    the transform lambda never re-evaluates the O(dim) fold per element."""
+    from ..functions.vectors import norm
+
+    assigned = (
+        df if centroids is None else ivf_assignments(df, centroids, id_col, vec_col)
+    )
+    return (
+        assigned.withColumn("__n", norm(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("__n")
+            ).alias("u"),
+        )
+    )
+
+
+def semantic_pairs_against(
+    b: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Batch-touching semantic pairs: b-vs-corpus (same cluster) plus
+    b-vs-b (same cluster, id_a < id_b). Inputs are ``unit_assigned``
+    frames; corpus ids must be disjoint from batch ids. Canonicalized
+    (id_a < id_b) with fixed-point scores."""
+    from ..functions.vectors import dot
 
     def pairs(left: DataFrame, right: DataFrame, origin: str, self_join: bool):
         l = left.select(

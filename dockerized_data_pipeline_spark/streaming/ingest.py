@@ -304,3 +304,78 @@ def neardup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def semantic_dedup_stream(
+    stream_vecs: DataFrame,
+    centroids: list[list[float]],
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Streaming incremental SEMANTIC dedup: every arriving micro-batch of
+    embeddings assigns to the FIXED codebook (streams cannot retrain it;
+    refresh the codebook offline and restart the query to rotate), scores
+    against the unit-vector index of all PRIOR batches plus itself,
+    lands discovered pairs in ``pairs_path``, and appends its own
+    assignments to the index -- the embedding-level twin of
+    ``neardup_stream``, sharing operators/similarity.py's pair logic
+    with the batch path.
+
+    State is the parquet assignment index (one slim row per vector ever
+    seen, partitioned by cluster so probes partition-prune). Both writes
+    go to ``.../epoch=N`` with overwrite and the corpus read takes
+    strictly-earlier epochs only, so a crash-replayed batch rewrites its
+    own epoch and never sees its own vectors as corpus (the
+    effectively-once posture neardup_stream settled on).
+    """
+    import os
+
+    from ..operators.similarity import semantic_pairs_against, unit_assigned
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        b = unit_assigned(batch_df, centroids, id_col, vec_col)
+        clusters = sorted(
+            r.cluster_id for r in b.select("cluster_id").distinct().collect()
+        )
+        prior = (
+            [
+                os.path.join(index_path, e)
+                for e in os.listdir(index_path)
+                if e.startswith("epoch=") and int(e.split("=", 1)[1]) < epoch_id
+            ]
+            if os.path.isdir(index_path)
+            else []
+        )
+        if prior:
+            corpus = (
+                spark.read.option("basePath", index_path)
+                .parquet(*prior)
+                .filter(F.col("cluster_id").isin(clusters))
+                .select(id_col, "cluster_id", "u")
+            )
+        else:
+            corpus = spark.createDataFrame(
+                [], f"{id_col} long, cluster_id int, u array<double>"
+            )
+        pairs = semantic_pairs_against(b, corpus, threshold, id_col)
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/epoch={epoch_id}")
+        b.write.partitionBy("cluster_id").mode("overwrite").parquet(
+            f"{index_path}/epoch={epoch_id}"
+        )
+
+    writer = (
+        stream_vecs.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

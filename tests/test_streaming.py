@@ -506,3 +506,114 @@ def test_neardup_stream_crash_replay_excludes_own_epoch(spark, tmp_path):
     assert [(r.doc_a, r.doc_b, r.pair_type) for r in rows] == [
         (11, 12, "batch_batch")
     ]
+
+
+def test_semantic_dedup_stream_builds_index_and_pairs(spark, tmp_path):
+    """Streaming incremental SEMANTIC dedup: batch-2 vectors probe the
+    assignment index from batch 1 (origin 'corpus') and each other
+    (origin 'batch'); the index accumulates every vector, partitioned by
+    cluster."""
+    import math
+    import time as _time
+
+    from dockerized_data_pipeline_spark.streaming.ingest import (
+        semantic_dedup_stream,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    cents = [vec(0), vec(3), vec(6)]
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "vec_src")
+    spark.createDataFrame(
+        [(0, vec(0)), (1, vec(0, 0.01)), (20, vec(6))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(100, vec(0, 0.02)), (101, vec(0, 0.021)), (102, vec(6, 0.5))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    index_path = str(tmp_path / "sem_index")
+    pairs_path = str(tmp_path / "sem_pairs")
+    q = semantic_dedup_stream(
+        stream,
+        cents,
+        index_path,
+        pairs_path,
+        checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.95,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_a, r.id_b): r.origin
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    # batch-2 near-dups of batch-1 vectors 0/1 tag 'corpus'
+    assert got.get((0, 100)) == "corpus" and got.get((1, 100)) == "corpus"
+    assert got.get((0, 101)) == "corpus" and got.get((1, 101)) == "corpus"
+    # batch-2 internal near-dup pair tags 'batch'
+    assert got.get((100, 101)) == "batch"
+    # sub-threshold same-cluster neighbor never pairs
+    assert not any(102 in p for p in got)
+    index = spark.read.parquet(index_path)
+    assert {r.vec_id for r in index.collect()} == {0, 1, 20, 100, 101, 102}
+    assert "cluster_id" in index.columns and "u" in index.columns
+
+
+def test_semantic_dedup_stream_replay_excludes_own_epoch(spark, tmp_path):
+    """Crash replay: epoch=0 pre-seeded with the exact assignments batch 0
+    is about to write must NOT be read back as corpus -- pairs stay
+    'batch'-tagged and un-duplicated."""
+    import math
+
+    from dockerized_data_pipeline_spark.operators.similarity import unit_assigned
+    from dockerized_data_pipeline_spark.streaming.ingest import (
+        semantic_dedup_stream,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    cents = [vec(0), vec(3), vec(6)]
+    schema = "vec_id long, embedding array<double>"
+    batch_rows = [(11, vec(0, 0.01)), (12, vec(0, 0.02))]
+    src = str(tmp_path / "vec_src")
+    spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    index_path = str(tmp_path / "sem_index")
+    # simulate the crash leftovers: epoch=0 already holds batch 0's rows
+    unit_assigned(
+        spark.createDataFrame(batch_rows, schema), cents
+    ).write.partitionBy("cluster_id").mode("overwrite").parquet(
+        f"{index_path}/epoch=0"
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    pairs_path = str(tmp_path / "sem_pairs")
+    q = semantic_dedup_stream(
+        stream,
+        cents,
+        index_path,
+        pairs_path,
+        checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.95,
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(pairs_path).collect()
+    assert [(r.id_a, r.id_b, r.origin) for r in rows] == [(11, 12, "batch")]
