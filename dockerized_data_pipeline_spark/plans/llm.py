@@ -2699,3 +2699,54 @@ def x3_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         SIM.semantic_dedup_incremental(spark, idx, batch, threshold=0.35)
         .orderBy("id_a", "id_b")
     )
+
+
+@query("x7_corpus_prep_semantic")
+def x7_corpus_prep_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone corpus pipeline with SEMANTIC dedup (rows-only:
+    iterative k-means; every stage individually oracled/tested): quality
+    gates -> language allowlist -> exact dedup -> SemDeDup over the
+    survivors' embeddings (k-means partition, within-cluster cosine,
+    component collapse keeping min id) -> deterministic md5 split ->
+    per-(lang, split) stats. This is x7_corpus_prep_neardup with the
+    fuzzy-TEXT stage swapped for embedding-space dedup -- the variant
+    that also removes paraphrases sharing no n-grams. Threshold 0.35 is
+    fixture-calibrated (synthetic embeddings are near-orthogonal); the
+    planted tests cover the production 0.9+ regime."""
+    d = load_table(spark, sf_dir, "documents")
+    n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
+    filtered = (
+        d.withColumn("n_tokens", TX.token_count(F.col("text")))
+        .withColumn("n_stop", n_stop)
+        .filter(
+            F.col("n_tokens").between(20, 1000)
+            & (F.col("n_stop") * 50 >= F.col("n_tokens"))
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+        .select("doc_id", "lang", "text", "n_tokens")
+    )
+    exact = filtered.groupBy("lang", "text").agg(
+        F.min("doc_id").alias("doc_id"), F.max("n_tokens").alias("n_tokens")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        exact.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    emb = emb.localCheckpoint(eager=True)  # k-means iterates over it
+    kept_vecs = SIM.semantic_dedup(
+        emb, k=16, iterations=2, threshold=0.35
+    ).select(F.col("vec_id").alias("doc_id"))
+    # survivor ids are O(corpus) -- a plain semi join (AQE may still
+    # broadcast at small scale), never a broadcast hint
+    kept = exact.join(kept_vecs, "doc_id", "left_semi")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    return (
+        kept.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang", "split")
+    )
