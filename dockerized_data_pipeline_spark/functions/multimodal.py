@@ -361,22 +361,34 @@ def _pgm_parse(blob: bytes):
 
     if blob[:2] != b"P5":
         raise ValueError("not a P5 (binary PGM) blob")
-    # header = magic + 3 whitespace-separated ints (comments start with '#')
+    # header = magic + 3 whitespace-separated ints (comments start with '#');
+    # every scan is bounds-checked so a truncated header raises instead of
+    # spinning (b''.isspace() is False, so an unguarded scan never ends)
     fields: list[int] = []
     i = 2
+    n = len(blob)
     while len(fields) < 3:
-        while blob[i : i + 1].isspace():
+        while i < n and blob[i : i + 1].isspace():
             i += 1
+        if i >= n:
+            raise ValueError("truncated PGM header")
         if blob[i : i + 1] == b"#":
-            i = blob.index(b"\n", i) + 1
+            nl = blob.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated PGM header comment")
+            i = nl + 1
             continue
         j = i
-        while not blob[j : j + 1].isspace():
+        while j < n and not blob[j : j + 1].isspace():
             j += 1
+        if j >= n:
+            raise ValueError("truncated PGM header")
         fields.append(int(blob[i:j]))
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if n < i + w * h:
+        raise ValueError("truncated PGM pixel payload")
     px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=i).reshape(h, w)
     return w, h, maxval, px
 

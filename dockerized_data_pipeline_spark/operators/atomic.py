@@ -42,8 +42,27 @@ def _version_glob(target_path: str) -> str:
 
 
 def _new_version_path(target_path: str) -> str:
+    """Version dir names embed a zero-padded creation nanosecond stamp so
+    history ORDERS BY NAME: directory mtimes tie under coarse-granularity
+    filesystems (and get bumped by the legacy-upgrade _SUCCESS touch),
+    which would make n-back reads and retention GC pick arbitrarily."""
+    import time
+
     parent, base = os.path.split(os.path.abspath(target_path))
-    return os.path.join(parent, f".{base}.v-{uuid.uuid4().hex[:8]}")
+    return os.path.join(
+        parent, f".{base}.v-{time.time_ns():020d}-{uuid.uuid4().hex[:6]}"
+    )
+
+
+def _version_order_key(version_dir: str):
+    """Newest-first sort key: the embedded creation stamp when present
+    (lexicographic thanks to zero padding), directory mtime for legacy
+    uuid-only names."""
+    stamp = os.path.basename(version_dir).rsplit(".v-", 1)[-1]
+    head = stamp.split("-", 1)[0]
+    if head.isdigit() and len(head) == 20:
+        return (1, stamp)
+    return (0, f"{os.path.getmtime(version_dir):030.6f}-{stamp}")
 
 
 def _is_complete(version_dir: str) -> bool:
@@ -125,7 +144,7 @@ def list_versions(target_path: str) -> list[str]:
         if os.path.exists(target_path)
         else None
     )
-    ordered = sorted(complete, key=lambda d: (os.path.getmtime(d), d), reverse=True)
+    ordered = sorted(complete, key=_version_order_key, reverse=True)
     if current in ordered:
         ordered.remove(current)
         ordered.insert(0, current)
@@ -161,6 +180,6 @@ def recover_table(target_path: str) -> str | None:
     complete = [d for d in glob.glob(_version_glob(target_path)) if _is_complete(d)]
     if not complete:
         return None
-    best = max(complete, key=lambda d: (os.path.getmtime(d), d))
+    best = max(complete, key=_version_order_key)
     _flip(target_path, best)
     return best

@@ -399,12 +399,16 @@ def build_ivf_index(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_versions: int = 2,
 ) -> str:
     """Assign every vector to its nearest centroid and publish the corpus
     partitioned by ``cluster_id=K`` directories, with the codebook stored
     alongside (underscore-prefixed, invisible to parquet discovery).
-    Published atomically via the versioned-table protocol, so probes see
-    the old index until the new one flips in. Returns the version dir."""
+    Published atomically via the versioned-table protocol; probes resolve
+    the pointer ONCE (codebook + scan from the same version), and
+    ``keep_versions=2`` keeps the superseded version on disk so a probe
+    that resolved just before a republish finishes against intact files
+    instead of a GC'd directory. Returns the version dir."""
     import json
     import os
 
@@ -419,7 +423,16 @@ def build_ivf_index(
         with open(os.path.join(version_dir, _CODEBOOK_FILE), "w") as f:
             json.dump(centroids, f)
 
-    return publish_table(index_path, write)
+    return publish_table(index_path, write, keep_versions=keep_versions)
+
+
+def _resolve_index(index_path: str) -> str:
+    """Pin one index version for the whole operation: resolving the
+    symlink once means the codebook and the parquet scan can never mix
+    versions across a concurrent republish."""
+    import os
+
+    return os.path.realpath(index_path)
 
 
 def read_ivf_codebook(index_path: str) -> list[list[float]]:
@@ -445,10 +458,11 @@ def ivf_topk_indexed(
     (partition pruning -- n_probe/n_lists of the files, asserted in
     tests via inputFiles), score, TakeOrderedAndProject. Identical
     results to the inline ``ivf_topk`` for the same codebook/n_probe."""
-    probe = rank_probe_clusters(query_vec, read_ivf_codebook(index_path), n_probe)
+    version = _resolve_index(index_path)
+    probe = rank_probe_clusters(query_vec, read_ivf_codebook(version), n_probe)
     q = literal_vector(query_vec)
     return (
-        spark.read.parquet(index_path)
+        spark.read.parquet(version)
         .filter(F.col("cluster_id").isin(*probe))
         .select(
             F.col(id_col),
@@ -479,13 +493,17 @@ def semantic_dedup_incremental(
     touches before any compute. Assumes batch ids are disjoint from the
     corpus (new documents). Returns canonicalized pairs
     (id_a < id_b, origin 'corpus'|'batch', fixed-point score)."""
-    cents = read_ivf_codebook(index_path)
-    b = unit_assigned(batch, cents, id_col, vec_col)
+    version = _resolve_index(index_path)
+    cents = read_ivf_codebook(version)
+    # localCheckpoint: b feeds the clusters collect, the corpus join, and
+    # BOTH sides of the self join -- without it the O(batch x k x dim)
+    # assignment subtree recomputes three more times
+    b = unit_assigned(batch, cents, id_col, vec_col).localCheckpoint(eager=True)
     clusters = sorted(
         r.cluster_id for r in b.select("cluster_id").distinct().collect()
     )
     corpus = unit_assigned(
-        spark.read.parquet(index_path).filter(F.col("cluster_id").isin(clusters)),
+        spark.read.parquet(version).filter(F.col("cluster_id").isin(clusters)),
         None,
         id_col,
         vec_col,

@@ -1904,35 +1904,61 @@ def x3_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _persisted_corpus_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus MinHash signature index AS PERSISTED STATE: built once
-    per fixture (cache keyed by the documents file's identity) and read
-    back as slim parquet thereafter. This is the operator's real 100 TB
-    posture -- the index is maintained incrementally on disk, not re-signed
-    from corpus text per probe -- and it also de-duplicates the plan
-    (corpus_sig feeds both the candidate join and the verification join;
-    an inline subtree would be computed twice). Signatures are
-    deterministic (xxhash64, no seeds), so cache and recompute are
-    byte-identical."""
-    import os
+def _fixture_cache(sf_dir: str, src_table: str, namespace: str, build_fn) -> str:
+    """Per-fixture persisted-state cache with race-safe publication.
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
+    The key includes the source file's byte size and NANOSECOND mtime, so
+    a regenerated fixture can never serve a stale artifact. ``build_fn``
+    writes into a private staging dir which is then os.rename'd into
+    place -- atomic on POSIX -- so two concurrent sessions (parallel
+    pytest, bench + oracle checker) both building the same cache never
+    interleave writes into one directory: the loser's rename fails
+    against the winner's complete copy and its staging dir is discarded.
+    All builds here are deterministic, so cache and recompute are
+    byte-equal."""
+    import os
+    import shutil
+    import uuid
+
+    st = os.stat(os.path.join(sf_dir, f"{src_table}.parquet"))
     tag = (
         f"{os.path.basename(sf_dir.rstrip('/'))}"
-        f"-{st.st_size}-{int(st.st_mtime)}"
+        f"-{st.st_size}-{st.st_mtime_ns}"
     )
-    out = f"/tmp/spark_graft_cache/corpus_sig16/{tag}"
-    marker = os.path.join(out, "_SIG_DONE")
-    if not os.path.exists(marker):
+    out = f"/tmp/spark_graft_cache/{namespace}/{tag}"
+    if os.path.exists(os.path.join(out, "_CACHE_DONE")):
+        return out
+    staging = f"{out}.build-{uuid.uuid4().hex[:8]}"
+    build_fn(staging)
+    open(os.path.join(staging, "_CACHE_DONE"), "a").close()
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(staging, out)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # a concurrent build won
+    return out
+
+
+def _persisted_corpus_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus MinHash signature index AS PERSISTED STATE: built once
+    per fixture and read back as slim parquet thereafter. This is the
+    operator's real 100 TB posture -- the index is maintained
+    incrementally on disk, not re-signed from corpus text per probe --
+    and it also de-duplicates the plan (corpus_sig feeds both the
+    candidate join and the verification join; an inline subtree would be
+    computed twice)."""
+
+    def build(staging: str) -> None:
         corpus = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
         )
         DD.minhash_signatures(
             corpus, "doc_id", "text", n=3, num_hashes=16
-        ).write.mode("overwrite").parquet(out)
-        open(marker, "a").close()
-    return spark.read.parquet(out)
+        ).write.mode("overwrite").parquet(staging)
+
+    return spark.read.parquet(
+        _fixture_cache(sf_dir, "documents", "corpus_sig16", build)
+    )
 
 
 @query("x2_incremental_neardup")
@@ -2614,14 +2640,7 @@ def _persisted_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     recompute are equivalent."""
     import os
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
-        f"-{st.st_size}-{int(st.st_mtime)}"
-    )
-    out = f"/tmp/spark_graft_cache/ivf_index8/{tag}"
-    if not os.path.exists(os.path.join(out, "_CODEBOOK.json")):
+    def build(staging: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         cents = [
             list(r[0])
@@ -2630,9 +2649,13 @@ def _persisted_ivf_index(spark: SparkSession, sf_dir: str) -> str:
             .select("embedding")
             .collect()
         ]
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        SIM.build_ivf_index(emb, cents, out)
-    return out
+        # the index symlink is RELATIVE (atomic.py _flip), so it survives
+        # the staging dir's rename into the cache slot
+        SIM.build_ivf_index(emb, cents, os.path.join(staging, "index"))
+
+    return os.path.join(
+        _fixture_cache(sf_dir, "embeddings", "ivf_index8", build), "index"
+    )
 
 
 @query("x3_ivf_indexed_topk")
@@ -2657,14 +2680,7 @@ def _persisted_semantic_index(spark: SparkSession, sf_dir: str) -> str:
     persisted state built once per fixture, probed per batch."""
     import os
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = (
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
-        f"-{st.st_size}-{int(st.st_mtime)}"
-    )
-    out = f"/tmp/spark_graft_cache/semantic_index8/{tag}"
-    if not os.path.exists(os.path.join(out, "_CODEBOOK.json")):
+    def build(staging: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % 10 != 0
         )
@@ -2675,9 +2691,11 @@ def _persisted_semantic_index(spark: SparkSession, sf_dir: str) -> str:
             .select("embedding")
             .collect()
         ][:8]
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        SIM.build_ivf_index(emb, cents, out)
-    return out
+        SIM.build_ivf_index(emb, cents, os.path.join(staging, "index"))
+
+    return os.path.join(
+        _fixture_cache(sf_dir, "embeddings", "semantic_index8", build), "index"
+    )
 
 
 @query("x3_semantic_dedup_incremental")

@@ -97,13 +97,19 @@ def upsert_partition(
             cur.executemany(statement, chunk)
         conn.commit()
     except Exception:
+        # suppress rollback failures (a dead connection raises here too)
+        # so the ORIGINAL write error is what reaches Spark, not the
+        # rollback artifact
         try:
             conn.rollback()
-        finally:
+        except Exception:
             pass
         raise
     finally:
-        conn.close()
+        try:
+            conn.close()
+        except Exception:
+            pass
 
 
 def jdbc_upsert(

@@ -222,6 +222,39 @@ def fanout_stream(
     return writer.start()
 
 
+def _epoch_dirs_and_tag(
+    index_path: str, checkpoint_dir: str, epoch_id: int
+) -> tuple[list[str], str]:
+    """Corpus epoch directories + this run's epoch tag.
+
+    Epoch dirs are named ``epoch={tag}-{n}`` where the tag is derived from
+    the checkpoint directory: a crash-recovery restart keeps the same
+    checkpoint (same tag), so a replayed batch still excludes its own
+    crashed write; a DELIBERATE restart with a fresh checkpoint (e.g. to
+    rotate the codebook) gets a new tag, so micro-batch numbering starting
+    over at 0 neither shadows nor overwrites the previous run's epochs --
+    they remain corpus. Untagged legacy ``epoch=N`` dirs are treated as
+    another run's (always corpus)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+    prior: list[str] = []
+    if os.path.isdir(index_path):
+        for e in os.listdir(index_path):
+            if not e.startswith("epoch="):
+                continue
+            val = e.split("=", 1)[1]
+            run_tag, _, num = val.rpartition("-")
+            try:
+                n = int(num)
+            except ValueError:
+                run_tag, n = "", -1
+            if run_tag != tag or n < epoch_id:
+                prior.append(os.path.join(index_path, e))
+    return prior, tag
+
+
 def neardup_stream(
     stream_docs: DataFrame,
     index_path: str,
@@ -258,21 +291,15 @@ def neardup_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # Corpus = strictly EARLIER epochs only. A crash between the
-        # epoch=N index write and the checkpoint commit replays batch N;
-        # reading the whole index would then include the batch's OWN
-        # signatures, duplicating every pair and relabeling batch-batch
-        # pairs as batch-corpus (F.max(is_corpus) picks the corpus flavor).
-        prior = (
-            [
-                os.path.join(index_path, e)
-                for e in os.listdir(index_path)
-                if e.startswith("epoch=")
-                and int(e.split("=", 1)[1]) < epoch_id
-            ]
-            if os.path.isdir(index_path)
-            else []
-        )
+        # Corpus = strictly EARLIER epochs of THIS run plus every other
+        # run's epochs. A crash between the epoch write and the checkpoint
+        # commit replays batch N; reading this run's epoch back would
+        # include the batch's OWN signatures, duplicating every pair and
+        # relabeling batch-batch pairs as batch-corpus (F.max(is_corpus)
+        # picks the corpus flavor). A fresh-checkpoint restart instead
+        # gets a new tag, so pre-existing epochs stay corpus and batch 0
+        # cannot overwrite them.
+        prior, tag = _epoch_dirs_and_tag(index_path, checkpoint_dir, epoch_id)
         if prior:
             corpus_sig = spark.read.option("basePath", index_path).parquet(
                 *prior
@@ -292,9 +319,13 @@ def neardup_stream(
             rows_per_band=rows_per_band,
             min_est_jaccard_ppm=min_est_jaccard_ppm,
         )
-        pairs.write.mode("overwrite").parquet(f"{pairs_path}/epoch={epoch_id}")
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/epoch={tag}-{epoch_id}"
+        )
         batch_sig = minhash_signatures(batch_df, id_col, text_col, n, num_hashes)
-        batch_sig.write.mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
+        batch_sig.write.mode("overwrite").parquet(
+            f"{index_path}/epoch={tag}-{epoch_id}"
+        )
 
     writer = (
         stream_docs.writeStream.foreachBatch(fold)
@@ -341,19 +372,16 @@ def semantic_dedup_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        b = unit_assigned(batch_df, centroids, id_col, vec_col)
+        # localCheckpoint: b feeds the clusters collect, the corpus join,
+        # both sides of the self join, and the index write -- without it
+        # the assignment subtree recomputes four more times per batch
+        b = unit_assigned(batch_df, centroids, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
         clusters = sorted(
             r.cluster_id for r in b.select("cluster_id").distinct().collect()
         )
-        prior = (
-            [
-                os.path.join(index_path, e)
-                for e in os.listdir(index_path)
-                if e.startswith("epoch=") and int(e.split("=", 1)[1]) < epoch_id
-            ]
-            if os.path.isdir(index_path)
-            else []
-        )
+        prior, tag = _epoch_dirs_and_tag(index_path, checkpoint_dir, epoch_id)
         if prior:
             corpus = (
                 spark.read.option("basePath", index_path)
@@ -366,9 +394,11 @@ def semantic_dedup_stream(
                 [], f"{id_col} long, cluster_id int, u array<double>"
             )
         pairs = semantic_pairs_against(b, corpus, threshold, id_col)
-        pairs.write.mode("overwrite").parquet(f"{pairs_path}/epoch={epoch_id}")
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/epoch={tag}-{epoch_id}"
+        )
         b.write.partitionBy("cluster_id").mode("overwrite").parquet(
-            f"{index_path}/epoch={epoch_id}"
+            f"{index_path}/epoch={tag}-{epoch_id}"
         )
 
     writer = (

@@ -138,3 +138,49 @@ def test_incremental_semantic_dedup_equals_full_recompute(spark, tmp_path):
         assert origin == expected, (a, b, origin)
     # scores are fixed-point and above the cut
     assert all(r.cos_fp >= 9500 for r in inc.collect())
+
+
+def test_fixture_cache_publish_is_atomic(spark, tmp_path):
+    """Two sessions building the same cache never interleave writes: the
+    build lands in a private staging dir and os.rename's into place; a
+    loser whose rename fails discards its staging copy and reads the
+    winner's."""
+    import os
+    import uuid
+
+    from dockerized_data_pipeline_spark.plans.llm import _fixture_cache
+
+    sf_dir = str(tmp_path)
+    open(os.path.join(sf_dir, "documents.parquet"), "wb").write(b"x" * 10)
+    ns = f"testns-{uuid.uuid4().hex[:8]}"
+    calls = []
+
+    def build(staging):
+        os.makedirs(staging, exist_ok=True)
+        calls.append(staging)
+        open(os.path.join(staging, "artifact"), "w").write("v1")
+
+    out1 = _fixture_cache(sf_dir, "documents", ns, build)
+    assert open(os.path.join(out1, "artifact")).read() == "v1"
+    # second call: cache hit, build not re-run
+    out2 = _fixture_cache(sf_dir, "documents", ns, build)
+    assert out2 == out1 and len(calls) == 1
+
+    # loser path: a concurrent winner published while we were building
+    def racing_build(staging):
+        os.makedirs(staging, exist_ok=True)
+        calls.append(staging)
+        open(os.path.join(staging, "artifact"), "w").write("loser")
+
+    ns2 = f"testns-{uuid.uuid4().hex[:8]}"
+
+    def winner_then_build(staging):
+        # simulate the other session finishing first
+        _fixture_cache(sf_dir, "documents", ns2, build)
+        racing_build(staging)
+
+    out3 = _fixture_cache(sf_dir, "documents", ns2, winner_then_build)
+    assert open(os.path.join(out3, "artifact")).read() == "v1"  # winner's copy
+    # the loser's staging dir was discarded
+    parent = os.path.dirname(out3)
+    assert [d for d in os.listdir(parent) if ".build-" in d] == []

@@ -802,3 +802,21 @@ def test_y4m_frame_sampling_keeps_strided_frames(spark):
     ids = spark.createDataFrame([(4,)], "doc_id long")  # 3+4%6 = 7 frames
     rows = sample_y4m_frames(y4m_media(ids), stride=3).collect()
     assert sorted(r.frame_idx for r in rows) == [0, 3, 6]
+
+
+def test_pgm_parse_raises_on_truncated_input(spark):
+    """A cut-off header or payload must raise, never spin: the field scan
+    is bounds-checked (b''.isspace() is False, so an unguarded scan past
+    the end of the blob would loop forever at 100% CPU)."""
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import _pgm_parse
+
+    for bad in (
+        b"P5\n12",                      # header ends mid-field
+        b"P5\n# comment never ends",    # unterminated comment
+        b"P5\n3 2",                     # missing maxval
+        b"P5\n3 2\n255\n\x00\x01",      # payload shorter than w*h
+    ):
+        with _pytest.raises(ValueError):
+            _pgm_parse(bad)

@@ -472,10 +472,15 @@ def test_neardup_stream_crash_replay_excludes_own_epoch(spark, tmp_path):
     AFTER writing index_path/epoch=0 but BEFORE the checkpoint committed,
     the replayed batch 0 must not read its own signatures back as corpus --
     that would emit duplicate pairs and relabel batch_batch pairs as
-    batch_corpus. Simulated by pre-seeding epoch=0 with the exact
-    signatures batch 0 is about to write."""
+    batch_corpus. Simulated by pre-seeding THIS RUN's epoch-0 directory
+    (epoch tags derive from the checkpoint dir, so the crashed write and
+    the replay share a tag) with the exact signatures batch 0 is about to
+    write."""
     from dockerized_data_pipeline_spark.operators.dedup import minhash_signatures
-    from dockerized_data_pipeline_spark.streaming.ingest import neardup_stream
+    from dockerized_data_pipeline_spark.streaming.ingest import (
+        _epoch_dirs_and_tag,
+        neardup_stream,
+    )
 
     base = (
         "the quick brown fox jumps over the lazy dog while the cat watches "
@@ -487,17 +492,20 @@ def test_neardup_stream_crash_replay_excludes_own_epoch(spark, tmp_path):
     spark.createDataFrame(batch, doc_schema).coalesce(1).write.parquet(src)
 
     index_path = str(tmp_path / "sig_index")
-    # the "crashed run" already wrote this batch's own signatures as epoch=0
+    ck = str(tmp_path / "ck")
+    _, tag = _epoch_dirs_and_tag(index_path, ck, 0)
+    # the "crashed run" already wrote this batch's own signatures as its
+    # tagged epoch 0
     minhash_signatures(
         spark.createDataFrame(batch, doc_schema), "doc_id", "text", 3, 16
-    ).write.parquet(f"{index_path}/epoch=0")
+    ).write.parquet(f"{index_path}/epoch={tag}-0")
 
     pairs_path = str(tmp_path / "pairs")
     q = neardup_stream(
         spark.readStream.schema(doc_schema).parquet(src),
         index_path,
         pairs_path,
-        checkpoint_dir=str(tmp_path / "ck"),  # fresh -> replays as epoch 0
+        checkpoint_dir=ck,  # same checkpoint -> same tag -> replays epoch 0
     )
     q.awaitTermination(180)
 
@@ -596,11 +604,16 @@ def test_semantic_dedup_stream_replay_excludes_own_epoch(spark, tmp_path):
     ).parquet(src)
 
     index_path = str(tmp_path / "sem_index")
-    # simulate the crash leftovers: epoch=0 already holds batch 0's rows
+    ck = str(tmp_path / "ck")
+    from dockerized_data_pipeline_spark.streaming.ingest import _epoch_dirs_and_tag
+
+    _, tag = _epoch_dirs_and_tag(index_path, ck, 0)
+    # simulate the crash leftovers: this run's epoch 0 already holds
+    # batch 0's rows
     unit_assigned(
         spark.createDataFrame(batch_rows, schema), cents
     ).write.partitionBy("cluster_id").mode("overwrite").parquet(
-        f"{index_path}/epoch=0"
+        f"{index_path}/epoch={tag}-0"
     )
 
     stream = spark.readStream.schema(schema).parquet(src)
@@ -610,10 +623,76 @@ def test_semantic_dedup_stream_replay_excludes_own_epoch(spark, tmp_path):
         cents,
         index_path,
         pairs_path,
-        checkpoint_dir=str(tmp_path / "ck"),
+        checkpoint_dir=ck,
         threshold=0.95,
     )
     q.awaitTermination(180)
 
     rows = spark.read.parquet(pairs_path).collect()
     assert [(r.id_a, r.id_b, r.origin) for r in rows] == [(11, 12, "batch")]
+
+
+def test_semantic_dedup_stream_fresh_checkpoint_keeps_prior_run_as_corpus(
+    spark, tmp_path
+):
+    """Deliberate restart with a NEW checkpoint (the documented codebook-
+    rotation path): micro-batch numbering restarts at 0, but the previous
+    run's epochs must stay corpus -- neither shadowed (pairs against them
+    still emit) nor overwritten (their index rows survive)."""
+    import math
+
+    from dockerized_data_pipeline_spark.streaming.ingest import (
+        semantic_dedup_stream,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    cents = [vec(0), vec(3), vec(6)]
+    schema = "vec_id long, embedding array<double>"
+    index_path = str(tmp_path / "sem_index")
+    pairs_path = str(tmp_path / "sem_pairs")
+
+    # run 1: indexes vectors 0 and 20
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame([(0, vec(0)), (20, vec(6))], schema).coalesce(
+        1
+    ).write.parquet(src1)
+    q1 = semantic_dedup_stream(
+        spark.readStream.schema(schema).parquet(src1),
+        cents,
+        index_path,
+        pairs_path,
+        checkpoint_dir=str(tmp_path / "ck1"),
+        threshold=0.95,
+    )
+    q1.awaitTermination(180)
+
+    # run 2: FRESH checkpoint, batch numbering restarts at 0
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(100, vec(0, 0.01))], schema).coalesce(
+        1
+    ).write.parquet(src2)
+    q2 = semantic_dedup_stream(
+        spark.readStream.schema(schema).parquet(src2),
+        cents,
+        index_path,
+        pairs_path,
+        checkpoint_dir=str(tmp_path / "ck2"),
+        threshold=0.95,
+    )
+    q2.awaitTermination(180)
+
+    got = {
+        (r.id_a, r.id_b): r.origin
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    # the cross-RUN near-dup pair is found, tagged corpus
+    assert got.get((0, 100)) == "corpus"
+    # run 1's index rows survived run 2's epoch-0 write
+    index_ids = {r.vec_id for r in spark.read.parquet(index_path).collect()}
+    assert index_ids == {0, 20, 100}
