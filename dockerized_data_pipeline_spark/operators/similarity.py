@@ -324,21 +324,13 @@ def semantic_dedup_pairs(
     (oversized) clusters are the skew risk -- raise k, or route clusters
     above a size cap through lsh_neardup_pairs instead of the exact scan.
     """
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import dot
 
-    # materialize the norm as its own column first: referencing norm(vec)
-    # inside the transform lambda would re-evaluate the O(dim) fold per
-    # ELEMENT (O(dim^2) per row)
-    assigned = (
-        ivf_assignments(df, centroids, id_col, vec_col)
-        .withColumn("__n", norm(F.col(vec_col)))
-        .select(
-            F.col(id_col),
-            F.col("cluster_id"),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("__n")
-            ).alias("u"),
-        )
+    # localCheckpoint: the assignment+normalization subtree (O(n x k x
+    # dim) argmin per row) feeds BOTH sides of the self-join below, and
+    # Spark computes an un-materialized subtree once per reference
+    assigned = unit_assigned(df, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
     )
     a = assigned.select(
         F.col("cluster_id").alias("ca"), F.col(id_col).alias("id_a"), F.col("u").alias("ua")
