@@ -3,12 +3,19 @@
 UDFs over ``mapInPandas``.
 
 The Spark-side plumbing -- schema, partitioning, UDF signatures, batch
-iteration, row-multiplying frame sampling -- is real and tested. The actual
-codec step is STUBBED: this container has no image/audio libraries, so
-``decode`` tries PIL behind an import-guard and otherwise falls back to a
-deterministic fake derived from blob length/bytes. Swapping in a real
-decoder changes only the inner per-batch function; the distributed shape
-(no shuffle, scan-speed parallelism, Arrow transfer) is identical.
+iteration, row-multiplying frame sampling -- is real and tested. Codecs:
+
+- REAL, stdlib-only, oracle-checked end-to-end: WAV/PCM16 audio (``wave``),
+  netpbm P5/PGM images (incl. nearest-neighbor resize), PNG 8-bit grayscale
+  (``zlib``: CRC-verified chunks, inflate, all five scanline filters), and
+  YUV4MPEG2 video (stream header, FRAME markers, planar C420, strided
+  keyframe sampling).
+- STUBBED (this container has no imaging libraries): the generic
+  ``decode_media`` path tries PIL behind an import-guard and otherwise
+  falls back to a deterministic fake derived from blob length -- swapping
+  in a real decoder changes only the inner per-batch function; the
+  distributed shape (no shuffle, scan-speed parallelism, Arrow transfer)
+  is identical, as the real codecs above demonstrate.
 """
 
 from __future__ import annotations
@@ -686,3 +693,212 @@ def sample_y4m_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=Y4M_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image codec: PNG (8-bit grayscale) -- the stdlib ships
+# zlib, so PNG needs no external imaging library: chunk walking with CRC32
+# verification, IHDR parsing, IDAT inflate, and all five scanline filters
+# (None/Sub/Up/Average/Paeth) unfiltered per the spec. The synthesizer
+# cycles the filter type per row, so a decoder that skips real unfiltering
+# cannot round-trip. Pixels remain deterministic integer functions of
+# (media_id, y, x) -> DuckDB re-derives every stat arithmetically.
+# ---------------------------------------------------------------------------
+
+PNG_DECODED_SCHEMA = (
+    "media_id long, width int, height int, bit_depth int,"
+    " n_pixels long, pixel_sum long, pixel_max int"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(media_id: int) -> tuple[int, int]:
+    return 9 + media_id % 8, 9 + (media_id * 5) % 8  # (width, height)
+
+
+def _png_pixels(media_id: int):
+    import numpy as np
+
+    w, h = _png_dims(media_id)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    return ((media_id * 31 + y * 17 + x * 7) % 256).astype(np.uint8)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(media_id: int) -> bytes:
+    """Write a real 8-bit grayscale PNG, cycling the scanline filter type
+    per row (y % 5) so decoding requires genuine unfiltering."""
+    import struct
+    import zlib
+
+    px = _png_pixels(media_id)
+    h, w = px.shape
+    raw = bytearray()
+    prior = bytes(w)
+    for y in range(h):
+        row = bytes(px[y])
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(w):
+            left = row[x - 1] if x > 0 else 0
+            up = prior[x]
+            upleft = prior[x - 1] if x > 0 else 0
+            if ftype == 0:
+                out = row[x]
+            elif ftype == 1:
+                out = row[x] - left
+            elif ftype == 2:
+                out = row[x] - up
+            elif ftype == 3:
+                out = row[x] - (left + up) // 2
+            else:
+                out = row[x] - _paeth(left, up, upleft)
+            raw.append(out & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_parse(blob: bytes):
+    """Real PNG decode: signature, CRC-verified chunk walk, IHDR, IDAT
+    inflate, per-row unfilter (all five filter types). 8-bit grayscale
+    non-interlaced only -- everything this engine synthesizes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    i = len(_PNG_SIG)
+    w = h = depth = None
+    idat = bytearray()
+    n = len(blob)
+    while i < n:
+        if i + 8 > n:
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", blob[i : i + 4])
+        ctype = blob[i + 4 : i + 8]
+        data_end = i + 8 + length
+        if data_end + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        data = blob[i + 8 : data_end]
+        (crc,) = struct.unpack(">I", blob[data_end : data_end + 4])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i = data_end + 4
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    px = np.zeros((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = list(raw[pos : pos + w])
+        pos += w
+        out = [0] * w
+        for x in range(w):
+            left = out[x - 1] if x > 0 else 0
+            up = int(prior[x])
+            upleft = int(prior[x - 1]) if x > 0 else 0
+            if ftype == 0:
+                v = row[x]
+            elif ftype == 1:
+                v = row[x] + left
+            elif ftype == 2:
+                v = row[x] + up
+            elif ftype == 3:
+                v = row[x] + (left + up) // 2
+            elif ftype == 4:
+                v = row[x] + _paeth(left, up, upleft)
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out[x] = v & 0xFF
+        px[y] = out
+        prior = np.array(out, dtype=np.int64)
+    return w, h, 8, px
+
+
+def png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(ids) -> real PNG blobs, one per id (compressed-image sibling of
+    pgm_media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "image/png",
+                    "blob": [_png_encode(int(m)) for m in mids],
+                    "meta": [{"codec": "png-gray8"} for _ in mids],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: CRC-checked chunk walk, inflate,
+    unfilter, exact integer pixel stats. Arrow-batched mapInPandas."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "bit_depth",
+                "n_pixels", "pixel_sum", "pixel_max",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, depth, px = _png_parse(bytes(blob))
+                s = px.astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["n_pixels"].append(w * h)
+                out["pixel_sum"].append(int(s.sum()))
+                out["pixel_max"].append(int(s.max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)

@@ -342,3 +342,41 @@ def x4_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return sample_y4m_frames(y4m_media(docs), stride=2)
+
+
+@query(
+    "x4_png_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             9 + doc_id % 8 AS w,
+             9 + (doc_id * 5) % 8 AS h,
+             flatten(list_transform(
+               range(0, CAST(9 + (doc_id * 5) % 8 AS INTEGER)),
+               y -> list_transform(
+                 range(0, CAST(9 + doc_id % 8 AS INTEGER)),
+                 x -> (doc_id * 31 + y * 17 + x * 7) % 256))) AS p
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS bit_depth,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(p) AS BIGINT) AS pixel_sum,
+           CAST(list_max(p) AS INTEGER) AS pixel_max
+    FROM px
+    """,
+)
+def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image codec end-to-end: synthesize genuine PNG files
+    (zlib-deflated scanlines whose filter type CYCLES per row, CRC'd
+    chunks) and decode them back with a real chunk walk + inflate +
+    unfilter of all five PNG filter types -- no imaging library, stdlib
+    zlib only. The pixel grid is a deterministic integer function of
+    media_id, so the oracle re-derives every stat arithmetically: any
+    chunk/CRC/inflate/unfilter bug hash-fails. Upgrades the compressed-
+    image path from stubbed to real alongside WAV, PGM, and Y4M."""
+    from ..functions.multimodal import decode_png, png_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png(png_media(docs))

@@ -820,3 +820,31 @@ def test_pgm_parse_raises_on_truncated_input(spark):
     ):
         with _pytest.raises(ValueError):
             _pgm_parse(bad)
+
+
+def test_png_codec_roundtrip_and_integrity(spark):
+    """The PNG blobs are genuine (zlib-deflated, CRC'd chunks, per-row
+    filter types 0-4) and the parser does real container work: a flipped
+    payload byte breaks the CRC, truncation and bad magic raise, and all
+    five filters unfilter to the exact pixels."""
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _png_encode,
+        _png_parse,
+        _png_pixels,
+    )
+
+    # id 11 -> height >= 5: every filter type 0..4 appears at least once
+    blob = _png_encode(11)
+    w, h, depth, px = _png_parse(blob)
+    assert depth == 8 and (px == _png_pixels(11)).all()
+
+    with _pytest.raises(ValueError):
+        _png_parse(b"GIF89a" + blob[6:])
+    with _pytest.raises(ValueError):
+        _png_parse(blob[:20])
+    corrupted = bytearray(blob)
+    corrupted[-10] ^= 0xFF  # inside IEND/IDAT tail -> some chunk CRC breaks
+    with _pytest.raises(ValueError):
+        _png_parse(bytes(corrupted))
