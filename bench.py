@@ -58,6 +58,7 @@ HEADLINE = [
     "x4_wav_decode",
     "x4_pgm_decode",
     "x4_y4m_decode",
+    "x4_png_decode",
 ]
 
 

@@ -902,3 +902,49 @@ def decode_png(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (nearest-neighbor aHash): the image analog of
+# SimHash for near-duplicate IMAGE detection (the LAION-style dedup step).
+# Sampling + thresholding are exact integer arithmetic, so the 64-bit hash
+# is engine-portable and the whole hash is DuckDB-oracle-checkable --
+# unlike DCT pHash, whose float cosines cannot cross engines bit-exactly.
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "media_id long, hash_hi long, hash_lo long"
+
+
+def _ahash_bits(px) -> tuple[int, int]:
+    """64 sample points on a fixed 8x8 nearest-neighbor grid; bit = sample
+    strictly above the grid mean (s*64 > total keeps it integer-exact).
+    Returned as two 32-bit halves: bit 63 would overflow signed int64."""
+    h, w = px.shape
+    samples = [
+        int(px[(i * h) // 8][(j * w) // 8]) for i in range(8) for j in range(8)
+    ]
+    total = sum(samples)
+    bits = [1 if s * 64 > total else 0 for s in samples]
+    hi = sum(b << k for k, b in enumerate(bits[32:]))
+    lo = sum(b << k for k, b in enumerate(bits[:32]))
+    return hi, lo
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """PGM blobs -> perceptual hash halves via real pixel decode. Two
+    images whose CONTENT is near-identical (re-encode, light noise, small
+    crop) land at small hamming distance; banding the halves gives the
+    same bounded-cost near-dup join as SimHash text dedup."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "hash_hi": [], "hash_lo": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                _w, _h, _maxval, px = _pgm_parse(bytes(blob))
+                hi, lo = _ahash_bits(px)
+                out["media_id"].append(mid)
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

@@ -380,3 +380,48 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_png(png_media(docs))
+
+
+@query(
+    "x4_image_ahash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 3) % 9 AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             flatten(list_transform(range(0, 8), i ->
+               list_transform(range(0, 8), j ->
+                 (doc_id * 31 + ((i * h) // 8) * 17 + ((j * w) // 8) * 7)
+                 % 256))) AS sv
+      FROM d
+    ), t AS (
+      SELECT doc_id, sv, list_sum(sv) AS total FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(list_sum(list_transform(range(0, 32), k ->
+             CASE WHEN sv[CAST(k AS INTEGER) + 33] * 64 > total
+                  THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)
+             AS hash_hi,
+           CAST(list_sum(list_transform(range(0, 32), k ->
+             CASE WHEN sv[CAST(k AS INTEGER) + 1] * 64 > total
+                  THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)
+             AS hash_lo
+    FROM t
+    """,
+)
+def x4_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash over REAL decoded pixels: the image analog of
+    SimHash for near-duplicate IMAGE detection (the image-corpus dedup
+    step). Each genuine PGM file decodes and hashes to 64 bits via a fixed
+    8x8 nearest-neighbor sample grid thresholded at the grid mean -- exact
+    integer arithmetic end-to-end, so unlike DCT pHash the hash itself is
+    cross-engine oracle-checked (any decode OR hash bug fails). Pairing at
+    hamming <= k uses the same pigeonhole banding as SimHash text dedup
+    (locality + banding tested with planted noisy copies)."""
+    from ..functions.multimodal import image_ahash, pgm_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_ahash(pgm_media(docs))

@@ -848,3 +848,30 @@ def test_png_codec_roundtrip_and_integrity(spark):
     corrupted[-10] ^= 0xFF  # inside IEND/IDAT tail -> some chunk CRC breaks
     with _pytest.raises(ValueError):
         _png_parse(bytes(corrupted))
+
+
+def test_image_ahash_locality_on_planted_copies(spark):
+    """Perceptual-hash contract: a lightly-noised copy of an image hashes
+    within a few bits; a structurally different image lands far away."""
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import _ahash_bits
+
+    rng_free_gradient = np.add.outer(
+        np.arange(16, dtype=np.int64) * 8, np.arange(16, dtype=np.int64) * 4
+    ) % 256
+    base = rng_free_gradient.astype(np.uint8)
+    noisy = base.astype(np.int64)
+    noisy[3, 5] += 2
+    noisy[10, 2] -= 1  # tiny perturbations, same structure
+    inverted = (255 - base.astype(np.int64)).astype(np.uint8)
+
+    h0 = _ahash_bits(base)
+    h1 = _ahash_bits(np.clip(noisy, 0, 255).astype(np.uint8))
+    h2 = _ahash_bits(inverted)
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(h0, h1) <= 2
+    assert ham(h0, h2) >= 40  # inversion flips nearly every bit
