@@ -425,3 +425,43 @@ def x4_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return image_ahash(pgm_media(docs))
+
+
+@query(
+    "x4_audio_fingerprint",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+    ), e AS (
+      SELECT doc_id,
+        list_transform(range(0, 16), k ->
+          list_sum(list_transform(
+            range(CAST(k * n // 16 AS INTEGER),
+                  CAST((k + 1) * n // 16 AS INTEGER)),
+            i -> CAST(((doc_id * 31 + i * 7) % 256 - 128) * 256 AS BIGINT)
+                 * (((doc_id * 31 + i * 7) % 256 - 128) * 256)))) AS ek
+      FROM d
+    ), t AS (
+      SELECT doc_id, ek, list_sum(ek) AS total FROM e
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS n_windows,
+           CAST(list_sum(list_transform(range(0, 16), k ->
+             CASE WHEN ek[CAST(k AS INTEGER) + 1] * 16 > total
+                  THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)
+             AS fingerprint
+    FROM t
+    """,
+)
+def x4_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint over REAL decoded PCM: each genuine WAV
+    decodes (RIFF header + int16 frames) into a 16-bit windowed-energy
+    signature -- bit k set when window k's exact integer energy exceeds
+    the per-window average. The audio analog of x4_image_ahash, with the
+    same property: the fingerprint is pure integer arithmetic, so the
+    DuckDB oracle re-derives every bit and any decode OR windowing bug
+    hash-fails. Banding the bits gives the bounded near-dup join."""
+    from ..functions.multimodal import audio_fingerprint, wav_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_fingerprint(wav_media(docs))

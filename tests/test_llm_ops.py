@@ -875,3 +875,24 @@ def test_image_ahash_locality_on_planted_copies(spark):
 
     assert ham(h0, h1) <= 2
     assert ham(h0, h2) >= 40  # inversion flips nearly every bit
+
+
+def test_audio_fingerprint_locality(spark):
+    """Fingerprint contract: light noise preserves most bits; a different
+    waveform diverges."""
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _audio_fp_bits,
+        _wav_samples,
+    )
+
+    base = _wav_samples(7).astype(np.int64)
+    noisy = base + ((np.arange(len(base)) % 3) - 1)  # +-1 LSB dither
+    other = _wav_samples(123).astype(np.int64)
+
+    f0 = _audio_fp_bits(base)
+    f1 = _audio_fp_bits(noisy)
+    f2 = _audio_fp_bits(other)
+    assert bin(f0 ^ f1).count("1") <= 2
+    assert f0 != f2
