@@ -263,3 +263,49 @@ def test_logreg_partition_invariance_property(spark, vecs, parts):
     w1 = logreg_fit(df.repartition(1), ["x1", "x2"], "y", iterations=4)
     wp = logreg_fit(df.repartition(parts), ["x1", "x2"], "y", iterations=4)
     assert w1 == wp
+
+
+# --- codec parsers: arbitrary bytes must raise cleanly or parse -- never
+# hang or corrupt (the PGM header-scan hang was a real found bug)
+
+
+@given(blob=st.binary(min_size=0, max_size=400))
+@_SETTINGS
+def test_codec_parsers_never_hang_on_fuzz(spark, blob):
+    import struct
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _pgm_parse,
+        _png_parse,
+        _y4m_parse,
+    )
+
+    for parser in (_pgm_parse, _y4m_parse, _png_parse):
+        try:
+            parser(blob)
+        except (ValueError, struct.error, OverflowError, MemoryError):
+            pass  # clean rejection is the contract
+
+
+@given(blob=st.binary(min_size=0, max_size=200))
+@_SETTINGS
+def test_codec_parsers_reject_prefixed_garbage(spark, blob):
+    """Valid magic + garbage body: still a clean ValueError, never a hang."""
+    import struct
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _PNG_SIG,
+        _pgm_parse,
+        _png_parse,
+        _y4m_parse,
+    )
+
+    for parser, magic in (
+        (_pgm_parse, b"P5\n"),
+        (_y4m_parse, b"YUV4MPEG2 "),
+        (_png_parse, _PNG_SIG),
+    ):
+        try:
+            parser(magic + blob)
+        except (ValueError, struct.error, OverflowError, MemoryError):
+            pass
