@@ -465,3 +465,115 @@ def x4_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return audio_fingerprint(wav_media(docs))
+
+
+@query(
+    "x7_multimodal_dedup_census",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 3) % 9 AS h
+      FROM documents
+    ), img_s AS (
+      SELECT doc_id,
+             flatten(list_transform(range(0, 8), i ->
+               list_transform(range(0, 8), j ->
+                 (doc_id * 31 + ((i * h) // 8) * 17 + ((j * w) // 8) * 7)
+                 % 256))) AS sv
+      FROM img
+    ), img_sig AS (
+      SELECT 'image' AS kind, doc_id,
+             CAST(list_sum(list_transform(range(0, 32), k ->
+               CASE WHEN sv[CAST(k AS INTEGER) + 33] * 64 > list_sum(sv)
+                    THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS VARCHAR)
+             || ':' ||
+             CAST(list_sum(list_transform(range(0, 32), k ->
+               CASE WHEN sv[CAST(k AS INTEGER) + 1] * 64 > list_sum(sv)
+                    THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS VARCHAR)
+               AS sig
+      FROM img_s
+    ), aud AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+    ), aud_e AS (
+      SELECT doc_id,
+        list_transform(range(0, 16), k ->
+          list_sum(list_transform(
+            range(CAST(k * n // 16 AS INTEGER),
+                  CAST((k + 1) * n // 16 AS INTEGER)),
+            i -> CAST(((doc_id * 31 + i * 7) % 256 - 128) * 256 AS BIGINT)
+                 * (((doc_id * 31 + i * 7) % 256 - 128) * 256)))) AS ek
+      FROM aud
+    ), aud_sig AS (
+      SELECT 'audio' AS kind, doc_id,
+             CAST(list_sum(list_transform(range(0, 16), k ->
+               CASE WHEN ek[CAST(k AS INTEGER) + 1] * 16 > list_sum(ek)
+                    THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS VARCHAR)
+               AS sig
+      FROM aud_e
+    ), txt_sig AS (
+      SELECT 'text' AS kind, doc_id,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   t -> CAST(LENGTH(t) * 17 + ascii(t[1:1]) AS BIGINT))),
+               (acc, v) -> (acc * 31 + v) % 1000000007) AS VARCHAR) AS sig
+      FROM documents
+    ), allsig AS (
+      SELECT kind, doc_id, sig FROM img_sig
+      UNION ALL SELECT kind, doc_id, sig FROM aud_sig
+      UNION ALL SELECT kind, doc_id, sig FROM txt_sig
+    ), groups AS (
+      SELECT kind, sig, COUNT(*) AS grp FROM allsig GROUP BY kind, sig
+    )
+    SELECT kind,
+           CAST(SUM(grp) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_signatures,
+           CAST(MAX(grp) AS BIGINT) AS max_group
+    FROM groups GROUP BY kind
+    """,
+)
+def x7_multimodal_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup census: ONE pipeline computes the modality-
+    appropriate content signature for every item -- perceptual aHash for
+    images, windowed-energy fingerprint for audio, rolling-hash
+    fingerprint for text, each over the REAL codec path -- and reports
+    per-modality collision structure (items, distinct signatures, largest
+    collision group). The triage step before collapsing a mixed 100 TB
+    media corpus; every signature is exact integer arithmetic, so the
+    whole census is DuckDB-oracle-checked end-to-end."""
+    from ..functions import text as TX
+    from ..functions.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+        pgm_media,
+        wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    img = image_ahash(pgm_media(ids)).select(
+        F.lit("image").alias("kind"),
+        F.concat_ws(
+            ":", F.col("hash_hi").cast("string"), F.col("hash_lo").cast("string")
+        ).alias("sig"),
+    )
+    aud = audio_fingerprint(wav_media(ids)).select(
+        F.lit("audio").alias("kind"),
+        F.col("fingerprint").cast("string").alias("sig"),
+    )
+    txt = docs.select(
+        F.lit("text").alias("kind"),
+        TX.doc_fingerprint(F.col("text")).cast("string").alias("sig"),
+    )
+    groups = (
+        img.unionByName(aud)
+        .unionByName(txt)
+        .groupBy("kind", "sig")
+        .agg(F.count("*").alias("grp"))
+    )
+    return groups.groupBy("kind").agg(
+        F.sum("grp").cast("bigint").alias("n_items"),
+        F.count("*").cast("bigint").alias("n_signatures"),
+        F.max("grp").cast("bigint").alias("max_group"),
+    )
