@@ -1002,3 +1002,29 @@ def audio_fingerprint(media: DataFrame, n_windows: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+Y4M_MOTION_SCHEMA = "media_id long, frame_idx int, luma_delta long"
+
+
+def y4m_frame_motion(media: DataFrame) -> DataFrame:
+    """Per-frame motion energy over REAL decoded video: exact integer sum
+    of |Y_t - Y_{t-1}| across the luma plane for every frame after the
+    first -- the scene-cut / static-segment signal a video curation
+    pipeline thresholds on (row-multiplying mapInPandas)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "luma_delta": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                _w, _h, frames = _y4m_parse(bytes(blob))
+                for t in range(1, len(frames)):
+                    prev = frames[t - 1][0].astype(np.int64)
+                    cur = frames[t][0].astype(np.int64)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(t)
+                    out["luma_delta"].append(int(np.abs(cur - prev).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=Y4M_MOTION_SCHEMA)

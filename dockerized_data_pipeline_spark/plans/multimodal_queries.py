@@ -577,3 +577,40 @@ def x7_multimodal_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_signatures"),
         F.max("grp").cast("bigint").alias("max_group"),
     )
+
+
+@query(
+    "x4_video_motion",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             2 * (2 + doc_id % 4) AS w,
+             2 * (2 + (doc_id * 3) % 4) AS h,
+             3 + doc_id % 6 AS n
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w, h,
+             UNNEST(range(1, CAST(n AS INTEGER))) AS t
+      FROM d)
+    SELECT doc_id AS media_id,
+           CAST(t AS INTEGER) AS frame_idx,
+           CAST(list_sum(flatten(list_transform(range(0, CAST(h AS INTEGER)),
+             y -> list_transform(range(0, CAST(w AS INTEGER)),
+               x -> abs((doc_id * 31 + t * 13 + y * 17 + x * 7) % 256
+                        - (doc_id * 31 + (t - 1) * 13 + y * 17 + x * 7)
+                          % 256)))))
+             AS BIGINT) AS luma_delta
+    FROM t
+    """,
+)
+def x4_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-energy analysis over REAL decoded video: for every frame
+    after the first, the exact integer sum of |Y_t - Y_{t-1}| over the
+    luma plane -- the scene-cut / static-clip signal a video training
+    pipeline filters on. Decodes genuine .y4m containers frame by frame;
+    the oracle re-derives each delta arithmetically, so any frame-offset
+    or plane-order bug hash-fails."""
+    from ..functions.multimodal import y4m_frame_motion, y4m_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return y4m_frame_motion(y4m_media(docs))
