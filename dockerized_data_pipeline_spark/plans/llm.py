@@ -2768,3 +2768,85 @@ def x7_corpus_prep_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+_UPSAMPLE_W = {"src0": (2, 128), "src1": (0, 128), "src2": (3, 0)}  # (whole, frac/256)
+
+
+@query(
+    "x8_epoch_upsample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                         WHEN 'src2' THEN 3 ELSE 1 END AS whole,
+             CASE source WHEN 'src0' THEN 128 WHEN 'src1' THEN 128
+                         WHEN 'src2' THEN 0 ELSE 0 END AS frac256,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+               AS bucket
+      FROM documents
+    ), c AS (
+      SELECT source,
+             whole + CASE WHEN bucket < frac256 THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS total_copies,
+           CAST(SUM(CASE WHEN n_copies = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM c GROUP BY source
+    """,
+)
+def x8_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling / source re-weighting: a mixing recipe assigns each
+    source an epoch weight (src0 2.5x, src1 0.5x, src2 3x, rest 1x) and
+    every document is replicated floor(w) times plus one more for a
+    deterministic md5-bucket fraction of documents -- the standard
+    pretraining mixing op for weights ABOVE 1 (complementing
+    x8_mixture_sample_summary's keep-rates below 1). The engine-side
+    operator is sequence+explode per doc (row multiplication, no shuffle);
+    this census reports per-source doc counts, total emitted copies, and
+    drops. Deterministic: the fractional copy keys on md5(doc_id) hex
+    chars 3-4, stable under re-runs and corpus growth."""
+    d = load_table(spark, sf_dir, "documents")
+    whole = F.lit(1)
+    frac = F.lit(0)
+    for src, (wh, fr) in _UPSAMPLE_W.items():
+        whole = F.when(F.col("source") == src, F.lit(wh)).otherwise(whole)
+        frac = F.when(F.col("source") == src, F.lit(fr)).otherwise(frac)
+    hexv = "0123456789abcdef"
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        (F.instr(F.lit(hexv), F.substring(h, 3, 1)) - 1) * 16
+        + (F.instr(F.lit(hexv), F.substring(h, 4, 1)) - 1)
+    )
+    n_copies = whole + F.when(bucket < frac, 1).otherwise(0)
+    # the real operator: one output row per copy, engine-side explode.
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] rather than being empty,
+    # so 0-copy docs must map to an explicit empty array or they would
+    # emit two phantom copies each. The census counts the ACTUAL exploded
+    # rows, so the explode itself is what the oracle verifies.
+    copy_seq = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    copies = d.select("source", F.explode(copy_seq).alias("copy"))
+    emitted = copies.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total_copies")
+    )
+    per_doc = d.select("source", n_copies.alias("n_copies"))
+    stats = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_copies") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+    return stats.join(emitted, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("total_copies", F.lit(0)).cast("bigint").alias("total_copies"),
+        "n_dropped",
+    )
