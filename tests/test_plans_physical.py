@@ -295,3 +295,37 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     # and the pruning actually lands on the fact scan's partition filters
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("dynamicpruning" in l.lower() for l in pf)
+
+
+def test_bigram_lift_takeordered_and_broadcast(spark, sf_dir):
+    """Top-20 bigram selection must be distributed top-k, and the unigram
+    join sides must broadcast the tiny 20-row side -- never sort-merge."""
+    plan = _formatted_plan(spark, sf_dir, "x5_bigram_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantize_is_single_scan_no_shuffle(spark, sf_dir):
+    """Quantization is pure per-row expressions: zero exchanges."""
+    plan = _formatted_plan(spark, sf_dir, "x3_int8_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_window_partitions_by_user(spark, sf_dir):
+    """The trailing-hour RANGE frame keys on high-cardinality user_id --
+    one hash exchange for the window, nothing global."""
+    plan = _formatted_plan(spark, sf_dir, "window_range_1h_sum")
+    assert "hashpartitioning(user_id" in plan
+    # no empty-frame global window (single-partition sort)
+    assert "SinglePartition" not in plan
+
+
+def test_epoch_upsample_explode_no_shuffle_before_agg(spark, sf_dir):
+    """The copy explosion is engine-side row multiplication (Generate);
+    the only exchanges are the two census aggregations + their join."""
+    plan = _formatted_plan(spark, sf_dir, "x8_epoch_upsample")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "BatchEvalPython" not in plan
