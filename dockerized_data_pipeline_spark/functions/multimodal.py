@@ -825,8 +825,16 @@ def _png_parse(blob: bytes):
         i = data_end + 4
     if w is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
+    expected = h * (w + 1)
+    try:
+        # bounded inflate: a crafted tiny IDAT could otherwise expand to
+        # gigabytes before the size check; cap at expected + 1 so any
+        # over-long stream is detected without materializing it
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:  # corrupt-but-CRC-valid deflate payload
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) != expected or d.unconsumed_tail or not d.eof:
         raise ValueError("PNG scanline payload size mismatch")
     px = np.zeros((h, w), dtype=np.uint8)
     prior = np.zeros(w, dtype=np.int64)

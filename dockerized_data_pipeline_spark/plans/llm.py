@@ -1935,7 +1935,13 @@ def _fixture_cache(sf_dir: str, src_table: str, namespace: str, build_fn) -> str
     try:
         os.rename(staging, out)
     except OSError:
-        shutil.rmtree(staging, ignore_errors=True)  # a concurrent build won
+        # only a concurrent COMPLETE build excuses the failed rename --
+        # anything else (stale plain file at out, cross-device move)
+        # must surface, not silently discard the built artifact
+        if not os.path.exists(os.path.join(out, "_CACHE_DONE")):
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
     return out
 
 

@@ -62,10 +62,16 @@ def jdbc_partitioned_read(
     tasks, one connection per range.
     """
     ranges = split_ranges(lower, upper, num_partitions)
+    # exactly ONE range per Spark partition: parallelize with one element
+    # per slice. A hash repartition on range_id gives no such bijection --
+    # murmur3(id) mod N routinely collides two ranges into one task and
+    # leaves others empty, serializing the DB queries it promised to
+    # parallelize.
+    rows = [(i, r[0], r[1]) for i, r in enumerate(ranges)]
     range_df = spark.createDataFrame(
-        [(i, r[0], r[1]) for i, r in enumerate(ranges)],
+        spark.sparkContext.parallelize(rows, len(rows)),
         "range_id int, lo long, hi long",
-    ).repartition(len(ranges), "range_id")
+    )
     collist = ", ".join(columns)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -233,8 +233,16 @@ def _epoch_dirs_and_tag(
     crashed write; a DELIBERATE restart with a fresh checkpoint (e.g. to
     rotate the codebook) gets a new tag, so micro-batch numbering starting
     over at 0 neither shadows nor overwrites the previous run's epochs --
-    they remain corpus. Untagged legacy ``epoch=N`` dirs are treated as
-    another run's (always corpus)."""
+    they remain corpus.
+
+    Two safety rules on top: untagged legacy ``epoch=N`` dirs (written by
+    the pre-tag scheme, which numbered by batch id under ONE checkpoint)
+    are treated as THIS run's -- a crash-replay straight after upgrading
+    the library must still exclude its own crashed write. And every
+    OTHER-run dir must carry Spark's ``_SUCCESS`` marker to count as
+    corpus: within one run, sequential foreachBatch guarantees prior
+    epochs completed, but a previous run may have died mid-write and its
+    partial parquet must not poison every future batch."""
     import hashlib
     import os
 
@@ -245,13 +253,18 @@ def _epoch_dirs_and_tag(
             if not e.startswith("epoch="):
                 continue
             val = e.split("=", 1)[1]
-            run_tag, _, num = val.rpartition("-")
+            run_tag, sep, num = val.rpartition("-")
             try:
                 n = int(num)
             except ValueError:
-                run_tag, n = "", -1
-            if run_tag != tag or n < epoch_id:
-                prior.append(os.path.join(index_path, e))
+                n = None
+            same_run = n is not None and (run_tag == tag or sep == "")
+            full = os.path.join(index_path, e)
+            if same_run:
+                if n < epoch_id:
+                    prior.append(full)
+            elif os.path.exists(os.path.join(full, "_SUCCESS")):
+                prior.append(full)
     return prior, tag
 
 

@@ -696,3 +696,87 @@ def test_semantic_dedup_stream_fresh_checkpoint_keeps_prior_run_as_corpus(
     # run 1's index rows survived run 2's epoch-0 write
     index_ids = {r.vec_id for r in spark.read.parquet(index_path).collect()}
     assert index_ids == {0, 20, 100}
+
+
+def test_neardup_stream_legacy_untagged_epoch_treated_as_own(spark, tmp_path):
+    """Upgrade continuity: a pre-tag-scheme run crashed after writing the
+    untagged epoch=0; replaying batch 0 with the SAME checkpoint under
+    the tagged scheme must still exclude that write (legacy dirs belong
+    to this stream), or every in-batch pair duplicates."""
+    from dockerized_data_pipeline_spark.operators.dedup import minhash_signatures
+    from dockerized_data_pipeline_spark.streaming.ingest import neardup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "the bird fly over the green field near the old barn"
+    )
+    batch = [(11, base + " extra tail alpha"), (12, base + " extra tail omega")]
+    doc_schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(batch, doc_schema).coalesce(1).write.parquet(src)
+
+    index_path = str(tmp_path / "sig_index")
+    minhash_signatures(
+        spark.createDataFrame(batch, doc_schema), "doc_id", "text", 3, 16
+    ).write.parquet(f"{index_path}/epoch=0")  # legacy untagged crash leftover
+
+    pairs_path = str(tmp_path / "pairs")
+    q = neardup_stream(
+        spark.readStream.schema(doc_schema).parquet(src),
+        index_path,
+        pairs_path,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(pairs_path).collect()
+    assert [(r.doc_a, r.doc_b, r.pair_type) for r in rows] == [
+        (11, 12, "batch_batch")
+    ]
+
+
+def test_semantic_stream_ignores_incomplete_foreign_epoch(spark, tmp_path):
+    """A previous run that died mid-write leaves a foreign-tagged epoch
+    dir without _SUCCESS; it must never count as corpus (partial parquet
+    would poison every future batch)."""
+    import math
+    import os
+
+    from dockerized_data_pipeline_spark.streaming.ingest import (
+        semantic_dedup_stream,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    cents = [vec(0), vec(3), vec(6)]
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(11, vec(0, 0.01)), (12, vec(0, 0.02))], schema).coalesce(
+        1
+    ).write.parquet(src)
+
+    index_path = str(tmp_path / "sem_index")
+    # foreign crashed epoch: right layout, junk payload, NO _SUCCESS
+    junk = os.path.join(index_path, "epoch=deadbeef-3", "cluster_id=0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+
+    pairs_path = str(tmp_path / "pairs")
+    q = semantic_dedup_stream(
+        spark.readStream.schema(schema).parquet(src),
+        cents,
+        index_path,
+        pairs_path,
+        checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.95,
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(pairs_path).collect()
+    # the stream ran (did not choke on the corrupt dir) and found only
+    # the in-batch pair
+    assert [(r.id_a, r.id_b, r.origin) for r in rows] == [(11, 12, "batch")]
