@@ -818,6 +818,12 @@ def _png_parse(blob: bytes):
             )
             if depth != 8 or color != 0 or interlace != 0:
                 raise ValueError("unsupported PNG variant")
+            # IHDR dims are attacker-controlled and size the inflate cap
+            # below: without this guard a ~200-byte blob declaring
+            # 50000x50000 forces a multi-GB allocation (zeros compress
+            # ~1000:1) plus a 2.5e9-iteration unfilter loop
+            if w * h > 16_777_216:
+                raise ValueError(f"PNG dimensions too large: {w}x{h}")
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":

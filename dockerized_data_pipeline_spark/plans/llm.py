@@ -1938,10 +1938,9 @@ def _fixture_cache(sf_dir: str, src_table: str, namespace: str, build_fn) -> str
         # only a concurrent COMPLETE build excuses the failed rename --
         # anything else (stale plain file at out, cross-device move)
         # must surface, not silently discard the built artifact
-        if not os.path.exists(os.path.join(out, "_CACHE_DONE")):
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
         shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(os.path.join(out, "_CACHE_DONE")):
+            raise
     return out
 
 

@@ -235,14 +235,21 @@ def _epoch_dirs_and_tag(
     over at 0 neither shadows nor overwrites the previous run's epochs --
     they remain corpus.
 
-    Two safety rules on top: untagged legacy ``epoch=N`` dirs (written by
-    the pre-tag scheme, which numbered by batch id under ONE checkpoint)
-    are treated as THIS run's -- a crash-replay straight after upgrading
-    the library must still exclude its own crashed write. And every
-    OTHER-run dir must carry Spark's ``_SUCCESS`` marker to count as
-    corpus: within one run, sequential foreachBatch guarantees prior
-    epochs completed, but a previous run may have died mid-write and its
-    partial parquet must not poison every future batch."""
+    Two safety rules on top. First, EVERY corpus dir must carry Spark's
+    ``_SUCCESS`` marker: completed batches always have it (written last),
+    while a run that died mid-write leaves partial parquet that must not
+    poison future batches. Second, untagged legacy ``epoch=N`` dirs
+    (written by the pre-tag scheme, which numbered by batch id under ONE
+    checkpoint) are interpreted under that old contract -- as THIS
+    stream's -- so a crash-replay straight after upgrading the library
+    still excludes its own crashed write. The cost of that safe default:
+    a FRESH-checkpoint restart cannot tell a completed legacy index from
+    its own history and will not treat legacy epochs >= its batch id as
+    corpus; to migrate a legacy index into a new run's corpus, rename its
+    dirs to a foreign tag first (``epoch=N`` -> ``epoch=legacy0-N``) --
+    misclassifying old corpus as own only loses some dedup coverage,
+    while the opposite direction (own crashed write as corpus) silently
+    duplicates every pair, so the default errs this way."""
     import hashlib
     import os
 
@@ -252,6 +259,9 @@ def _epoch_dirs_and_tag(
         for e in os.listdir(index_path):
             if not e.startswith("epoch="):
                 continue
+            full = os.path.join(index_path, e)
+            if not os.path.exists(os.path.join(full, "_SUCCESS")):
+                continue  # crashed partial write: never corpus
             val = e.split("=", 1)[1]
             run_tag, sep, num = val.rpartition("-")
             try:
@@ -259,11 +269,7 @@ def _epoch_dirs_and_tag(
             except ValueError:
                 n = None
             same_run = n is not None and (run_tag == tag or sep == "")
-            full = os.path.join(index_path, e)
-            if same_run:
-                if n < epoch_id:
-                    prior.append(full)
-            elif os.path.exists(os.path.join(full, "_SUCCESS")):
+            if not same_run or n < epoch_id:
                 prior.append(full)
     return prior, tag
 

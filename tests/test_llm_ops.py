@@ -896,3 +896,39 @@ def test_audio_fingerprint_locality(spark):
     f2 = _audio_fp_bits(other)
     assert bin(f0 ^ f1).count("1") <= 2
     assert f0 != f2
+
+
+def test_png_rejects_dimension_bombs(spark):
+    """A tiny CRC-valid blob declaring huge IHDR dims must be rejected
+    BEFORE the inflate sizes itself off attacker-controlled w*h."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_parse,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 0, 0, 0, 0)
+    bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="too large"):
+        _png_parse(bomb)
+
+    # corrupt-but-CRC-valid deflate payload -> clean ValueError, not zlib.error
+    small = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", small)
+        + _png_chunk(b"IDAT", b"not deflate data")
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="inflate"):
+        _png_parse(bad)
