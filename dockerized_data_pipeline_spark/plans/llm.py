@@ -2855,3 +2855,55 @@ def x8_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_copies", F.lit(0)).cast("bigint").alias("total_copies"),
         "n_dropped",
     )
+
+
+@query(
+    "x5_vocab_growth",
+    oracle="""
+    WITH tk AS (
+      SELECT (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) // 2
+               AS decile,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), first_seen AS (
+      SELECT tok, MIN(decile) AS d FROM tk GROUP BY tok
+    ), per AS (
+      SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d
+    )
+    SELECT CAST(d AS INTEGER) AS decile,
+           CAST(n_new AS BIGINT) AS n_new_tokens,
+           CAST(SUM(n_new) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM per
+    """,
+)
+def x5_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: the corpus splits into 8
+    deterministic md5 slices and each token attributes to the slice where
+    it FIRST appears, giving new-token counts and cumulative vocabulary
+    per slice -- the curve that says whether more data still buys new
+    vocabulary (tokenizer sizing / dedup health). One explode + one
+    min-aggregate; the cumulative sum windows over 8 rows, so nothing
+    global touches row-scale data. Stable under re-runs and growth: slice
+    assignment is content-addressed, not positional."""
+    from pyspark.sql import Window
+
+    hexv = "0123456789abcdef"
+    decile = F.floor(
+        (F.instr(F.lit(hexv), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1)
+        / F.lit(2)
+    ).cast("int")
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .select(decile.alias("decile"), F.explode(F.split("text", " ")).alias("tok"))
+    )
+    first_seen = tk.groupBy("tok").agg(F.min("decile").alias("d"))
+    per = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per.select(
+        F.col("d").cast("int").alias("decile"),
+        F.col("n_new").cast("bigint").alias("n_new_tokens"),
+        F.sum("n_new").over(w).cast("bigint").alias("vocab_size"),
+    )

@@ -439,3 +439,37 @@ def t8_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         share2.alias("share2_ppm"),
         F.abs(share1 - share2).cast("bigint").alias("drift_ppm"),
     )
+
+
+@query(
+    "t8_pk_duplicate_audit",
+    oracle="""
+    WITH groups AS (
+      SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violated_keys,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_in_violation,
+           CAST(MAX(n) AS BIGINT) AS max_multiplicity
+    FROM groups
+    """,
+)
+def t8_pk_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit on the fact table's composite key
+    (orderkey, linenumber) -- the invariant check upstream of any keyed
+    MERGE: violated keys, rows involved, worst multiplicity. One hash
+    aggregate on the key (map-side combine) feeding a 4-value global
+    fold; the companion to t8_fk_audit's orphan counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    groups = li.groupBy("l_orderkey", "l_linenumber").agg(F.count("*").alias("n"))
+    return groups.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum((F.col("n") > 1).cast("int")).cast("bigint").alias("n_violated_keys"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_in_violation"),
+        F.max("n").cast("bigint").alias("max_multiplicity"),
+    )
