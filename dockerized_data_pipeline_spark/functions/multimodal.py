@@ -394,6 +394,11 @@ def _pgm_parse(blob: bytes):
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = fields
+    # only 8-bit P5 is supported: maxval > 255 means 2 bytes/sample big-endian
+    # (which this parser would silently misread as 8-bit), maxval <= 0 is
+    # malformed -- both must reject cleanly, like the PNG variant guard
+    if not 1 <= maxval <= 255:
+        raise ValueError(f"unsupported PGM maxval {maxval} (8-bit P5 only)")
     if n < i + w * h:
         raise ValueError("truncated PGM pixel payload")
     px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=i).reshape(h, w)

@@ -61,5 +61,20 @@ def append_join_view_epoch(delta: DataFrame, view_path: str, epoch: int) -> None
 
 
 def read_join_view(spark: SparkSession, view_path: str) -> DataFrame:
-    """The maintained view: all epochs, partition column dropped."""
-    return spark.read.parquet(view_path).drop("epoch")
+    """The maintained view: all COMPLETE epochs, partition column dropped.
+
+    Mirrors ``streaming.ingest._epoch_dirs_and_tag``'s completeness rule:
+    an epoch dir without Spark's ``_SUCCESS`` marker is a refresh that
+    crashed mid-write (its replay will overwrite it) -- reading its
+    partial parquet would poison or fail the view, so it is skipped."""
+    complete = [
+        os.path.join(view_path, e)
+        for e in sorted(os.listdir(view_path))
+        if e.startswith("epoch=")
+        and os.path.exists(os.path.join(view_path, e, "_SUCCESS"))
+    ]
+    if not complete:
+        raise FileNotFoundError(f"no complete epoch= dirs under {view_path}")
+    return (
+        spark.read.option("basePath", view_path).parquet(*complete).drop("epoch")
+    )

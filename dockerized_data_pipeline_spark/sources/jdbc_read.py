@@ -54,6 +54,7 @@ def jdbc_partitioned_read(
     upper: int,
     num_partitions: int,
     schema: str,
+    fetch_batch_rows: int = 10_000,
 ) -> DataFrame:
     """Read ``table`` in parallel: one bounded query per Spark partition.
 
@@ -87,12 +88,19 @@ def jdbc_partitioned_read(
                 try:
                     cur = conn.cursor()
                     cur.execute(f"SELECT {collist} FROM {table}{where}")
-                    rows = cur.fetchall()
+                    # stream the cursor in bounded chunks: a wide range must
+                    # never materialize its whole result in task memory (a
+                    # 100 TB-backfill partition can exceed executor RAM);
+                    # each chunk becomes its own Arrow batch downstream
+                    while True:
+                        chunk = cur.fetchmany(fetch_batch_rows)
+                        if not chunk:
+                            break
+                        yield pd.DataFrame(list(chunk), columns=columns)
                 finally:
                     try:
                         conn.close()
                     except Exception:
                         pass
-                yield pd.DataFrame(list(rows), columns=columns)
 
     return range_df.mapInPandas(fetch, schema=schema)

@@ -78,6 +78,42 @@ def test_delta_sides_are_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_partial_epoch_without_success_is_skipped(spark, tmp_path):
+    """Crash-safety (ADVICE r3): an epoch dir whose refresh died mid-write
+    (no _SUCCESS) must not poison the view read -- only complete epochs
+    are corpus, mirroring the streaming index rule."""
+    import os
+    import shutil
+
+    a_batches, b_batches = _batches(spark)
+    view = str(tmp_path / "view")
+    delta0 = join_view_delta(
+        a_batches[0].limit(0), a_batches[0], b_batches[0].limit(0), b_batches[0],
+        on=["k"],
+    )
+    append_join_view_epoch(delta0, view, 0)
+    complete = _rows(read_join_view(spark, view))
+
+    # simulate a refresh that crashed mid-write: epoch=1 exists with a
+    # parquet fragment but no _SUCCESS marker
+    crashed = os.path.join(view, "epoch=1")
+    os.makedirs(crashed)
+    src_part = next(
+        f for f in os.listdir(os.path.join(view, "epoch=0"))
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(view, "epoch=0", src_part),
+        os.path.join(crashed, src_part),
+    )
+    assert _rows(read_join_view(spark, view)) == complete
+
+    # no complete epoch at all -> loud failure, not an empty/partial view
+    shutil.rmtree(os.path.join(view, "epoch=0"))
+    with pytest.raises(FileNotFoundError):
+        read_join_view(spark, view)
+
+
 def test_outer_join_views_are_rejected(spark):
     a_batches, b_batches = _batches(spark)
     with pytest.raises(ValueError):

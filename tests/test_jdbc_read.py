@@ -73,6 +73,45 @@ def test_rows_outside_bound_hints_still_read(spark, db):
     assert df.count() == 100  # all rows, not just [40, 60)
 
 
+def test_cursor_streams_in_bounded_chunks(spark, db):
+    """Memory contract (ADVICE r3): the task streams the cursor via
+    fetchmany, never materializing a whole range at once -- with a chunk
+    size far below the range size the result is still exactly-once."""
+    df = jdbc_partitioned_read(
+        spark,
+        sqlite_connection_factory(db),
+        "prices",
+        ["id", "sym", "px"],
+        key_col="id",
+        lower=0,
+        upper=100,
+        num_partitions=2,
+        schema=SCHEMA,
+        fetch_batch_rows=7,  # 100 rows -> ~8 chunks per range
+    )
+    rows = sorted((r.id, r.sym, r.px) for r in df.collect())
+    assert rows == [(i, f"S{i % 5}", i / 4) for i in range(100)]
+
+
+def test_empty_range_yields_no_rows(spark, db):
+    """A range with no matching keys yields zero batches cleanly."""
+    with sqlite3.connect(db) as c:
+        c.execute("DELETE FROM prices WHERE id >= 50")
+        c.commit()
+    df = jdbc_partitioned_read(
+        spark,
+        sqlite_connection_factory(db),
+        "prices",
+        ["id", "sym", "px"],
+        key_col="id",
+        lower=0,
+        upper=100,
+        num_partitions=4,  # upper two ranges now empty
+        schema=SCHEMA,
+    )
+    assert df.count() == 50
+
+
 def test_single_partition_degenerate(spark, db):
     df = jdbc_partitioned_read(
         spark,

@@ -822,6 +822,24 @@ def test_pgm_parse_raises_on_truncated_input(spark):
             _pgm_parse(bad)
 
 
+def test_pgm_parse_rejects_non_8bit_maxval(spark):
+    """Only 8-bit P5 is supported (ADVICE r3): a 16-bit file
+    (maxval > 255 means 2 bytes/sample) or a malformed maxval <= 0 must
+    reject cleanly instead of silently decoding garbage as 8-bit."""
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import _pgm_parse
+
+    for maxval in (65535, 256, 0, -1):
+        blob = f"P5\n2 2\n{maxval}\n".encode() + bytes(8)
+        with _pytest.raises(ValueError, match="maxval"):
+            _pgm_parse(blob)
+    # boundary: maxval 255 and 1 still parse
+    for maxval in (255, 1):
+        w, h, mv, _ = _pgm_parse(f"P5\n2 2\n{maxval}\n".encode() + bytes(4))
+        assert (w, h, mv) == (2, 2, maxval)
+
+
 def test_png_codec_roundtrip_and_integrity(spark):
     """The PNG blobs are genuine (zlib-deflated, CRC'd chunks, per-row
     filter types 0-4) and the parser does real container work: a flipped

@@ -516,6 +516,42 @@ def test_neardup_stream_crash_replay_excludes_own_epoch(spark, tmp_path):
     ]
 
 
+def test_orphaned_future_epoch_raises(tmp_path):
+    """ADVICE r3: a same-tag epoch numbered AHEAD of the current batch can
+    only mean the checkpoint was reset in place while the index was kept
+    -- its rows would be silently skipped by corpus reads yet visible to
+    wholesale spark.read.parquet(index_path) consumers. Fail loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.streaming.ingest import _epoch_dirs_and_tag
+
+    index_path = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    _, tag = _epoch_dirs_and_tag(index_path, ck, 0)
+
+    def seed(name):
+        d = os.path.join(index_path, name)
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    # foreign-tag epoch 5: prior run's corpus, fine at any batch id
+    seed("epoch=other001-5")
+    prior, _ = _epoch_dirs_and_tag(index_path, ck, 0)
+    assert len(prior) == 1
+
+    # own-tag epoch 0 at batch 0: the normal crash-replay overwrite target
+    seed(f"epoch={tag}-0")
+    prior, _ = _epoch_dirs_and_tag(index_path, ck, 0)
+    assert all("epoch=other001-5" in p or f"{tag}-0" not in p for p in prior)
+
+    # own-tag epoch 5 at batch 0: orphaned future-numbered epoch -> loud
+    seed(f"epoch={tag}-5")
+    with _pytest.raises(RuntimeError, match="orphaned"):
+        _epoch_dirs_and_tag(index_path, ck, 0)
+
+
 def test_semantic_dedup_stream_builds_index_and_pairs(spark, tmp_path):
     """Streaming incremental SEMANTIC dedup: batch-2 vectors probe the
     assignment index from batch 1 (origin 'corpus') and each other
