@@ -59,6 +59,8 @@ HEADLINE = [
     "x4_pgm_decode",
     "x4_y4m_decode",
     "x4_png_decode",
+    # r4 addition: baseline JPEG (stdlib Huffman+dequant+IDCT decode)
+    "x4_jpeg_decode",
 ]
 
 

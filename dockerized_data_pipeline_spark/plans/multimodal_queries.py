@@ -614,3 +614,52 @@ def x4_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return y4m_frame_motion(y4m_media(docs))
+
+
+@query(
+    "x4_jpeg_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS mid,
+             16 + doc_id % 17 AS w,
+             16 + (doc_id * 5) % 17 AS h
+      FROM documents
+    ), px AS (
+      SELECT mid, w, h,
+             flatten(list_transform(range(0, CAST(h AS INTEGER)), y ->
+               list_transform(range(0, CAST(w AS INTEGER)), x ->
+                 (32 + (mid * 31 + (y // 8) * 17 + (x // 8) * 7) % 160)
+                 + (CASE WHEN (x % 4) IN (0, 3) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (y % 4) IN (0, 3) THEN 1 ELSE -1 END)
+                   * ((mid + 3 * (x // 8) + 5 * (y // 8)) % 17)))) AS p
+      FROM d)
+    SELECT mid AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum(p) AS BIGINT) AS pixel_sum,
+           CAST(list_min(p) AS INTEGER) AS pixel_min,
+           CAST(list_max(p) AS INTEGER) AS pixel_max,
+           CAST(list_sum(list_transform(range(0, CAST(w * h AS INTEGER)),
+             i -> p[CAST(i AS INTEGER) + 1] * (1 + i % 251))) AS BIGINT)
+             AS wsum
+    FROM px
+    """,
+)
+def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image codec end-to-end, stdlib-only: synthesize genuine
+    baseline JFIF streams (canonical-Huffman entropy coding with byte
+    stuffing, zigzag, DC prediction, quant table of 8s) and decode them
+    back with a full marker walk + Huffman decode + dequant + IDCT +
+    edge-block crop -- no imaging library. Each 8x8 block is a constant
+    level plus the (4,4) DCT basis (the only non-DC basis with rational
+    +-1/2 cosines), so quantization is exactly lossless BY CONSTRUCTION
+    and the oracle re-derives every pixel arithmetically: the
+    position-weighted checksum pins each pixel to its (x, y), so any
+    Huffman/marker/dequant/IDCT/crop bug hash-fails. Closes the last X4
+    modality gap (JPEG-class lossy formats; cf. decode_png for the
+    lossless sibling)."""
+    from ..functions.multimodal import decode_jpeg, jpeg_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg(jpeg_media(docs))

@@ -950,3 +950,113 @@ def test_png_rejects_dimension_bombs(spark):
     )
     with _pytest.raises(ValueError, match="inflate"):
         _png_parse(bad)
+
+
+def test_jpeg_codec_roundtrip_and_integrity(spark):
+    """The JPEG blobs are genuine baseline JFIF (canonical-Huffman entropy
+    coding, byte stuffing, zigzag, DC prediction) and the decoder does
+    real container work: exact pixel round-trip incl. non-multiple-of-8
+    crop, restart markers, clamp, and clean rejection of bad magic,
+    truncation, progressive SOF, 16-bit DQT, and oversized dims."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _jpeg_dims,
+        _jpeg_encode,
+        _jpeg_encode_blocks,
+        _jpeg_parse,
+        _jpeg_pixels,
+    )
+
+    # exact round-trip across ids covering every dims residue class
+    # (16..32 per side -- most are NOT multiples of 8, so edge-block
+    # cropping is on the hot path)
+    cropped = 0
+    for mid in range(0, 40):
+        blob = _jpeg_encode(mid)
+        w, h, px = _jpeg_parse(blob)
+        assert (w, h) == _jpeg_dims(mid)
+        if w % 8 or h % 8:
+            cropped += 1
+        assert np.array_equal(px, _jpeg_pixels(mid)), mid
+    assert cropped > 30  # crop genuinely exercised
+
+    # restart intervals: DRI+RSTn present, DC predictor resets, same pixels
+    blob_rst = _jpeg_encode(7, restart_interval=2)
+    assert b"\xff\xd0" in blob_rst  # RST0 emitted
+    _, _, px_rst = _jpeg_parse(blob_rst)
+    assert np.array_equal(px_rst, _jpeg_pixels(7))
+    # a wrong restart marker number must reject, not desync silently
+    bad_rst = blob_rst.replace(b"\xff\xd0", b"\xff\xd3", 1)
+    with _pytest.raises(ValueError):
+        _jpeg_parse(bad_rst)
+
+    # byte stuffing: this block pair's entropy bits produce a raw 0xFF,
+    # which the encoder must stuff (0xFF00) and the decoder must unstuff
+    blob_st = _jpeg_encode_blocks([[32, 156]], [[0, 0]], 16, 8)
+    assert b"\xff\x00" in blob_st.split(b"\xff\xda", 1)[1]
+    _, _, px_st = _jpeg_parse(blob_st)
+    assert np.array_equal(
+        px_st, np.repeat([[32, 156]], 8, axis=0).repeat(8, axis=1)[:8, :16]
+    )
+
+    # clamp path: a crafted out-of-gamut block saturates at 255
+    blob_hot = _jpeg_encode_blocks([[250]], [[16]], 8, 8)
+    _, _, px_hot = _jpeg_parse(blob_hot)
+    assert set(np.unique(px_hot)) == {234, 255}  # 250+16 clamped, 250-16 kept
+
+    # bad magic
+    with _pytest.raises(ValueError):
+        _jpeg_parse(b"\x89PNG" + bytes(64))
+
+    # truncation at every granularity raises, never spins
+    full = _jpeg_encode(3)
+    for cut in (2, 4, 10, 30, len(full) // 2, len(full) - 3):
+        with _pytest.raises(ValueError):
+            _jpeg_parse(full[:cut])
+
+    # progressive SOF2 rejects by name
+    prog = full.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="progressive"):
+        _jpeg_parse(prog)
+
+    # 16-bit quant tables (Pq=1) reject
+    import struct
+    qt_at = full.index(b"\xff\xdb") + 4
+    sixteen = full[:qt_at] + bytes([0x10]) + full[qt_at + 1 :]
+    with _pytest.raises(ValueError, match="16-bit"):
+        _jpeg_parse(sixteen)
+
+    # attacker-controlled dims cap (same posture as the PNG guard)
+    sof_at = full.index(b"\xff\xc0") + 5
+    huge = (
+        full[:sof_at]
+        + struct.pack(">HH", 50000, 50000)
+        + full[sof_at + 4 :]
+    )
+    with _pytest.raises(ValueError, match="dimensions"):
+        _jpeg_parse(huge)
+
+
+def test_jpeg_decode_query_plan_is_shuffle_free(spark, sf_dir):
+    """decode(jpeg_media(ids)) is two chained Arrow stages over the scan:
+    no exchange anywhere -- at 100 TB this is embarrassingly parallel."""
+    from dockerized_data_pipeline_spark.plans.multimodal_queries import (
+        x4_jpeg_decode,
+    )
+
+    df = x4_jpeg_decode(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r.media_id: r for r in df.collect()}
+    # spot-check one row against the arithmetic ground truth
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import _jpeg_pixels
+
+    mid = next(iter(rows))
+    want = _jpeg_pixels(mid).astype(np.int64)
+    got = rows[mid]
+    assert (got.width, got.height) == (want.shape[1], want.shape[0])
+    assert got.pixel_sum == int(want.sum())
