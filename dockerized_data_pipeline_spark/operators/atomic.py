@@ -20,20 +20,39 @@ NO table exists at target_path. Here instead:
     while upgrading a legacy real-directory table into the versioned
     protocol) by re-pointing the symlink at the newest complete version.
 
-Single-writer assumption: concurrent publishers to the same target_path
-are not coordinated (no lock file); run one maintenance/merge job per
-table, as with any file-based table format without a transaction log.
+Concurrency: ``publish_table`` is the uncoordinated last-write-wins
+path (single maintenance/merge job per table). For concurrent writers,
+``publish_table_cas`` adds optimistic concurrency -- a compare-and-swap
+on the current version at flip time, serialized by a short-lived commit
+lock (held only around the pointer check + flip + GC, never around data
+writes) -- and ``publish_table_transaction`` wraps it in the standard
+read-base / compute / CAS / retry-on-conflict loop, the same protocol a
+Delta/Iceberg transaction log gives read-modify-write committers.
 """
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable
 
 _SUCCESS = "_SUCCESS"
+# touched at flip time: distinguishes versions that were EVER current
+# (published history, GC'd by keep_versions) from staging dirs that never
+# made it live (protected by the GC grace window while in flight;
+# collected as crash debris once old). Dot-prefixed: ignored by
+# Spark/Hadoop listings like _SUCCESS.
+_PUBLISHED = "._ddp_published"
+
+
+class PublishConflict(RuntimeError):
+    """Another writer published between this writer's base read and its
+    commit attempt: the computed version would silently drop that
+    writer's changes, so the commit is refused."""
 
 
 def _version_glob(target_path: str) -> str:
@@ -73,10 +92,104 @@ def _is_complete(version_dir: str) -> bool:
 
 def _flip(target_path: str, version_dir: str) -> None:
     """Atomically point target_path at version_dir (relative symlink, so
-    the table tree stays relocatable)."""
+    the table tree stays relocatable). Marks the version as published
+    FIRST, so a version is never current without the marker."""
+    open(os.path.join(version_dir, _PUBLISHED), "a").close()
     tmp = f"{target_path}.flip-{uuid.uuid4().hex[:8]}"
     os.symlink(os.path.basename(version_dir), tmp)
     os.replace(tmp, target_path)
+
+
+def current_version(target_path: str) -> str | None:
+    """The version directory ``target_path`` currently resolves to, or
+    None if the table does not exist yet. For a legacy real-directory
+    table this is the directory itself (its pre-versioned identity)."""
+    if not os.path.exists(target_path):
+        return None
+    return os.path.abspath(os.path.realpath(target_path))
+
+
+@contextlib.contextmanager
+def _commit_lock(target_path: str, wait: float = 10.0, stale_after: float = 60.0):
+    """Short-lived mutual exclusion around the check+flip+GC critical
+    section (O_CREAT|O_EXCL lock file). The lock is held for
+    microseconds -- data writes happen OUTSIDE it -- so ``stale_after``
+    only matters if a process dies inside the critical section; an older
+    lock is presumed orphaned and broken."""
+    lock_path = f"{os.path.abspath(target_path)}.lock"
+    deadline = time.monotonic() + wait
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock_path)
+            except OSError:
+                continue  # released between the open and the stat: retry now
+            if age > stale_after:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock_path)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock {lock_path} held for {age:.1f}s; another "
+                    "publisher is mid-commit (or died inside the critical "
+                    f"section -- broken automatically after {stale_after}s)"
+                )
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock_path)
+
+
+def _version_age_seconds(version_dir: str, now: float) -> float:
+    """Age since the dir's creation stamp (name-embedded time_ns when
+    present, else mtime)."""
+    stamp = os.path.basename(version_dir).rsplit(".v-", 1)[-1].split("-", 1)[0]
+    if stamp.isdigit() and len(stamp) == 20:
+        return now - int(stamp) / 1e9
+    return now - os.path.getmtime(version_dir)
+
+
+def _gc_versions(
+    target_path: str,
+    keep_versions: int,
+    floor_key,
+    grace_seconds: float = 300.0,
+) -> None:
+    """Drop PUBLISHED versions beyond the ``keep_versions`` newest.
+
+    Two classes of dir are never collected: anything at least as new as
+    ``floor_key`` (a concurrent writer's staging dir carries a newer
+    creation stamp than the version just published), and any dir that
+    never carried the published marker and is younger than
+    ``grace_seconds`` (a concurrent writer's IN-FLIGHT staging -- e.g. a
+    WAP stage mid-audit -- whose stamp may still predate the floor).
+    Unpublished dirs older than the grace window are crashed-writer
+    debris and are collected."""
+    keep = set(list_versions(target_path)[: max(keep_versions, 1)])
+    now = time.time()
+    for d in glob.glob(_version_glob(target_path)):
+        if os.path.abspath(d) in keep:
+            continue
+        try:
+            if _version_order_key(d) >= floor_key:
+                continue  # in-flight or newer: never GC debris-from-the-future
+            if not os.path.exists(os.path.join(d, _PUBLISHED)) and (
+                _version_age_seconds(d, now) < grace_seconds
+            ):
+                continue  # possibly another writer's live staging
+        except OSError:
+            continue  # vanished mid-scan (another writer's GC)
+        shutil.rmtree(d, ignore_errors=True)
+    for leftover in glob.glob(glob.escape(target_path) + ".flip-*"):
+        with contextlib.suppress(OSError):
+            os.unlink(leftover)
 
 
 def publish_table(
@@ -105,39 +218,125 @@ def publish_table(
         # version is recoverable (non-Spark writers).
         open(os.path.join(new_version, _SUCCESS), "a").close()
 
-    if os.path.exists(target_path) and not os.path.islink(target_path):
-        # Legacy real-directory table: demote it to a version dir first.
-        # The window between this rename and the flip below is the one
-        # non-atomic step of the upgrade; recover_table() repairs it.
-        prev = _new_version_path(target_path)
-        os.rename(target_path, prev)
-        open(os.path.join(prev, _SUCCESS), "a").close()
-    _flip(target_path, new_version)
-
-    # GC: keep the newest keep_versions versions (current included),
-    # newest-first by mtime; drop the rest plus incomplete debris
-    # (single writer).
-    keep = set(list_versions(target_path)[: max(keep_versions, 1)])
-    for d in glob.glob(_version_glob(target_path)):
-        if os.path.abspath(d) not in keep:
-            shutil.rmtree(d, ignore_errors=True)
-    for leftover in glob.glob(glob.escape(target_path) + ".flip-*"):
-        try:
-            os.unlink(leftover)
-        except OSError:
-            pass
+    with _commit_lock(target_path):
+        if os.path.exists(target_path) and not os.path.islink(target_path):
+            # Legacy real-directory table: demote it to a version dir
+            # first. The window between this rename and the flip below is
+            # the one non-atomic step of the upgrade; recover_table()
+            # repairs it.
+            prev = _new_version_path(target_path)
+            os.rename(target_path, prev)
+            open(os.path.join(prev, _SUCCESS), "a").close()
+            open(os.path.join(prev, _PUBLISHED), "a").close()
+        _flip(target_path, new_version)
+        _gc_versions(
+            target_path, keep_versions, _version_order_key(new_version)
+        )
     return new_version
 
 
+def publish_table_cas(
+    target_path: str,
+    write_fn: Callable[[str], None],
+    expected_base: str | None,
+    keep_versions: int = 1,
+) -> str:
+    """:func:`publish_table` with optimistic concurrency: the flip
+    happens only if the table still points at ``expected_base`` (the
+    version this writer derived its data from; None = "table must not
+    exist yet"). Otherwise the staged version is discarded and
+    :class:`PublishConflict` raises -- no writer's publish is ever
+    silently last-write-won. The check+flip runs under the commit lock,
+    so two conflicting committers serialize and exactly one wins."""
+    new_version = _new_version_path(target_path)
+    write_fn(new_version)
+    if not _is_complete(new_version):
+        open(os.path.join(new_version, _SUCCESS), "a").close()
+
+    with _commit_lock(target_path):
+        cur = current_version(target_path)
+        expected = (
+            os.path.abspath(os.path.realpath(expected_base))
+            if expected_base is not None
+            else None
+        )
+        if cur != expected:
+            shutil.rmtree(new_version, ignore_errors=True)
+            raise PublishConflict(
+                f"{target_path}: current version is "
+                f"{os.path.basename(cur) if cur else None}, writer expected "
+                f"{os.path.basename(expected) if expected else None}"
+            )
+        if cur is not None and not os.path.islink(target_path):
+            prev = _new_version_path(target_path)
+            os.rename(target_path, prev)
+            open(os.path.join(prev, _SUCCESS), "a").close()
+            open(os.path.join(prev, _PUBLISHED), "a").close()
+        _flip(target_path, new_version)
+        _gc_versions(
+            target_path, keep_versions, _version_order_key(new_version)
+        )
+    return new_version
+
+
+def publish_table_transaction(
+    target_path: str,
+    compute_fn: Callable[[str | None, str], None],
+    keep_versions: int = 1,
+    max_retries: int = 5,
+) -> str:
+    """Read-modify-write with conflict retry: ``compute_fn(base_dir,
+    version_dir)`` derives the new table from the CURRENT version
+    (``base_dir`` is an immutable version directory, or None on first
+    publish) and writes it to ``version_dir``; the commit then CASes on
+    that base. On conflict the loop re-reads the fresh base and
+    recomputes -- the losing writer's work is redone on top of the
+    winner's, so no update is lost (the file-table analog of a
+    Delta/Iceberg commit-retry loop).
+
+    Retries also cover the race where the concurrent winner's GC removes
+    this writer's base files mid-compute (possible when ``keep_versions``
+    is small): a compute failure is re-raised only if the base is STILL
+    current -- if the base moved, the failure is treated as the conflict
+    it is. Raises :class:`PublishConflict` after ``max_retries`` losses.
+    """
+    last: PublishConflict | None = None
+    for _ in range(max_retries + 1):
+        base = current_version(target_path)
+        try:
+            return publish_table_cas(
+                target_path,
+                lambda d: compute_fn(base, d),
+                expected_base=base,
+                keep_versions=keep_versions,
+            )
+        except PublishConflict as exc:
+            last = exc
+            continue
+        except Exception:
+            if current_version(target_path) != base:
+                last = PublishConflict(
+                    f"{target_path}: base {base} disappeared mid-compute "
+                    "(concurrent publish + GC)"
+                )
+                continue
+            raise
+    raise PublishConflict(
+        f"{target_path}: lost {max_retries + 1} consecutive commit races"
+    ) from last
+
+
 def list_versions(target_path: str) -> list[str]:
-    """Complete version directories of ``target_path``, newest first.
-    The current version (the symlink's target) is always index 0; the
-    rest order by directory mtime. Incomplete versions (no ``_SUCCESS``)
-    are excluded -- they are crash debris, never readable history."""
+    """Complete PUBLISHED version directories of ``target_path``, newest
+    first. The current version (the symlink's target) is always index 0.
+    Incomplete versions (no ``_SUCCESS``) are excluded -- crash debris --
+    and so are never-published staging dirs (no published marker): a
+    concurrent writer's in-flight stage or a WAP stage mid-audit is not
+    readable history and must not shift time-travel indices."""
     complete = [
         os.path.abspath(d)
         for d in glob.glob(_version_glob(target_path))
-        if _is_complete(d)
+        if _is_complete(d) and os.path.exists(os.path.join(d, _PUBLISHED))
     ]
     current = (
         os.path.abspath(os.path.realpath(target_path))
@@ -180,6 +379,12 @@ def recover_table(target_path: str) -> str | None:
     complete = [d for d in glob.glob(_version_glob(target_path)) if _is_complete(d)]
     if not complete:
         return None
-    best = max(complete, key=_version_order_key)
+    # prefer versions that were actually live over never-published staging
+    # (e.g. a WAP stage whose audit never ran must not be promoted when a
+    # previously-current version exists)
+    published = [
+        d for d in complete if os.path.exists(os.path.join(d, _PUBLISHED))
+    ]
+    best = max(published or complete, key=_version_order_key)
     _flip(target_path, best)
     return best

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .atomic import publish_table
+from .atomic import publish_table_transaction
 
 _MATCH_MARKER = "__ddp_batch_present"
 _TARGET_MARKER = "__ddp_target_present"
@@ -165,23 +165,28 @@ def merge_upsert_path(
     ``target_path`` current-pointer symlink is flipped atomically
     (operators/atomic.py) -- readers see either the old or the new table
     at every instant, including across a crash at any step.
+
+    Concurrent MERGE writers are safe: the read-merge-write runs as a
+    ``publish_table_transaction`` (optimistic concurrency), so a writer
+    whose base version was superseded mid-merge re-merges its batch onto
+    the winner's table instead of silently dropping it -- the file-table
+    analog of the reference's single Postgres transaction per batch.
     """
     if batch_order_by:
         batch = dedup_keep_newest(batch, keys, batch_order_by)
 
-    if not os.path.exists(target_path):
-        merged = batch
-    else:
-        target = spark.read.parquet(target_path)
-        merged = merge_upsert(target, batch, keys, update_cols, preserve_cols)
-
-    def write(version_dir: str) -> None:
+    def compute(base_dir: str | None, version_dir: str) -> None:
+        if base_dir is None:
+            merged = batch
+        else:
+            target = spark.read.parquet(base_dir)
+            merged = merge_upsert(target, batch, keys, update_cols, preserve_cols)
         writer = merged.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(version_dir)
 
-    publish_table(target_path, write)
+    publish_table_transaction(target_path, compute)
 
 
 def apply_cdc(

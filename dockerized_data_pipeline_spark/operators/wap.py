@@ -25,7 +25,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .atomic import _is_complete, _new_version_path, _flip, _version_glob
+from .atomic import (
+    PublishConflict,
+    _PUBLISHED,
+    _commit_lock,
+    _flip,
+    _gc_versions,
+    _is_complete,
+    _new_version_path,
+    _version_order_key,
+    current_version,
+)
 
 AuditFn = Callable[[DataFrame], str | None]
 """Returns None when the audit passes, else a human-readable failure."""
@@ -112,8 +122,16 @@ def write_audit_publish(
     """Stage ``df`` as a new version of ``target_path``, run every audit
     against the staged files, then atomically publish. Raises AuditError
     (staging removed, live table untouched) if any audit fails. Returns
-    the published version dir."""
+    the published version dir.
+
+    Publication is CAS-guarded: the flip requires the table to still be
+    the version that was current when staging began, since the audits
+    (e.g. ``expect_max_change``) judged the staged data AGAINST that
+    version -- a concurrent publish would invalidate their verdict.
+    Raises :class:`~.atomic.PublishConflict` in that case (staging
+    removed; re-run the WAP cycle against the new current)."""
     write_fn = write_fn or (lambda d, path: d.write.parquet(path))
+    base = current_version(target_path)
     staged_dir = _new_version_path(target_path)
     write_fn(df, staged_dir)
     if not _is_complete(staged_dir):
@@ -125,14 +143,21 @@ def write_audit_publish(
         shutil.rmtree(staged_dir, ignore_errors=True)
         raise AuditError(failures)
 
-    if os.path.exists(target_path) and not os.path.islink(target_path):
-        prev = _new_version_path(target_path)
-        os.rename(target_path, prev)
-        open(os.path.join(prev, "_SUCCESS"), "a").close()
-    _flip(target_path, staged_dir)
-    import glob as _glob
-
-    for d in _glob.glob(_version_glob(target_path)):
-        if os.path.abspath(d) != os.path.abspath(staged_dir):
-            shutil.rmtree(d, ignore_errors=True)
+    with _commit_lock(target_path):
+        cur = current_version(target_path)
+        if cur != base:
+            shutil.rmtree(staged_dir, ignore_errors=True)
+            raise PublishConflict(
+                f"{target_path}: table moved from "
+                f"{os.path.basename(base) if base else None} to "
+                f"{os.path.basename(cur) if cur else None} while auditing; "
+                "the audit verdict no longer applies"
+            )
+        if cur is not None and not os.path.islink(target_path):
+            prev = _new_version_path(target_path)
+            os.rename(target_path, prev)
+            open(os.path.join(prev, "_SUCCESS"), "a").close()
+            open(os.path.join(prev, _PUBLISHED), "a").close()
+        _flip(target_path, staged_dir)
+        _gc_versions(target_path, 1, _version_order_key(staged_dir))
     return staged_dir
