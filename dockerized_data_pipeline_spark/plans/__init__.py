@@ -18,6 +18,7 @@ from . import collections  # noqa: F401
 from . import profiling  # noqa: F401
 from . import timeseries_queries  # noqa: F401
 from . import eventflow  # noqa: F401
+from . import sqltext  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES
