@@ -1,0 +1,222 @@
+"""Zipf skew torture probe (VERDICT r3 item 4): measure how the three
+join strategies behave against a pathologically hot key.
+
+Fixture: a Zipf(alpha=1.1)-keyed fact table whose rank-1 key holds ~20%
+of all rows (the "one tenant is a fifth of the corpus" shape), joined to
+a small per-key dimension. Broadcast is disabled so the join actually
+shuffles -- at 100 TB the dim side of a skewed join is often itself too
+large to broadcast, which is exactly when skew hurts.
+
+Variants:
+  * plain      -- AQE off: the hot key is ONE shuffle partition = one
+                  straggler task doing ~20% of all probe work
+  * aqe        -- AQE skew-join split (session default): runtime splits
+                  the oversized partition
+  * salted     -- operators.skew.hot_key_salted_join: explicit partial
+                  salting of detected hot keys (AQE off, to isolate)
+
+A fourth variant, "salted (known)", passes the hot-key set in directly
+(the table-statistics case) and skips the detection aggregate.
+
+For each variant: wall time, plus the worst max/median executor task
+time over the variant's substantive stages (Spark REST taskSummary; the
+straggler factor). The salted path must show max/median <= 4 -- the
+no-straggler criterion asserted by tests/test_skew_windows.py's
+partition-spread regression and re-checked here on real task times.
+
+Run: python tools/skew_probe.py [n_rows] [alpha]
+     (defaults 4,000,000 rows, alpha 1.1 ~ 17% hot key; alpha 1.5 ~ 39%)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_KEYS = 2000
+ALPHA = 1.1  # rank-1 share ~17-20% (tunable below)
+
+
+def zipf_fact(spark, n_rows: int):
+    """Deterministic Zipf(alpha) fact table: key rank r gets a share
+    ~ 1/r^alpha of the rows (rank 1 ~ 20%). Sampling is inverse-CDF over
+    a per-partition numpy RNG seeded by partition id -- deterministic,
+    and generated distributed (no driver-side data)."""
+    import numpy as np
+    import pandas as pd
+
+    cdf = (1.0 / np.arange(1, N_KEYS + 1) ** ALPHA).cumsum()
+    cdf /= cdf[-1]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(int(ids[0]) % (2**31))
+            u = rng.random(len(ids))
+            keys = np.searchsorted(cdf, u) + 1
+            yield pd.DataFrame(
+                {"k": keys.astype("int64"), "payload": ids.astype("int64")}
+            )
+
+    return spark.range(n_rows, numPartitions=64).mapInPandas(
+        gen, schema="k long, payload long"
+    )
+
+
+def dim_table(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(1, N_KEYS + 1).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("label_"), F.col("id")).alias("label"),
+    )
+
+
+def _rest(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def worst_stage_task_skew(spark, first_stage_after: int):
+    """(max_ms, median_ms, n_tasks, stage_id) of the SUBSTANTIVE stage
+    with the worst max/median task-time ratio among stages newer than
+    the watermark. Substantive = >= 8 tasks and total executor run time
+    >= 20% of the variant's heaviest stage (tiny control stages have
+    noisy medians and are not where stragglers live)."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    stages = _rest(f"{base}/api/v1/applications/{app_id}/stages?status=complete")
+    new = [s for s in stages if s["stageId"] >= first_stage_after]
+    if not new:
+        return None
+    top_total = max(s.get("executorRunTime", 0) for s in new)
+    worst = None
+    for s in new:
+        if s.get("numCompleteTasks", 0) < 8:
+            continue
+        if s.get("executorRunTime", 0) < 0.2 * top_total:
+            continue
+        q = _rest(
+            f"{base}/api/v1/applications/{app_id}/stages/{s['stageId']}/"
+            f"{s['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+        )
+        mx, med = q["executorRunTime"][2], q["executorRunTime"][1]
+        factor = mx / med if med else float("inf")
+        if worst is None or factor > worst[0]:
+            worst = (factor, mx, med, s["numCompleteTasks"], s["stageId"])
+    if worst is None:
+        return None
+    return worst[1], worst[2], worst[3], worst[4]
+
+
+def run_variant(spark, name: str, build, conf: dict):
+    from pyspark.sql import functions as F
+
+    old = {k: spark.conf.get(k) for k in conf}
+    # stage-id watermark: only stages newer than this belong to the variant
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    done = _rest(f"{base}/api/v1/applications/{app_id}/stages")
+    next_stage = max((s["stageId"] for s in done), default=-1) + 1
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        t0 = time.monotonic()
+        out = build()
+        # force full evaluation without collecting rows to the driver
+        n = out.groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("k", "label"), F.lit(1_000_003))).alias("h"),
+        ).collect()[0]["n"]
+        wall = time.monotonic() - t0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    skew = worst_stage_task_skew(spark, next_stage)
+    mx, med, ntasks, stage_id = skew if skew else (0, 0, 0, -1)
+    factor = (mx / med) if med else float("inf")
+    print(
+        f"{name:>14}: wall {wall:6.2f}s  rows {n}  worst-stage task "
+        f"max/median {mx:.0f}/{med:.0f} ms = {factor:.1f}x "
+        f"({ntasks} tasks, stage {stage_id})"
+    )
+    return {"variant": name, "wall_sec": round(wall, 2), "rows": n,
+            "task_max_ms": mx, "task_median_ms": med,
+            "straggler_factor": round(factor, 2)}
+
+
+def main():
+    global ALPHA
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    if len(sys.argv) > 2:
+        ALPHA = float(sys.argv[2])
+    from dockerized_data_pipeline_spark.operators.skew import hot_key_salted_join
+    from dockerized_data_pipeline_spark.session import get_session
+
+    spark = get_session(
+        "skew-probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # force a real shuffle join: at 100 TB the dim of a skewed
+            # join often exceeds broadcast size -- that is the regime
+            # where skew matters at all
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fact = zipf_fact(spark, n_rows).localCheckpoint()  # fix the input bytes
+    dim = dim_table(spark).localCheckpoint()
+    top = fact.groupBy("k").count().orderBy("count", ascending=False).first()
+    print(
+        f"rows={n_rows}  keys={N_KEYS}  alpha={ALPHA}  "
+        f"hot key {top['k']} holds {top['count']} rows "
+        f"({top['count'] * 100.0 / n_rows:.1f}%)"
+    )
+
+    results = [
+        run_variant(
+            spark, "plain", lambda: fact.join(dim, "k"),
+            {"spark.sql.adaptive.enabled": "false"},
+        ),
+        run_variant(
+            spark, "aqe", lambda: fact.join(dim, "k"),
+            {"spark.sql.adaptive.enabled": "true",
+             "spark.sql.adaptive.skewJoin.enabled": "true"},
+        ),
+        run_variant(
+            spark, "salted",
+            lambda: hot_key_salted_join(
+                fact, dim, on="k", hot_threshold=n_rows // 20, salt_buckets=16
+            ),
+            {"spark.sql.adaptive.enabled": "false"},
+        ),
+        run_variant(
+            # table-statistics case: hot keys already known -> no
+            # detection pass over the fact table
+            spark, "salted (known)",
+            lambda: hot_key_salted_join(
+                fact, dim, on="k", salt_buckets=16,
+                hot_keys=spark.range(1, 4).selectExpr("id AS k"),
+            ),
+            {"spark.sql.adaptive.enabled": "false"},
+        ),
+    ]
+    salted = results[-1]
+    ok = salted["straggler_factor"] <= 4.0
+    print(
+        f"salted no-straggler criterion (max/median <= 4x): "
+        f"{'PASS' if ok else 'FAIL'} ({salted['straggler_factor']}x)"
+    )
+    print(json.dumps(results))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
