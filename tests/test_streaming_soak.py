@@ -38,6 +38,21 @@ def _active_queries():
     return get_session().streams.active
 
 
+def _run_stream_to_completion(make_query):
+    """Start an availableNow query, wait for self-termination, then wait
+    for the checkpoint's active-query registration to clear: it
+    deregisters asynchronously, and a rapid restart loop would otherwise
+    hit SparkConcurrentModificationException on the commits dir."""
+    q = make_query()
+    assert q.awaitTermination(300)
+    q.stop()
+    deadline = time.monotonic() + 30
+    while any(aq.id == q.id for aq in _active_queries()):
+        if time.monotonic() > deadline:
+            raise TimeoutError("query did not deregister")
+        time.sleep(0.05)
+
+
 def _crash_latest_commit(checkpoint_dir: str) -> int:
     """Simulate a crash between the epoch write and the checkpoint
     commit: remove the newest commit marker (offsets stay), so the next
@@ -66,25 +81,16 @@ def test_neardup_stream_soak_random_crash_replays(spark, tmp_path):
     ck = str(tmp_path / "ck")
 
     def run_stream():
-        q = neardup_stream(
-            spark.readStream.schema(DOC_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src),
-            index_path,
-            pairs_path,
-            checkpoint_dir=ck,
+        _run_stream_to_completion(
+            lambda: neardup_stream(
+                spark.readStream.schema(DOC_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                index_path,
+                pairs_path,
+                checkpoint_dir=ck,
+            )
         )
-        assert q.awaitTermination(300)
-        q.stop()
-        # availableNow queries self-terminate, but the checkpoint's
-        # active-query registration deregisters asynchronously; a rapid
-        # restart loop must wait it out or Spark raises
-        # SparkConcurrentModificationException on the commits dir
-        deadline = time.monotonic() + 30
-        while any(aq.id == q.id for aq in _active_queries()):
-            if time.monotonic() > deadline:
-                raise TimeoutError("query did not deregister")
-            time.sleep(0.05)
 
     all_rows: list[tuple[int, str]] = []
     crashes = 0
@@ -104,16 +110,25 @@ def test_neardup_stream_soak_random_crash_replays(spark, tmp_path):
     run_stream()  # drain: replays the final injected crash if any
     assert crashes >= 10  # the soak actually tortured the replay path
 
-    stream_pairs = {
-        (r.doc_a, r.doc_b)
-        for r in spark.read.parquet(pairs_path).collect()
+    stream_rows = spark.read.parquet(pairs_path).collect()
+    stream_typed = {(r.doc_a, r.doc_b): r.pair_type for r in stream_rows}
+    # a replay that read its own epoch back as corpus emits DUPLICATE pair
+    # rows and relabels batch_batch as batch_corpus -- neither changes the
+    # pair-KEY set, so pin row count and the exact type of every pair:
+    # docs 2i/2i+1 share a batch, everything else is cross-epoch corpus
+    assert len(stream_rows) == len(stream_typed), "duplicate pair rows"
+    assert stream_typed == {
+        (a, b): ("batch_batch" if a // 2 == b // 2 else "batch_corpus")
+        for (a, b) in stream_typed
     }
     full = minhash_neardup_pairs_native(
         spark.createDataFrame(all_rows, DOC_SCHEMA), "doc_id", "text"
     )
     full_pairs = {(r.doc_a, r.doc_b) for r in full.collect()}
-    assert stream_pairs == full_pairs
+    assert set(stream_typed) == full_pairs
     assert len(full_pairs) > 50  # the fixture plants real cross-epoch dups
+    assert any(t == "batch_batch" for t in stream_typed.values())
+    assert any(t == "batch_corpus" for t in stream_typed.values())
 
     # effectively-once state: exactly one signature row per doc ever seen
     idx = spark.read.parquet(index_path)
@@ -148,36 +163,27 @@ def test_semantic_dedup_stream_soak_random_crash_replays(spark, tmp_path):
     ck = str(tmp_path / "vck")
 
     def run_stream():
-        q = semantic_dedup_stream(
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src),
-            cents,
-            index_path,
-            pairs_path,
-            checkpoint_dir=ck,
-            threshold=0.95,
+        _run_stream_to_completion(
+            lambda: semantic_dedup_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                cents,
+                index_path,
+                pairs_path,
+                checkpoint_dir=ck,
+                threshold=0.95,
+            )
         )
-        assert q.awaitTermination(300)
-        q.stop()
-        # availableNow queries self-terminate, but the checkpoint's
-        # active-query registration deregisters asynchronously; a rapid
-        # restart loop must wait it out or Spark raises
-        # SparkConcurrentModificationException on the commits dir
-        deadline = time.monotonic() + 30
-        while any(aq.id == q.id for aq in _active_queries()):
-            if time.monotonic() > deadline:
-                raise TimeoutError("query did not deregister")
-            time.sleep(0.05)
 
     all_rows: list[tuple[int, list[float]]] = []
     crashes = 0
     for i in range(N_BATCHES):
         rows = [
             # tight family: pairwise cos ~ 1 within an axis (cross-epoch dups)
-            (2 * i, vec(i % 3, 0.001 * i)),
+            (2 * i, vec((i % 3) * 3, 0.001 * i)),
             # loose family: cos < 0.95 vs tights, ~ 1 vs other looses
-            (2 * i + 1, vec(i % 3, 0.6 + 0.01 * i)),
+            (2 * i + 1, vec((i % 3) * 3, 0.6 + 0.01 * i)),
         ]
         all_rows += rows
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -190,14 +196,18 @@ def test_semantic_dedup_stream_soak_random_crash_replays(spark, tmp_path):
     run_stream()
     assert crashes >= 10
 
-    stream_pairs = {
-        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()
+    stream_rows = spark.read.parquet(pairs_path).collect()
+    stream_typed = {(r.id_a, r.id_b): r.origin for r in stream_rows}
+    assert len(stream_rows) == len(stream_typed), "duplicate pair rows"
+    assert stream_typed == {
+        (a, b): ("batch" if a // 2 == b // 2 else "corpus")
+        for (a, b) in stream_typed
     }
     full = semantic_dedup_pairs(
         spark.createDataFrame(all_rows, schema), cents, threshold=0.95
     )
     full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
-    assert stream_pairs == full_pairs
+    assert set(stream_typed) == full_pairs
     assert len(full_pairs) > 100  # both families pair within their axes
 
     idx = spark.read.parquet(index_path)
