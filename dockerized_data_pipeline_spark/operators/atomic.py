@@ -55,6 +55,10 @@ class PublishConflict(RuntimeError):
     writer's changes, so the commit is refused."""
 
 
+# sentinel: commit unconditionally (no CAS check) -- last-write-wins
+_ANY = object()
+
+
 def _version_glob(target_path: str) -> str:
     parent, base = os.path.split(os.path.abspath(target_path))
     return os.path.join(glob.escape(parent), "." + glob.escape(base) + ".v-*")
@@ -111,17 +115,26 @@ def current_version(target_path: str) -> str | None:
 
 @contextlib.contextmanager
 def _commit_lock(target_path: str, wait: float = 10.0, stale_after: float = 60.0):
-    """Short-lived mutual exclusion around the check+flip+GC critical
-    section (O_CREAT|O_EXCL lock file). The lock is held for
-    microseconds -- data writes happen OUTSIDE it -- so ``stale_after``
-    only matters if a process dies inside the critical section; an older
-    lock is presumed orphaned and broken."""
+    """Short-lived mutual exclusion around the check+flip critical
+    section (O_CREAT|O_EXCL lock file). The critical section does ONLY
+    metadata work -- pointer check, renames, symlink flip, and PLANNING
+    the GC (directory deletions execute after release) -- so it runs in
+    milliseconds regardless of table size; ``stale_after`` only matters
+    if a process dies inside it.
+
+    Stale locks are broken ATOMICALLY: the breaker renames the lock to a
+    tombstone (exactly one concurrent breaker wins the rename; losers
+    retry the create), so a lock released-and-reacquired between the age
+    check and the break is never deleted out from under its new holder.
+    Release is token-guarded: the holder unlinks the lock only if it
+    still carries its own token."""
     lock_path = f"{os.path.abspath(target_path)}.lock"
+    token = uuid.uuid4().hex
     deadline = time.monotonic() + wait
     while True:
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.write(fd, f"{os.getpid()} {token} {time.time()}\n".encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -131,7 +144,9 @@ def _commit_lock(target_path: str, wait: float = 10.0, stale_after: float = 60.0
                 continue  # released between the open and the stat: retry now
             if age > stale_after:
                 with contextlib.suppress(OSError):
-                    os.unlink(lock_path)
+                    os.rename(
+                        lock_path, f"{lock_path}.broken-{uuid.uuid4().hex[:8]}"
+                    )
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -143,8 +158,14 @@ def _commit_lock(target_path: str, wait: float = 10.0, stale_after: float = 60.0
     try:
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.unlink(lock_path)
+        try:
+            with open(lock_path) as f:
+                mine = token in f.read()
+        except OSError:
+            mine = False
+        if mine:
+            with contextlib.suppress(OSError):
+                os.unlink(lock_path)
 
 
 def _version_age_seconds(version_dir: str, now: float) -> float:
@@ -156,46 +177,110 @@ def _version_age_seconds(version_dir: str, now: float) -> float:
     return now - os.path.getmtime(version_dir)
 
 
-def _gc_versions(
+def _gc_plan(
     target_path: str,
     keep_versions: int,
     floor_key,
-    grace_seconds: float = 300.0,
-) -> None:
-    """Drop PUBLISHED versions beyond the ``keep_versions`` newest.
+    grace_seconds: float,
+) -> list[str]:
+    """Plan retention: return the version dirs to delete (the caller
+    deletes them OUTSIDE the commit lock -- rmtree of a large table is
+    O(table) and must not extend the critical section past the stale
+    lock-break horizon).
 
-    Two classes of dir are never collected: anything at least as new as
-    ``floor_key`` (a concurrent writer's staging dir carries a newer
-    creation stamp than the version just published), and any dir that
-    never carried the published marker and is younger than
-    ``grace_seconds`` (a concurrent writer's IN-FLIGHT staging -- e.g. a
-    WAP stage mid-audit -- whose stamp may still predate the floor).
-    Unpublished dirs older than the grace window are crashed-writer
-    debris and are collected."""
+    Never planned for deletion: anything at least as new as ``floor_key``
+    (a concurrent writer's staging dir carries a newer creation stamp
+    than the version just published), and any unpublished dir younger
+    than ``grace_seconds`` (a concurrent writer's IN-FLIGHT staging --
+    e.g. a WAP stage mid-audit -- whose stamp may still predate the
+    floor). A COMPLETE unpublished dir past the grace window is ADOPTED
+    as published history instead of deleted: it is either pre-marker-era
+    retained history (the upgrade path -- deleting it would break the
+    keep_versions retention contract the table was written under) or a
+    fully-written stage whose committer crashed (readable, so it joins
+    history and rolls off via the keep rule). Only INCOMPLETE dirs past
+    the grace window -- crashed partial writes -- are debris."""
     keep = set(list_versions(target_path)[: max(keep_versions, 1)])
     now = time.time()
+    doomed: list[str] = []
     for d in glob.glob(_version_glob(target_path)):
-        if os.path.abspath(d) in keep:
+        ad = os.path.abspath(d)
+        if ad in keep:
             continue
         try:
             if _version_order_key(d) >= floor_key:
                 continue  # in-flight or newer: never GC debris-from-the-future
-            if not os.path.exists(os.path.join(d, _PUBLISHED)) and (
-                _version_age_seconds(d, now) < grace_seconds
-            ):
-                continue  # possibly another writer's live staging
+            if not os.path.exists(os.path.join(d, _PUBLISHED)):
+                if _version_age_seconds(d, now) < grace_seconds:
+                    continue  # possibly another writer's live staging
+                if _is_complete(d):
+                    open(os.path.join(d, _PUBLISHED), "a").close()  # adopt
+                    continue
         except OSError:
             continue  # vanished mid-scan (another writer's GC)
+        doomed.append(ad)
+    return doomed
+
+
+def _commit(
+    target_path: str,
+    version_dir: str,
+    expected_base,
+    keep_versions: int,
+    gc_grace_seconds: float,
+) -> str:
+    """The shared commit sequence behind every publish path: under the
+    commit lock -- optional CAS check, legacy-directory demotion, atomic
+    flip, GC planning -- then the planned deletions outside the lock.
+    ``expected_base`` is a version dir / None for a CAS commit, or the
+    :data:`_ANY` sentinel for an unconditional (last-write-wins) one.
+    Raises :class:`PublishConflict` WITHOUT touching ``version_dir``
+    (the caller owns its staging dir)."""
+    with _commit_lock(target_path):
+        if expected_base is not _ANY:
+            cur = current_version(target_path)
+            expected = (
+                os.path.abspath(os.path.realpath(expected_base))
+                if expected_base is not None
+                else None
+            )
+            if cur != expected:
+                raise PublishConflict(
+                    f"{target_path}: current version is "
+                    f"{os.path.basename(cur) if cur else None}, writer "
+                    "expected "
+                    f"{os.path.basename(expected) if expected else None}"
+                )
+        if os.path.exists(target_path) and not os.path.islink(target_path):
+            # Legacy real-directory table: demote it to a version dir
+            # first. The window between this rename and the flip below is
+            # the one non-atomic step of the upgrade; recover_table()
+            # repairs it.
+            prev = _new_version_path(target_path)
+            os.rename(target_path, prev)
+            open(os.path.join(prev, _SUCCESS), "a").close()
+            open(os.path.join(prev, _PUBLISHED), "a").close()
+        _flip(target_path, version_dir)
+        doomed = _gc_plan(
+            target_path, keep_versions, _version_order_key(version_dir),
+            gc_grace_seconds,
+        )
+    for d in doomed:
         shutil.rmtree(d, ignore_errors=True)
     for leftover in glob.glob(glob.escape(target_path) + ".flip-*"):
         with contextlib.suppress(OSError):
             os.unlink(leftover)
+    for tombstone in glob.glob(glob.escape(target_path) + ".lock.broken-*"):
+        with contextlib.suppress(OSError):
+            os.unlink(tombstone)
+    return version_dir
 
 
 def publish_table(
     target_path: str,
     write_fn: Callable[[str], None],
     keep_versions: int = 1,
+    gc_grace_seconds: float = 300.0,
 ) -> str:
     """Publish a new version of the table at ``target_path``.
 
@@ -210,6 +295,12 @@ def publish_table(
     (snapshot pinning: a training run records which corpus version it
     read, and the version stays readable until retention rolls it off).
     Returns the new version directory.
+
+    ``gc_grace_seconds`` protects concurrent writers' in-flight staging
+    dirs from this publish's GC -- raise it above the longest staging
+    write you expect on this table (a 10-minute parquet job needs more
+    than the 300s default, or a faster co-writer may collect its
+    half-written stage).
     """
     new_version = _new_version_path(target_path)
     write_fn(new_version)
@@ -217,22 +308,7 @@ def publish_table(
         # the writer did not produce a _SUCCESS marker; add one so the
         # version is recoverable (non-Spark writers).
         open(os.path.join(new_version, _SUCCESS), "a").close()
-
-    with _commit_lock(target_path):
-        if os.path.exists(target_path) and not os.path.islink(target_path):
-            # Legacy real-directory table: demote it to a version dir
-            # first. The window between this rename and the flip below is
-            # the one non-atomic step of the upgrade; recover_table()
-            # repairs it.
-            prev = _new_version_path(target_path)
-            os.rename(target_path, prev)
-            open(os.path.join(prev, _SUCCESS), "a").close()
-            open(os.path.join(prev, _PUBLISHED), "a").close()
-        _flip(target_path, new_version)
-        _gc_versions(
-            target_path, keep_versions, _version_order_key(new_version)
-        )
-    return new_version
+    return _commit(target_path, new_version, _ANY, keep_versions, gc_grace_seconds)
 
 
 def publish_table_cas(
@@ -240,6 +316,7 @@ def publish_table_cas(
     write_fn: Callable[[str], None],
     expected_base: str | None,
     keep_versions: int = 1,
+    gc_grace_seconds: float = 300.0,
 ) -> str:
     """:func:`publish_table` with optimistic concurrency: the flip
     happens only if the table still points at ``expected_base`` (the
@@ -252,31 +329,14 @@ def publish_table_cas(
     write_fn(new_version)
     if not _is_complete(new_version):
         open(os.path.join(new_version, _SUCCESS), "a").close()
-
-    with _commit_lock(target_path):
-        cur = current_version(target_path)
-        expected = (
-            os.path.abspath(os.path.realpath(expected_base))
-            if expected_base is not None
-            else None
+    try:
+        return _commit(
+            target_path, new_version, expected_base, keep_versions,
+            gc_grace_seconds,
         )
-        if cur != expected:
-            shutil.rmtree(new_version, ignore_errors=True)
-            raise PublishConflict(
-                f"{target_path}: current version is "
-                f"{os.path.basename(cur) if cur else None}, writer expected "
-                f"{os.path.basename(expected) if expected else None}"
-            )
-        if cur is not None and not os.path.islink(target_path):
-            prev = _new_version_path(target_path)
-            os.rename(target_path, prev)
-            open(os.path.join(prev, _SUCCESS), "a").close()
-            open(os.path.join(prev, _PUBLISHED), "a").close()
-        _flip(target_path, new_version)
-        _gc_versions(
-            target_path, keep_versions, _version_order_key(new_version)
-        )
-    return new_version
+    except PublishConflict:
+        shutil.rmtree(new_version, ignore_errors=True)
+        raise
 
 
 def publish_table_transaction(
@@ -284,6 +344,7 @@ def publish_table_transaction(
     compute_fn: Callable[[str | None, str], None],
     keep_versions: int = 1,
     max_retries: int = 5,
+    gc_grace_seconds: float = 300.0,
 ) -> str:
     """Read-modify-write with conflict retry: ``compute_fn(base_dir,
     version_dir)`` derives the new table from the CURRENT version
@@ -309,16 +370,22 @@ def publish_table_transaction(
                 lambda d: compute_fn(base, d),
                 expected_base=base,
                 keep_versions=keep_versions,
+                gc_grace_seconds=gc_grace_seconds,
             )
         except PublishConflict as exc:
             last = exc
             continue
-        except Exception:
+        except Exception as exc:
             if current_version(target_path) != base:
-                last = PublishConflict(
-                    f"{target_path}: base {base} disappeared mid-compute "
-                    "(concurrent publish + GC)"
+                # CHAIN the compute failure: if it was a deterministic bug
+                # rather than base-GC fallout, the final error must still
+                # carry it instead of masking it as pure contention
+                conflict = PublishConflict(
+                    f"{target_path}: base {base} moved mid-compute; the "
+                    f"compute failed with {type(exc).__name__}: {exc}"
                 )
+                conflict.__cause__ = exc
+                last = conflict
                 continue
             raise
     raise PublishConflict(
@@ -328,11 +395,14 @@ def publish_table_transaction(
 
 def list_versions(target_path: str) -> list[str]:
     """Complete PUBLISHED version directories of ``target_path``, newest
-    first. The current version (the symlink's target) is always index 0.
-    Incomplete versions (no ``_SUCCESS``) are excluded -- crash debris --
-    and so are never-published staging dirs (no published marker): a
-    concurrent writer's in-flight stage or a WAP stage mid-audit is not
-    readable history and must not shift time-travel indices."""
+    first. The current version (the symlink's target) is ALWAYS index 0
+    when the table exists -- even if it predates the published-marker
+    scheme (pre-upgrade tables stay fully readable; the marker is added
+    at the next flip or GC adoption). Incomplete versions (no
+    ``_SUCCESS``) are excluded -- crash debris -- and so are
+    never-published staging dirs (no published marker): a concurrent
+    writer's in-flight stage or a WAP stage mid-audit is not readable
+    history and must not shift time-travel indices."""
     complete = [
         os.path.abspath(d)
         for d in glob.glob(_version_glob(target_path))
@@ -346,6 +416,10 @@ def list_versions(target_path: str) -> list[str]:
     ordered = sorted(complete, key=_version_order_key, reverse=True)
     if current in ordered:
         ordered.remove(current)
+        ordered.insert(0, current)
+    elif current is not None and _is_complete(current):
+        # live but unmarked (pre-upgrade table, or a crash in the tiny
+        # window between marker write and flip): current is current
         ordered.insert(0, current)
     return ordered
 

@@ -27,13 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .atomic import (
     PublishConflict,
-    _PUBLISHED,
-    _commit_lock,
-    _flip,
-    _gc_versions,
+    _commit,
     _is_complete,
     _new_version_path,
-    _version_order_key,
     current_version,
 )
 
@@ -118,6 +114,8 @@ def write_audit_publish(
     target_path: str,
     audits: list[AuditFn],
     write_fn: Callable[[DataFrame, str], None] | None = None,
+    keep_versions: int = 1,
+    gc_grace_seconds: float = 300.0,
 ) -> str:
     """Stage ``df`` as a new version of ``target_path``, run every audit
     against the staged files, then atomically publish. Raises AuditError
@@ -143,21 +141,15 @@ def write_audit_publish(
         shutil.rmtree(staged_dir, ignore_errors=True)
         raise AuditError(failures)
 
-    with _commit_lock(target_path):
-        cur = current_version(target_path)
-        if cur != base:
-            shutil.rmtree(staged_dir, ignore_errors=True)
-            raise PublishConflict(
-                f"{target_path}: table moved from "
-                f"{os.path.basename(base) if base else None} to "
-                f"{os.path.basename(cur) if cur else None} while auditing; "
-                "the audit verdict no longer applies"
-            )
-        if cur is not None and not os.path.islink(target_path):
-            prev = _new_version_path(target_path)
-            os.rename(target_path, prev)
-            open(os.path.join(prev, "_SUCCESS"), "a").close()
-            open(os.path.join(prev, _PUBLISHED), "a").close()
-        _flip(target_path, staged_dir)
-        _gc_versions(target_path, 1, _version_order_key(staged_dir))
-    return staged_dir
+    try:
+        return _commit(
+            target_path, staged_dir, expected_base=base,
+            keep_versions=keep_versions, gc_grace_seconds=gc_grace_seconds,
+        )
+    except PublishConflict as exc:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        raise PublishConflict(
+            f"{target_path}: table moved while auditing; the audit verdict "
+            "no longer applies -- re-run the WAP cycle against the new "
+            f"current ({exc})"
+        ) from exc

@@ -269,15 +269,20 @@ def _epoch_dirs_and_tag(
             except ValueError:
                 n = None
             same_run = n is not None and (run_tag == tag or sep == "")
-            if same_run and n > epoch_id:
-                # a same-tag epoch NUMBERED AHEAD of the current batch can
-                # only mean the checkpoint was deleted/reset in place while
-                # the index was kept: batch numbering restarted below the
-                # old run's epochs, which would now be silently excluded
-                # from the corpus yet remain visible to any wholesale
-                # spark.read.parquet(index_path) consumer. Fail loudly --
-                # the operator must either clear the index with the
-                # checkpoint or move it to a fresh path (new tag).
+            if same_run and n > epoch_id and run_tag == tag:
+                # a TAGGED same-run epoch NUMBERED AHEAD of the current
+                # batch can only mean the checkpoint was deleted/reset in
+                # place while the index was kept: batch numbering restarted
+                # below the old run's epochs, which would now be silently
+                # excluded from the corpus yet remain visible to any
+                # wholesale spark.read.parquet(index_path) consumer. Fail
+                # loudly -- the operator must either clear the index with
+                # the checkpoint or move it to a fresh path (new tag).
+                # UNTAGGED legacy dirs (sep == "") are exempt: under a
+                # deliberately-rotated fresh checkpoint they are merely the
+                # docstring's degraded-but-working legacy case (coverage
+                # loss, not corruption), and wedging the stream over them
+                # would contradict that documented contract.
                 raise RuntimeError(
                     f"orphaned future-numbered epoch {e!r} under "
                     f"{index_path} (current batch id {epoch_id}): the "

@@ -455,3 +455,97 @@ def test_wap_publish_conflicts_when_table_moves_during_audit(spark, tmp_path):
         )
     # the concurrent writer's publish is intact, the refused stage is gone
     assert set(_read_prices(spark, target)) == {"S0", "S1"}
+
+
+def test_pre_marker_tables_stay_readable_and_retained(tmp_path):
+    """Upgrade path (review r4): a table written before the published
+    marker existed (complete version dirs, no ._ddp_published anywhere)
+    must stay fully readable -- current at index 0, time-travel intact --
+    and its retained history must be ADOPTED by the next publish's GC,
+    not destroyed as staging debris."""
+    import glob as _glob
+
+    from dockerized_data_pipeline_spark.operators.atomic import (
+        _PUBLISHED,
+        list_versions,
+    )
+
+    target = str(tmp_path / "t")
+    # simulate the pre-marker layout: three complete versions + symlink,
+    # no markers, stamps old enough to be outside the GC grace window
+    parent, name = os.path.split(target)
+    old_dirs = []
+    base_ns = (int(__import__("time").time()) - 3600) * 1_000_000_000
+    for i, rows in enumerate((["v0"], ["v0", "v1"], ["v0", "v1", "v2"])):
+        d = os.path.join(parent, f".{name}.v-{base_ns + i:020d}-legacy{i}")
+        os.makedirs(d)
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write("\n".join(rows))
+        open(os.path.join(d, "_SUCCESS"), "a").close()
+        old_dirs.append(d)
+    os.symlink(os.path.basename(old_dirs[-1]), target)
+
+    # readable NOW, before any new publish: current is index 0
+    vs = list_versions(target)
+    assert vs and vs[0] == os.path.abspath(old_dirs[-1])
+
+    # first post-upgrade publish with retention: old history adopted
+    publish_table(target, _write_listing(["v0", "v1", "v2", "v3"]),
+                  keep_versions=4)
+    survivors = sorted(_glob.glob(os.path.join(parent, f".{name}.v-*")))
+    assert set(map(os.path.abspath, old_dirs)) <= set(
+        map(os.path.abspath, survivors)
+    ), "pre-upgrade history was destroyed by GC"
+    for d in old_dirs:
+        assert os.path.exists(os.path.join(d, _PUBLISHED))  # adopted
+    # and the keep rule now applies to the adopted history
+    assert len(list_versions(target)) == 4
+
+
+def test_transaction_chains_compute_failure_into_conflict(tmp_path):
+    """A compute bug that coincides with contention must surface the
+    ORIGINAL exception chained into the PublishConflict, not be masked
+    as pure contention."""
+    from dockerized_data_pipeline_spark.operators.atomic import (
+        PublishConflict,
+        publish_table_transaction,
+    )
+
+    target = str(tmp_path / "t")
+    publish_table(target, _write_listing(["base"]))
+
+    class ComputeBug(RuntimeError):
+        pass
+
+    def broken_compute(base_dir, version_dir):
+        # someone else publishes every attempt, then the compute "fails"
+        publish_table(target, _write_listing(["intruder"]), keep_versions=4)
+        raise ComputeBug("schema mismatch")
+
+    with pytest.raises(PublishConflict) as exc_info:
+        publish_table_transaction(target, broken_compute, max_retries=1)
+    chain = []
+    e = exc_info.value
+    while e is not None:
+        chain.append(e)
+        e = e.__cause__
+    assert any(isinstance(c, ComputeBug) for c in chain), (
+        "original compute failure lost from the exception chain"
+    )
+
+
+def test_stale_lock_break_is_atomic_rename(tmp_path):
+    """Breaking a stale lock renames it to a tombstone (exactly one
+    breaker can win) rather than unlinking blind; the tombstone is swept
+    by the next successful commit."""
+    import glob as _glob
+
+    target = str(tmp_path / "t")
+    lock = target + ".lock"
+    open(lock, "w").write("99999 deadbeef 0\n")
+    old = os.path.getmtime(lock) - 3600
+    os.utime(lock, (old, old))
+    publish_table(target, _write_listing(["x"]))
+    assert _read_listing(target) == {"x"}
+    assert not os.path.exists(lock)
+    assert not _glob.glob(lock + ".broken-*")  # tombstone swept

@@ -816,3 +816,30 @@ def test_semantic_stream_ignores_incomplete_foreign_epoch(spark, tmp_path):
     # the stream ran (did not choke on the corrupt dir) and found only
     # the in-batch pair
     assert [(r.id_a, r.id_b, r.origin) for r in rows] == [(11, 12, "batch")]
+
+
+def test_legacy_untagged_future_epoch_does_not_wedge_fresh_checkpoint(tmp_path):
+    """Review r4: an UNTAGGED legacy epoch numbered ahead of a freshly
+    rotated checkpoint's batch id is the docstring's sanctioned
+    degraded case (coverage loss only) -- it must not raise; only a
+    TAGGED same-run future epoch (checkpoint reset in place) wedges."""
+    import os
+
+    from dockerized_data_pipeline_spark.streaming.ingest import _epoch_dirs_and_tag
+
+    index_path = str(tmp_path / "idx")
+
+    def seed(name):
+        d = os.path.join(index_path, name)
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    seed("epoch=5")  # legacy untagged, written by the pre-tag scheme
+    # a deliberately-rotated FRESH checkpoint starts at batch 0: legacy
+    # epoch 5 is treated as this stream's own (safe default) and merely
+    # excluded from corpus -- never an error
+    prior, _ = _epoch_dirs_and_tag(index_path, str(tmp_path / "fresh_ck"), 0)
+    assert prior == []
+    # and once numbering passes it, it becomes corpus again
+    prior, _ = _epoch_dirs_and_tag(index_path, str(tmp_path / "fresh_ck"), 6)
+    assert len(prior) == 1
