@@ -345,3 +345,44 @@ def token_diversity_frame(df, id_col: str, text_col: str):
         .alias("gini_ppm"),
         F.floor((top * 1_000_000) / n).cast("long").alias("top_share_ppm"),
     )
+
+
+NFC_PROFILE_SCHEMA = (
+    "doc_id long, raw_chars int, nfc_chars int, changed boolean,"
+    " nfc_md5 string"
+)
+
+
+def unicode_nfc_profile(
+    docs, id_col: str = "doc_id", text_col: str = "decorated"
+):
+    """REAL Unicode NFC normalization (UAX #15) via Python's unicodedata,
+    Arrow-batched over mapInPandas -- Spark has no normalization builtin,
+    so this is the sanctioned Python-vectorized route (same posture as
+    the x4 codecs). Emits per-doc code-point counts before/after, a
+    changed flag, and the md5 of the normalized UTF-8 bytes, so the
+    DuckDB oracle (its independent ICU-backed nfc_normalize) verifies
+    the ENTIRE normalized string byte-for-byte -- two unrelated Unicode
+    implementations must agree on every composition."""
+    import hashlib
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "raw_chars": [], "nfc_chars": [],
+                "changed": [], "nfc_md5": [],
+            }
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                n = unicodedata.normalize("NFC", s)
+                out["doc_id"].append(did)
+                out["raw_chars"].append(len(s))
+                out["nfc_chars"].append(len(n))
+                out["changed"].append(n != s)
+                out["nfc_md5"].append(hashlib.md5(n.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema=NFC_PROFILE_SCHEMA)

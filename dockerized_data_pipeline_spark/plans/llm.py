@@ -2907,3 +2907,86 @@ def x5_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new_tokens"),
         F.sum("n_new").over(w).cast("bigint").alias("vocab_size"),
     )
+
+
+# NFD-decomposed suffixes (combining accents) cycled by doc_id so the NFC
+# pass has real composition work; the empty suffix keeps a no-op class.
+_NFD_SUFFIXES = [" café menu", " über fast", " mañana plan", ""]
+_NFD_SQL_LIST = "[" + ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in _NFD_SUFFIXES
+) + "]"
+
+
+@query(
+    "x5_unicode_nfc",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id,
+             text || ({_NFD_SQL_LIST})[CAST(doc_id % 4 AS INTEGER) + 1] AS s
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(s) AS INTEGER) AS raw_chars,
+           CAST(length(nfc_normalize(s)) AS INTEGER) AS nfc_chars,
+           nfc_normalize(s) <> s AS changed,
+           md5(nfc_normalize(s)) AS nfc_md5
+    FROM dec
+    """,
+)
+def x5_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Unicode NFC normalization, cross-library verified: each doc
+    is decorated with an NFD-decomposed suffix (combining acute/diaeresis/
+    tilde), the engine normalizes with Python's unicodedata (UAX #15)
+    over Arrow mapInPandas, and the oracle re-normalizes independently
+    with DuckDB's nfc_normalize -- the md5 of the normalized UTF-8 bytes
+    must agree byte-for-byte between two unrelated Unicode
+    implementations. The curation step every multilingual corpus needs
+    before dedup (NFC vs NFD variants of the same text would otherwise
+    hash apart)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _NFD_SUFFIXES]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("decorated"),
+    )
+    return TX.unicode_nfc_profile(d)
+
+
+_BLOCKLIST = ["slow", "merge batch", "hash value", "does-not-occur-xyz"]
+_BLOCK_SQL_LIST = "[" + ", ".join("'" + p + "'" for p in _BLOCKLIST) + "]"
+
+
+@query(
+    "x5_blocklist_hits",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(list_filter({_BLOCK_SQL_LIST},
+                                p -> contains(text, p))) AS INTEGER)
+             AS n_hits,
+           LEN(list_filter({_BLOCK_SQL_LIST},
+                           p -> contains(text, p))) > 0 AS blocked
+    FROM documents
+    """,
+)
+def x5_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist screening (the unsafe-content / boilerplate
+    gate of a curation pipeline): per doc, how many of the broadcast
+    blocklist's substrings occur, and whether the doc is blocked. Pure
+    higher-order array expression -- the pattern set rides the plan as a
+    literal (no join, no shuffle, whole-stage codegen) and the filter
+    runs at scan speed; at a real 100 TB scale the same shape holds until
+    the pattern set outgrows a literal, at which point it becomes a
+    broadcast join against an Aho-Corasick-style matcher."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.filter(
+        F.array(*[F.lit(p) for p in _BLOCKLIST]),
+        lambda p: F.col("text").contains(p),
+    )
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("int").alias("n_hits"),
+        (F.size(hits) > 0).alias("blocked"),
+    )
