@@ -2990,3 +2990,36 @@ def x5_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(hits).cast("int").alias("n_hits"),
         (F.size(hits) > 0).alias("blocked"),
     )
+
+
+@query("x5_bpe_train")
+def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016) over the corpus
+    -- the learned merge table, rank-ordered. One corpus explode+count
+    shuffle compresses the text to its word vocabulary; each of the 24
+    merge rounds is a small vocab-only pair-count aggregate plus a 1-row
+    argmax (bounded control data) and a shuffle-free fold rewrite, so at
+    100 TB the per-iteration cost is O(distinct words), never O(corpus).
+    Rows-only (the training loop is not SQL-expressible): exact integer
+    counts with a total-order argmax make the merge table partition-
+    invariant (twin-run harness) and the classic-corpus pytest pins it
+    against an independent pure-Python reference implementation."""
+    from ..operators.bpe import bpe_merges_df, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, bpe_train(docs, num_merges=24))
+
+
+@query("x5_bpe_tokenize")
+def x5_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE merges learned from it: per doc,
+    the subword token count and the md5 of the token stream (any rank or
+    fusion bug changes the hash). Ranks broadcast as a closure literal;
+    the Arrow tokenizer memoizes per distinct word, so cost tracks
+    vocabulary, not tokens. The end-to-end tokenizer-training shape a
+    training-data pipeline runs before packing (cf. x8_pack_sequences)."""
+    from ..operators.bpe import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=24)
+    return bpe_apply(docs, merges)
