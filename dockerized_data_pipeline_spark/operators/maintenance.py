@@ -242,3 +242,160 @@ def vacuum_table(
                         except OSError:
                             pass
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Streaming epoch-index compaction: the incremental dedup indexes
+# (streaming/ingest.py's neardup/semantic streams) accumulate one
+# ``epoch={tag}-{n}`` directory per micro-batch -- after a 50-batch day
+# that is 50 tiny dirs whose listing/open overhead dominates the probe
+# read. Compaction consolidates every COMPLETE epoch into one foreign-
+# tagged epoch dir, preserving the corpus contract: a future stream run
+# (any tag) treats the compacted dir as prior-corpus, and its own epoch
+# numbering is untouched.
+#
+# Crash-safety is a manifest-commit protocol (run with the stream
+# STOPPED, like any file-table maintenance):
+#   A. write the consolidated rows to a temp dir OUTSIDE the epoch=
+#      namespace (invisible to corpus reads; Spark's _SUCCESS lands last)
+#   B. atomically rename a manifest listing the source dirs into place --
+#      the commit point
+#   C. rename each source epoch dir to an invisible .trash- name
+#   D. rename the temp dir to its final epoch=compact<digest>-0 name
+#   E. delete trash + manifest
+# ``compact_epoch_index`` begins by ROLLING FORWARD or BACK any
+# half-finished prior attempt (manifest present => finish C/D/E;
+# no manifest => restore strays), so a crash at ANY step leaves the
+# index recoverable and never double-counts a row: between C and D a
+# crashed index is temporarily missing some corpus (bounded recall loss,
+# fixed by re-running) but NEVER contains duplicates, which for a dedup
+# index is the correct failure direction -- duplicated signatures would
+# emit duplicate pairs silently.
+# ---------------------------------------------------------------------------
+
+_COMPACT_MANIFEST = "_compact_manifest"
+_COMPACT_TMP = "_compact_tmp"
+_TRASH_PREFIX = ".trash-"
+
+
+def _epoch_dirs(index_path: str) -> list[str]:
+    return sorted(
+        e
+        for e in os.listdir(index_path)
+        if e.startswith("epoch=")
+        and os.path.exists(os.path.join(index_path, e, "_SUCCESS"))
+    )
+
+
+def _compact_recover(index_path: str, fault=None) -> None:
+    """Roll a half-finished compaction forward (manifest committed) or
+    back (no manifest: restore trash strays, drop temp)."""
+    manifest = os.path.join(index_path, _COMPACT_MANIFEST)
+    tmp = os.path.join(index_path, _COMPACT_TMP)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            lines = f.read().splitlines()
+        target, sources = lines[0], lines[1:]
+        target_path = os.path.join(index_path, target)
+        tmp_complete = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        if os.path.exists(target_path) or tmp_complete:
+            # committed: finish C (trash leftovers), D, E
+            for src in sources:
+                sp = os.path.join(index_path, src)
+                if os.path.exists(sp):
+                    if fault:
+                        fault("recover-trash")
+                    os.rename(
+                        sp, os.path.join(index_path, _TRASH_PREFIX + src)
+                    )
+            if not os.path.exists(target_path):
+                if fault:
+                    fault("recover-flip")
+                os.rename(tmp, target_path)
+        else:
+            # manifest committed but temp lost its _SUCCESS (crash inside
+            # A replayed?): roll BACK -- restore trash, drop debris
+            for e in os.listdir(index_path):
+                if e.startswith(_TRASH_PREFIX):
+                    os.rename(
+                        os.path.join(index_path, e),
+                        os.path.join(index_path, e[len(_TRASH_PREFIX):]),
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(manifest)
+    else:
+        # no commit point: restore any trash strays, drop any temp
+        for e in list(os.listdir(index_path)):
+            if e.startswith(_TRASH_PREFIX):
+                os.rename(
+                    os.path.join(index_path, e),
+                    os.path.join(index_path, e[len(_TRASH_PREFIX):]),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+    # sweep trash from a completed run
+    for e in list(os.listdir(index_path)):
+        if e.startswith(_TRASH_PREFIX):
+            shutil.rmtree(os.path.join(index_path, e), ignore_errors=True)
+
+
+def compact_epoch_index(
+    spark: SparkSession,
+    index_path: str,
+    partition_by: str | None = None,
+    fault=None,
+) -> dict[str, int]:
+    """Consolidate every complete ``epoch=*`` dir under ``index_path``
+    into one foreign-tagged epoch. Run with the writing stream stopped.
+    Idempotent: re-running after a crash at any phase completes or
+    safely rolls back the interrupted attempt first. ``partition_by``
+    re-partitions the consolidated epoch (e.g. ``cluster_id`` for the
+    semantic index, preserving its partition-pruned probes). ``fault``
+    is a test hook called before each rename phase. Returns
+    {"epochs_before": ..., "epochs_after": ...}."""
+    import hashlib
+
+    _compact_recover(index_path, fault=None)
+    sources = _epoch_dirs(index_path)
+    if len(sources) <= 1:
+        return {"epochs_before": len(sources), "epochs_after": len(sources)}
+
+    digest = hashlib.md5("\n".join(sources).encode()).hexdigest()[:6]
+    target = f"epoch=compact{digest}-0"
+    tmp = os.path.join(index_path, _COMPACT_TMP)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    df = spark.read.option("basePath", index_path).parquet(
+        *[os.path.join(index_path, s) for s in sources]
+    ).drop("epoch")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)  # phase A (Spark writes _SUCCESS last)
+
+    # phase B: commit point -- manifest lands atomically
+    manifest_tmp = os.path.join(index_path, _COMPACT_MANIFEST + ".tmp")
+    with open(manifest_tmp, "w") as f:
+        f.write("\n".join([target, *sources]))
+    if fault:
+        fault("commit")
+    os.replace(manifest_tmp, os.path.join(index_path, _COMPACT_MANIFEST))
+
+    # phase C: retire sources (atomic renames out of the epoch= namespace)
+    for src in sources:
+        if fault:
+            fault("trash")
+        os.rename(
+            os.path.join(index_path, src),
+            os.path.join(index_path, _TRASH_PREFIX + src),
+        )
+    # phase D: the consolidated epoch appears
+    if fault:
+        fault("flip")
+    os.rename(tmp, os.path.join(index_path, target))
+    # phase E: cleanup
+    for src in sources:
+        shutil.rmtree(
+            os.path.join(index_path, _TRASH_PREFIX + src), ignore_errors=True
+        )
+    os.remove(os.path.join(index_path, _COMPACT_MANIFEST))
+    return {"epochs_before": len(sources), "epochs_after": 1}

@@ -172,3 +172,141 @@ def test_vacuum_removes_stale_versions_and_debris(spark, tmp_path):
     assert not os.path.exists(os.path.join(live, ".orphan.parquet.crc"))
     # live table untouched and readable
     assert spark.read.parquet(target).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming epoch-index compaction (round 4): consolidation must preserve
+# the corpus EXACTLY (a dedup index with duplicated or lost signatures
+# silently emits wrong pairs) and survive a crash at every phase.
+# ---------------------------------------------------------------------------
+
+
+def _seed_epoch_index(spark, index_path, n_epochs=6):
+    import os
+
+    rows_all = []
+    for e in range(n_epochs):
+        rows = [(e * 10 + i, f"tag{e}", e) for i in range(3)]
+        rows_all += rows
+        spark.createDataFrame(
+            rows, "doc long, label string, src_epoch int"
+        ).coalesce(1).write.parquet(
+            os.path.join(index_path, f"epoch=run1-{e}")
+        )
+    return rows_all
+
+
+def _index_rows(spark, index_path):
+    return sorted(
+        (r.doc, r.label, r.src_epoch)
+        for r in spark.read.parquet(index_path)
+        .select("doc", "label", "src_epoch")
+        .collect()
+    )
+
+
+def test_compact_epoch_index_preserves_rows_exactly(spark, tmp_path):
+    import os
+
+    from dockerized_data_pipeline_spark.operators.maintenance import (
+        compact_epoch_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    expected = sorted(_seed_epoch_index(spark, index_path))
+    stats = compact_epoch_index(spark, index_path)
+    assert stats == {"epochs_before": 6, "epochs_after": 1}
+    dirs = [d for d in os.listdir(index_path) if d.startswith("epoch=")]
+    assert len(dirs) == 1 and dirs[0].startswith("epoch=compact")
+    assert _index_rows(spark, index_path) == expected
+    # idempotent re-run: nothing to do
+    assert compact_epoch_index(spark, index_path)["epochs_after"] == 1
+
+
+def test_compacted_index_remains_corpus_for_future_stream_runs(spark, tmp_path):
+    """The consolidated dir is foreign-tagged: any stream run -- same
+    checkpoint continuing, or a fresh one -- reads it as prior corpus."""
+    import os
+
+    from dockerized_data_pipeline_spark.operators.maintenance import (
+        compact_epoch_index,
+    )
+    from dockerized_data_pipeline_spark.streaming.ingest import (
+        _epoch_dirs_and_tag,
+    )
+
+    index_path = str(tmp_path / "idx")
+    _seed_epoch_index(spark, index_path)
+    compact_epoch_index(spark, index_path)
+    for ck in ("ckA", "ckB"):
+        prior, _ = _epoch_dirs_and_tag(index_path, str(tmp_path / ck), 0)
+        assert len(prior) == 1 and "epoch=compact" in prior[0]
+
+
+def test_compact_epoch_index_crash_at_every_phase_recovers(spark, tmp_path):
+    """Kill the compaction before each rename phase; a re-run must land
+    on the exact same final corpus with no duplicate and no lost row."""
+    import os
+
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.operators.maintenance import (
+        compact_epoch_index,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    for phase in ("commit", "trash", "flip"):
+        index_path = str(tmp_path / f"idx_{phase}")
+        expected = sorted(_seed_epoch_index(spark, index_path))
+
+        calls = {"n": 0}
+
+        def fault(step, _phase=phase, _calls=calls):
+            if step == _phase:
+                _calls["n"] += 1
+                # for 'trash': crash midway through the loop (3rd rename)
+                if step != "trash" or _calls["n"] == 3:
+                    raise Boom(step)
+
+        with _pytest.raises(Boom):
+            compact_epoch_index(spark, index_path, fault=fault)
+        # crashed state may be mid-protocol; re-run recovers + completes
+        stats = compact_epoch_index(spark, index_path)
+        assert stats["epochs_after"] == 1, phase
+        assert _index_rows(spark, index_path) == expected, phase
+        leftovers = [
+            e for e in os.listdir(index_path)
+            if e.startswith((".trash-", "_compact"))
+        ]
+        assert leftovers == [], (phase, leftovers)
+
+
+def test_compact_epoch_index_preserves_partitioning(spark, tmp_path):
+    """The semantic index is partitioned by cluster_id so probes prune;
+    compaction must preserve that layout."""
+    import os
+
+    from dockerized_data_pipeline_spark.operators.maintenance import (
+        compact_epoch_index,
+    )
+
+    index_path = str(tmp_path / "idx")
+    for e in range(3):
+        spark.createDataFrame(
+            [(e * 10 + i, i % 2, e) for i in range(4)],
+            "vec_id long, cluster_id int, src_epoch int",
+        ).coalesce(1).write.partitionBy("cluster_id").parquet(
+            os.path.join(index_path, f"epoch=run1-{e}")
+        )
+    compact_epoch_index(spark, index_path, partition_by="cluster_id")
+    target = next(
+        d for d in os.listdir(index_path) if d.startswith("epoch=compact")
+    )
+    subdirs = sorted(
+        d for d in os.listdir(os.path.join(index_path, target))
+        if d.startswith("cluster_id=")
+    )
+    assert subdirs == ["cluster_id=0", "cluster_id=1"]
+    assert spark.read.parquet(index_path).count() == 12

@@ -213,3 +213,71 @@ def test_semantic_dedup_stream_soak_random_crash_replays(spark, tmp_path):
     idx = spark.read.parquet(index_path)
     assert idx.count() == len(all_rows)
     assert idx.select("vec_id").distinct().count() == len(all_rows)
+
+
+def test_neardup_stream_survives_mid_run_compaction(spark, tmp_path):
+    """Operational loop: batches -> stop stream -> compact_epoch_index ->
+    more batches. The consolidated foreign-tagged epoch stays corpus, so
+    post-compaction batches still pair against pre-compaction docs and
+    the final pair set equals the full recompute."""
+    from dockerized_data_pipeline_spark.operators.dedup import (
+        minhash_neardup_pairs_native,
+    )
+    from dockerized_data_pipeline_spark.operators.maintenance import (
+        compact_epoch_index,
+    )
+    from dockerized_data_pipeline_spark.streaming.ingest import neardup_stream
+
+    src = str(tmp_path / "src")
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    ck = str(tmp_path / "ck")
+
+    def run_stream():
+        _run_stream_to_completion(
+            lambda: neardup_stream(
+                spark.readStream.schema(DOC_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                index_path,
+                pairs_path,
+                checkpoint_dir=ck,
+            )
+        )
+
+    all_rows: list[tuple[int, str]] = []
+    for i in range(4):
+        rows = [(2 * i, TEMPLATES[i % 5] + f" tail alpha{i}"),
+                (2 * i + 1, TEMPLATES[(i * 3 + 1) % 5] + f" tail beta{i}")]
+        all_rows += rows
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    run_stream()
+
+    stats = compact_epoch_index(spark, index_path)
+    assert stats["epochs_after"] == 1
+
+    for i in range(4, 8):
+        rows = [(2 * i, TEMPLATES[i % 5] + f" tail alpha{i}"),
+                (2 * i + 1, TEMPLATES[(i * 3 + 1) % 5] + f" tail beta{i}")]
+        all_rows += rows
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    run_stream()
+
+    stream_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    full = minhash_neardup_pairs_native(
+        spark.createDataFrame(all_rows, DOC_SCHEMA), "doc_id", "text"
+    )
+    full_pairs = {(r.doc_a, r.doc_b) for r in full.collect()}
+    assert stream_pairs == full_pairs
+    # cross-compaction pairs exist: a post-compaction doc paired with a
+    # pre-compaction one through the consolidated epoch
+    assert any(a < 8 <= b for a, b in stream_pairs)
+    idx = spark.read.parquet(index_path)
+    assert idx.select("doc").distinct().count() == len(all_rows)
