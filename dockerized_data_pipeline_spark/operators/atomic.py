@@ -47,6 +47,11 @@ _SUCCESS = "_SUCCESS"
 # collected as crash debris once old). Dot-prefixed: ignored by
 # Spark/Hadoop listings like _SUCCESS.
 _PUBLISHED = "._ddp_published"
+# present while a version dir is a writer-owned stage (written with
+# _SUCCESS at the end of the data write, removed at commit): GC must
+# neither adopt nor collect such a dir until it is ancient -- an audit
+# or CAS attempt may still be in flight long past the grace window.
+_STAGING = "._ddp_staging"
 
 
 class PublishConflict(RuntimeError):
@@ -126,8 +131,15 @@ def _commit_lock(target_path: str, wait: float = 10.0, stale_after: float = 60.0
     tombstone (exactly one concurrent breaker wins the rename; losers
     retry the create), so a lock released-and-reacquired between the age
     check and the break is never deleted out from under its new holder.
-    Release is token-guarded: the holder unlinks the lock only if it
-    still carries its own token."""
+    Release is rename-first: the holder atomically takes the lock file
+    out of the namespace BEFORE inspecting it, so it can never unlink a
+    newer holder's live lock; if the displaced file turns out not to be
+    its own (the holder overslept past ``stale_after`` and was broken),
+    it is restored when no fresher lock has appeared. Residual risk: a
+    process paused longer than ``stale_after`` INSIDE the critical
+    section can overlap a successor (that is what stale-breaking means);
+    keep the critical section metadata-only so that pause cannot arise
+    from work, only from machine-level stalls."""
     lock_path = f"{os.path.abspath(target_path)}.lock"
     token = uuid.uuid4().hex
     deadline = time.monotonic() + wait
@@ -158,14 +170,28 @@ def _commit_lock(target_path: str, wait: float = 10.0, stale_after: float = 60.0
     try:
         yield
     finally:
+        private = f"{lock_path}.rel-{token[:8]}"
         try:
-            with open(lock_path) as f:
-                mine = token in f.read()
+            os.rename(lock_path, private)  # atomic: never a blind unlink
         except OSError:
-            mine = False
-        if mine:
-            with contextlib.suppress(OSError):
-                os.unlink(lock_path)
+            pass  # already broken away: nothing of ours to release
+        else:
+            try:
+                with open(private) as f:
+                    mine = token in f.read()
+            except OSError:
+                mine = False
+            if mine:
+                with contextlib.suppress(OSError):
+                    os.unlink(private)
+            elif not os.path.exists(lock_path):
+                # we displaced a newer holder's lock (we overslept and
+                # were stale-broken): restore it
+                with contextlib.suppress(OSError):
+                    os.rename(private, lock_path)
+            else:
+                with contextlib.suppress(OSError):
+                    os.unlink(private)
 
 
 def _version_age_seconds(version_dir: str, now: float) -> float:
@@ -177,11 +203,21 @@ def _version_age_seconds(version_dir: str, now: float) -> float:
     return now - os.path.getmtime(version_dir)
 
 
+def _finish_stage(version_dir: str) -> None:
+    """Complete a freshly-written stage: ensure the _SUCCESS marker
+    (non-Spark writers) and mark the dir writer-owned so no concurrent
+    GC adopts or collects it while its commit/audit is still pending."""
+    if not _is_complete(version_dir):
+        open(os.path.join(version_dir, _SUCCESS), "a").close()
+    open(os.path.join(version_dir, _STAGING), "a").close()
+
+
 def _gc_plan(
     target_path: str,
     keep_versions: int,
     floor_key,
     grace_seconds: float,
+    stale_staging_seconds: float = 86_400.0,
 ) -> list[str]:
     """Plan retention: return the version dirs to delete (the caller
     deletes them OUTSIDE the commit lock -- rmtree of a large table is
@@ -193,13 +229,16 @@ def _gc_plan(
     than the version just published), and any unpublished dir younger
     than ``grace_seconds`` (a concurrent writer's IN-FLIGHT staging --
     e.g. a WAP stage mid-audit -- whose stamp may still predate the
-    floor). A COMPLETE unpublished dir past the grace window is ADOPTED
-    as published history instead of deleted: it is either pre-marker-era
+    floor). A dir carrying the writer-owned staging marker is left alone
+    until ``stale_staging_seconds`` (its audit/CAS may legitimately run
+    far past the grace window -- adopting it would serve never-audited
+    data as history); past that horizon it is a crashed writer's debris.
+    A COMPLETE un-marked dir past the grace window is ADOPTED as
+    published history instead of deleted: that is pre-marker-era
     retained history (the upgrade path -- deleting it would break the
-    keep_versions retention contract the table was written under) or a
-    fully-written stage whose committer crashed (readable, so it joins
-    history and rolls off via the keep rule). Only INCOMPLETE dirs past
-    the grace window -- crashed partial writes -- are debris."""
+    keep_versions retention contract the table was written under).
+    Only INCOMPLETE un-marked dirs past the grace window -- crashed
+    partial writes -- are debris."""
     keep = set(list_versions(target_path)[: max(keep_versions, 1)])
     now = time.time()
     doomed: list[str] = []
@@ -211,9 +250,13 @@ def _gc_plan(
             if _version_order_key(d) >= floor_key:
                 continue  # in-flight or newer: never GC debris-from-the-future
             if not os.path.exists(os.path.join(d, _PUBLISHED)):
-                if _version_age_seconds(d, now) < grace_seconds:
+                age = _version_age_seconds(d, now)
+                if os.path.exists(os.path.join(d, _STAGING)):
+                    if age < stale_staging_seconds:
+                        continue  # writer-owned stage: audit/CAS pending
+                elif age < grace_seconds:
                     continue  # possibly another writer's live staging
-                if _is_complete(d):
+                elif _is_complete(d):
                     open(os.path.join(d, _PUBLISHED), "a").close()  # adopt
                     continue
         except OSError:
@@ -261,18 +304,28 @@ def _commit(
             open(os.path.join(prev, _SUCCESS), "a").close()
             open(os.path.join(prev, _PUBLISHED), "a").close()
         _flip(target_path, version_dir)
+        with contextlib.suppress(OSError):
+            os.unlink(os.path.join(version_dir, _STAGING))
         doomed = _gc_plan(
             target_path, keep_versions, _version_order_key(version_dir),
             gc_grace_seconds,
         )
+        # flip-temp and tombstone sweeps stay UNDER the lock: they are a
+        # handful of unlinks (metadata-cheap), and a concurrent committer
+        # creates its own .flip-* inside its critical section -- sweeping
+        # outside the lock could unlink that in-flight temp between its
+        # symlink and replace, crashing the other publish mid-commit
+        for leftover in glob.glob(glob.escape(target_path) + ".flip-*"):
+            with contextlib.suppress(OSError):
+                os.unlink(leftover)
+        for tomb in glob.glob(glob.escape(target_path) + ".lock.broken-*"):
+            with contextlib.suppress(OSError):
+                os.unlink(tomb)
+        for stray in glob.glob(glob.escape(target_path) + ".lock.rel-*"):
+            with contextlib.suppress(OSError):
+                os.unlink(stray)
     for d in doomed:
         shutil.rmtree(d, ignore_errors=True)
-    for leftover in glob.glob(glob.escape(target_path) + ".flip-*"):
-        with contextlib.suppress(OSError):
-            os.unlink(leftover)
-    for tombstone in glob.glob(glob.escape(target_path) + ".lock.broken-*"):
-        with contextlib.suppress(OSError):
-            os.unlink(tombstone)
     return version_dir
 
 
@@ -304,10 +357,7 @@ def publish_table(
     """
     new_version = _new_version_path(target_path)
     write_fn(new_version)
-    if not _is_complete(new_version):
-        # the writer did not produce a _SUCCESS marker; add one so the
-        # version is recoverable (non-Spark writers).
-        open(os.path.join(new_version, _SUCCESS), "a").close()
+    _finish_stage(new_version)
     return _commit(target_path, new_version, _ANY, keep_versions, gc_grace_seconds)
 
 
@@ -327,8 +377,7 @@ def publish_table_cas(
     so two conflicting committers serialize and exactly one wins."""
     new_version = _new_version_path(target_path)
     write_fn(new_version)
-    if not _is_complete(new_version):
-        open(os.path.join(new_version, _SUCCESS), "a").close()
+    _finish_stage(new_version)
     try:
         return _commit(
             target_path, new_version, expected_base, keep_versions,
@@ -450,7 +499,12 @@ def recover_table(target_path: str) -> str | None:
         return os.path.realpath(target_path)
     if os.path.islink(target_path):  # dangling pointer
         os.unlink(target_path)
-    complete = [d for d in glob.glob(_version_glob(target_path)) if _is_complete(d)]
+    complete = [
+        d
+        for d in glob.glob(_version_glob(target_path))
+        if _is_complete(d)
+        and not os.path.exists(os.path.join(d, _STAGING))
+    ]
     if not complete:
         return None
     # prefer versions that were actually live over never-published staging

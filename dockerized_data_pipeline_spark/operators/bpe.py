@@ -40,11 +40,27 @@ from pyspark.sql import functions as F
 END = "</w>"  # end-of-word marker: merges never cross word boundaries
 
 
+# Train and apply MUST split identically: Java's \s (Spark side) is the
+# ASCII whitespace class only, while Python's str.split()/\s is
+# Unicode-aware -- a mismatch would segment the same document into
+# different words at train vs apply time (e.g. around a NBSP), breaking
+# the lossless-tokenization invariant. Both sides therefore use this
+# explicit ASCII whitespace class.
+_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+
+
+def split_words(text: str) -> list[str]:
+    """Python-side twin of the training split (identical semantics)."""
+    import re
+
+    return [w for w in re.split(_WS_CLASS + "+", text) if w]
+
+
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) corpus word frequencies -- the one corpus-wide pass."""
     return (
         docs.select(
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+            F.explode(F.split(F.col(text_col), _WS_CLASS + "+")).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("word")
@@ -186,7 +202,7 @@ def bpe_apply(
             out = {"doc_id": [], "n_tokens": [], "tokens_md5": []}
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
-                for w in text.split():
+                for w in split_words(text):
                     got = memo.get(w)
                     if got is None:
                         got = memo[w] = _tokenize_word(w, ranks)

@@ -289,6 +289,26 @@ def _epoch_dirs_and_tag(
                     "checkpoint was reset while the index was kept; clear "
                     "the index or restart it under a fresh checkpoint path"
                 )
+            if same_run and n > epoch_id and sep == "":
+                # an UNTAGGED dir ahead of the batch id is ambiguous: a
+                # deliberately-rotated fresh checkpoint over a legacy
+                # index (sanctioned, mere coverage loss) is byte-identical
+                # to a checkpoint reset in place over that legacy index
+                # (corruption: duplicate re-indexing + missed pairs).
+                # Cannot raise without breaking the documented legacy
+                # contract -- but never stay silent either.
+                import warnings
+
+                warnings.warn(
+                    f"legacy untagged epoch {e!r} is numbered ahead of "
+                    f"batch {epoch_id} and will be EXCLUDED from the "
+                    "corpus until numbering passes it. If this stream's "
+                    "checkpoint was reset in place (not a deliberate "
+                    "fresh-checkpoint rotation), the index now mixes "
+                    "runs: clear it or migrate legacy dirs to a foreign "
+                    "tag (epoch=N -> epoch=legacy0-N).",
+                    stacklevel=2,
+                )
             if not same_run or n < epoch_id:
                 prior.append(full)
     return prior, tag

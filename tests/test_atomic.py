@@ -549,3 +549,55 @@ def test_stale_lock_break_is_atomic_rename(tmp_path):
     assert _read_listing(target) == {"x"}
     assert not os.path.exists(lock)
     assert not _glob.glob(lock + ".broken-*")  # tombstone swept
+
+
+def test_gc_never_adopts_a_writer_owned_stage(tmp_path):
+    """Review r4.2: a staged dir whose audit/CAS is still pending (staging
+    marker present) must be neither adopted as published history nor
+    collected, even past the grace window -- adoption would serve
+    never-audited data as time travel. A stage abandoned past the stale
+    horizon is debris."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from dockerized_data_pipeline_spark.operators import atomic as A
+
+    target = str(tmp_path / "t")
+    publish_table(target, _write_listing(["base"]))
+
+    # a writer-owned stage stamped well past the grace window
+    parent, name = _os.path.split(target)
+    old_ns = (int(_time.time()) - 3600) * 1_000_000_000
+    stage = _os.path.join(parent, f".{name}.v-{old_ns:020d}-wapstage")
+    _write_listing(["staged"])(stage)
+    A._finish_stage(stage)
+
+    publish_table(target, _write_listing(["base", "more"]), keep_versions=2)
+    assert _os.path.isdir(stage), "in-flight stage was collected"
+    assert not _os.path.exists(_os.path.join(stage, A._PUBLISHED)), (
+        "in-flight stage was adopted as published history"
+    )
+    assert _os.path.abspath(stage) not in A.list_versions(target)
+    # recover_table must not promote it either
+    _os.unlink(target)
+    assert A.recover_table(target) != _os.path.abspath(stage)
+
+    # abandoned past the stale-staging horizon -> debris
+    ancient_ns = (int(_time.time()) - 200_000) * 1_000_000_000
+    dead = _os.path.join(parent, f".{name}.v-{ancient_ns:020d}-deadstage")
+    _write_listing(["dead"])(dead)
+    A._finish_stage(dead)
+    publish_table(target, _write_listing(["base", "more", "x"]))
+    assert not _os.path.exists(dead), "abandoned stage never collected"
+
+
+def test_commit_clears_staging_marker_on_publish(tmp_path):
+    import os as _os
+
+    from dockerized_data_pipeline_spark.operators import atomic as A
+
+    target = str(tmp_path / "t")
+    v = publish_table(target, _write_listing(["x"]))
+    assert not _os.path.exists(_os.path.join(v, A._STAGING))
+    assert _os.path.exists(_os.path.join(v, A._PUBLISHED))

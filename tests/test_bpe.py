@@ -122,3 +122,41 @@ def test_bpe_single_char_words_and_empty_text(spark):
     assert any(a == "a" and b == END for a, b, _ in merges)
     rows = {r.doc_id: r.n_tokens for r in bpe_apply(docs, merges).collect()}
     assert rows[2] == 0  # empty doc -> zero tokens, no crash
+
+
+def test_unicode_whitespace_splits_identically_train_and_apply(spark):
+    """Review r4.2: Java \\s (train side) is ASCII-only while Python's
+    str.split is Unicode-aware -- both sides now share one explicit ASCII
+    whitespace class, so a NBSP-joined token is ONE word in both train
+    and apply and tokenization stays lossless."""
+    from dockerized_data_pipeline_spark.operators.bpe import split_words
+
+    nbsp_word = "a b"  # NBSP: not a split point on either side
+    docs = spark.createDataFrame(
+        [(1, f"{nbsp_word} {nbsp_word} plain plain")],
+        "doc_id long, text string",
+    )
+    vocab = {r.word: r.n for r in word_vocab(docs).collect()}
+    assert vocab == {nbsp_word: 2, "plain": 2}
+    assert split_words(f"{nbsp_word} {nbsp_word} plain plain") == [
+        nbsp_word, nbsp_word, "plain", "plain",
+    ]
+    merges = bpe_train(docs, num_merges=8, min_pair_count=2)
+    rows = bpe_apply(docs, merges).collect()
+    # lossless through the NBSP: token stream reconstructs both words
+    import hashlib
+
+    from dockerized_data_pipeline_spark.operators.bpe import (
+        _tokenize_word,
+    )
+
+    ranks = {(a, b): i for i, (a, b, _n) in enumerate(merges)}
+    expected = []
+    for w in [nbsp_word, nbsp_word, "plain", "plain"]:
+        toks = _tokenize_word(w, ranks)
+        assert "".join(toks) == w + END
+        expected.extend(toks)
+    assert rows[0].n_tokens == len(expected)
+    assert rows[0].tokens_md5 == hashlib.md5(
+        " ".join(expected).encode("utf-8")
+    ).hexdigest()

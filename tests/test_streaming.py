@@ -843,3 +843,24 @@ def test_legacy_untagged_future_epoch_does_not_wedge_fresh_checkpoint(tmp_path):
     # and once numbering passes it, it becomes corpus again
     prior, _ = _epoch_dirs_and_tag(index_path, str(tmp_path / "fresh_ck"), 6)
     assert len(prior) == 1
+
+
+def test_legacy_untagged_future_epoch_warns_but_does_not_wedge(tmp_path):
+    """The ambiguous legacy case (untagged dir ahead of the batch id)
+    cannot raise without breaking the documented rotation contract, but
+    must not pass silently either: a warning names both readings."""
+    import os
+    import warnings
+
+    from dockerized_data_pipeline_spark.streaming.ingest import _epoch_dirs_and_tag
+
+    index_path = str(tmp_path / "idx")
+    d = os.path.join(index_path, "epoch=5")
+    os.makedirs(d)
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        prior, _ = _epoch_dirs_and_tag(index_path, str(tmp_path / "ck"), 0)
+    assert prior == []
+    assert any("legacy untagged epoch" in str(w.message) for w in caught)
