@@ -160,3 +160,48 @@ def test_unicode_whitespace_splits_identically_train_and_apply(spark):
     assert rows[0].tokens_md5 == hashlib.md5(
         " ".join(expected).encode("utf-8")
     ).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Property-based: random corpora vs the independent reference. Spark-side
+# examples are kept small (each example is a full train run), but the
+# corpus SHAPES are adversarial: repeated chars (overlapping pairs),
+# shared prefixes/suffixes, single-char words.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def corpora(draw):
+    alphabet = "abc"
+    n_words = draw(st.integers(2, 6))
+    words = [
+        draw(st.text(alphabet=alphabet, min_size=1, max_size=5))
+        for _ in range(n_words)
+    ]
+    # repetition factors give pairs real frequency structure
+    reps = [draw(st.integers(1, 4)) for _ in range(n_words)]
+    out = []
+    for w, r in zip(words, reps):
+        out += [w] * r
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpora(), st.integers(1, 6))
+def test_bpe_train_matches_reference_on_random_corpora(spark, words, k):
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    ).repartition(3)
+    got = bpe_train(docs, num_merges=k)
+    expected, ref_segs = _ref_bpe(words, k)
+    assert got == expected
+    # and the rank-priority tokenizer reproduces the reference
+    # segmentation for every corpus word (the greedy/rank equivalence)
+    from dockerized_data_pipeline_spark.operators.bpe import _tokenize_word
+
+    ranks = {(a, b): i for i, (a, b, _n) in enumerate(got)}
+    for w in set(words):
+        assert _tokenize_word(w, ranks) == ref_segs[w], (w, got)

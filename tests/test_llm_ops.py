@@ -1060,3 +1060,78 @@ def test_jpeg_decode_query_plan_is_shuffle_free(spark, sf_dir):
     got = rows[mid]
     assert (got.width, got.height) == (want.shape[1], want.shape[0])
     assert got.pixel_sum == int(want.sum())
+
+
+def test_jpeg_decoder_tolerates_real_world_marker_layouts(spark):
+    """Real encoders emit layouts ours does not: COM segments, extra APPn
+    blocks, several quant tables packed in one DQT segment, both Huffman
+    tables in one DHT segment. The decoder must parse all of them (it is
+    table-general, not coupled to our writer's layout)."""
+    import struct
+
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _JPEG_AC_SYMBOLS,
+        _JPEG_DC_SYMBOLS,
+        _jpeg_dht_payload,
+        _jpeg_encode,
+        _jpeg_parse,
+        _jpeg_pixels,
+        _jpeg_seg,
+    )
+
+    full = _jpeg_encode(11)
+    want = _jpeg_pixels(11)
+
+    # 1) insert COM + APP1 (EXIF-style) right after SOI
+    extras = _jpeg_seg(0xFE, b"written by spark-graft tests") + _jpeg_seg(
+        0xE1, b"Exif\x00\x00" + bytes(10)
+    )
+    _, _, px = _jpeg_parse(full[:2] + extras + full[2:])
+    assert np.array_equal(px, want)
+
+    # 2) two quant tables in ONE DQT segment (table 1 unused by the scan)
+    old_dqt = _jpeg_seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    new_dqt = _jpeg_seg(
+        0xDB, bytes([0x00]) + bytes([8] * 64) + bytes([0x01]) + bytes([16] * 64)
+    )
+    assert old_dqt in full
+    _, _, px = _jpeg_parse(full.replace(old_dqt, new_dqt, 1))
+    assert np.array_equal(px, want)
+
+    # 3) both Huffman tables packed into ONE DHT segment
+    dht_dc = _jpeg_seg(0xC4, _jpeg_dht_payload(0x00, _JPEG_DC_SYMBOLS))
+    dht_ac = _jpeg_seg(0xC4, _jpeg_dht_payload(0x10, _JPEG_AC_SYMBOLS))
+    packed = _jpeg_seg(
+        0xC4,
+        _jpeg_dht_payload(0x00, _JPEG_DC_SYMBOLS)
+        + _jpeg_dht_payload(0x10, _JPEG_AC_SYMBOLS),
+    )
+    assert dht_dc + dht_ac in full
+    _, _, px = _jpeg_parse(full.replace(dht_dc + dht_ac, packed, 1))
+    assert np.array_equal(px, want)
+
+    # 4) scan using non-zero table ids (Td=Ta=1, tables declared as id 1)
+    blob = full
+    blob = blob.replace(
+        _jpeg_seg(0xC4, _jpeg_dht_payload(0x00, _JPEG_DC_SYMBOLS)),
+        _jpeg_seg(0xC4, _jpeg_dht_payload(0x01, _JPEG_DC_SYMBOLS)),
+        1,
+    )
+    blob = blob.replace(
+        _jpeg_seg(0xC4, _jpeg_dht_payload(0x10, _JPEG_AC_SYMBOLS)),
+        _jpeg_seg(0xC4, _jpeg_dht_payload(0x11, _JPEG_AC_SYMBOLS)),
+        1,
+    )
+    sos_old = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    sos_new = _jpeg_seg(0xDA, bytes((1, 1, 0x11, 0, 63, 0)))
+    assert sos_old in blob
+    _, _, px = _jpeg_parse(blob.replace(sos_old, sos_new, 1))
+    assert np.array_equal(px, want)
+
+    # 5) a scan referencing a MISSING table id must reject cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Huffman table"):
+        _jpeg_parse(full.replace(sos_old, sos_new, 1))  # tables still 0
