@@ -663,3 +663,46 @@ def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_jpeg(jpeg_media(docs))
+
+
+@query(
+    "x4_jpeg_dc_thumbnail",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS mid,
+             (16 + doc_id % 17 + 7) // 8 AS bw,
+             (16 + (doc_id * 5) % 17 + 7) // 8 AS bh
+      FROM documents
+    ), px AS (
+      SELECT mid, bw, bh,
+             flatten(list_transform(range(0, CAST(bh AS INTEGER)), by ->
+               list_transform(range(0, CAST(bw AS INTEGER)), bx ->
+                 32 + (mid * 31 + by * 17 + bx * 7) % 160))) AS p
+      FROM d)
+    SELECT mid AS media_id,
+           CAST(bw AS INTEGER) AS width,
+           CAST(bh AS INTEGER) AS height,
+           CAST(bw * bh AS BIGINT) AS n_pixels,
+           CAST(list_sum(p) AS BIGINT) AS pixel_sum,
+           CAST(list_min(p) AS INTEGER) AS pixel_min,
+           CAST(list_max(p) AS INTEGER) AS pixel_max,
+           CAST(list_sum(list_transform(range(0, CAST(bw * bh AS INTEGER)),
+             i -> p[CAST(i AS INTEGER) + 1] * (1 + i % 251))) AS BIGINT)
+             AS wsum
+    FROM px
+    """,
+)
+def x4_jpeg_dc_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JPEG DC-only fast path, the production thumbnail/triage trick:
+    Huffman-decode each block just far enough to keep its DC term and
+    SKIP the AC coefficients (no dequant matrix, no IDCT), reconstructing
+    an 8x-downscaled image one pixel per block -- ~64x less inverse-
+    transform work per image than a full decode, which is what makes
+    corpus-scale visual triage affordable. On the DCT-representable
+    fixtures each block's mean IS its c parameter (the checkerboard term
+    integrates to zero), so the oracle re-derives every thumbnail pixel
+    arithmetically and the position-weighted checksum pins the grid."""
+    from ..functions.multimodal import decode_jpeg_thumbnail, jpeg_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_thumbnail(jpeg_media(docs))

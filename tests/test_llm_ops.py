@@ -1135,3 +1135,37 @@ def test_jpeg_decoder_tolerates_real_world_marker_layouts(spark):
 
     with _pytest.raises(ValueError, match="Huffman table"):
         _jpeg_parse(full.replace(sos_old, sos_new, 1))  # tables still 0
+
+
+def test_jpeg_dc_thumbnail_matches_blockmeans_and_rejects_bad_input(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _jpeg_block_params,
+        _jpeg_dims,
+        _jpeg_encode,
+        _jpeg_parse_dc,
+    )
+
+    for mid in (3, 12, 40):
+        w, h = _jpeg_dims(mid)
+        bw, bh, t = _jpeg_parse_dc(_jpeg_encode(mid))
+        assert (bw, bh) == ((w + 7) // 8, (h + 7) // 8)
+        want = np.array(
+            [[_jpeg_block_params(mid, bx, by)[0] for bx in range(bw)]
+             for by in range(bh)],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(t, want)
+    # restart markers work on the fast path too (DC pred resets)
+    _, _, t = _jpeg_parse_dc(_jpeg_encode(7, restart_interval=2))
+    w, h = _jpeg_dims(7)
+    assert t.shape == ((h + 7) // 8, (w + 7) // 8)
+    # same rejection posture as the full decoder
+    full = _jpeg_encode(3)
+    for cut in (4, 20, len(full) // 2):
+        with _pytest.raises(ValueError):
+            _jpeg_parse_dc(full[:cut])
+    with _pytest.raises(ValueError):
+        _jpeg_parse_dc(b"\x89PNG" + bytes(32))
