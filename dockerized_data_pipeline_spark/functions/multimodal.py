@@ -1353,15 +1353,13 @@ def _jpeg_idct_basis():
     return _JPEG_IDCT_BASIS
 
 
-def _jpeg_parse(blob: bytes):
-    """Real baseline JPEG decode. Returns (width, height, pixels uint8
-    h x w). Grayscale (1-component) baseline sequential only; progressive
-    (SOF2), extended (SOF1+), 16-bit quant tables, and multi-component
-    scans reject cleanly -- same explicit-subset posture as the PNG
-    parser's variant guard."""
+def _jpeg_scan_headers(blob: bytes):
+    """Shared marker walk for the full and DC-only decoders: SOI check,
+    segment loop (DQT/DHT/SOF0/DRI/SOS, APPn/COM skipped), every
+    malformed-input guard in ONE place (both decoders reject
+    identically). Returns (qtable_zz, dc_tab, ac_tab, w, h,
+    restart_interval, reader) positioned at the entropy data."""
     import struct
-
-    import numpy as np
 
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -1373,7 +1371,6 @@ def _jpeg_parse(blob: bytes):
     w = h = None
     comp_q = None
     restart_interval = 0
-    reader = None
     while True:
         if i + 2 > n:
             raise ValueError("truncated JPEG marker stream")
@@ -1405,9 +1402,9 @@ def _jpeg_parse(blob: bytes):
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             j = 0
             while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 0x0F
                 if j + 17 > len(seg):
                     raise ValueError("truncated DHT header")
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
                 counts = list(seg[j + 1 : j + 17])
                 total = sum(counts)
                 if j + 17 + total > len(seg):
@@ -1418,6 +1415,8 @@ def _jpeg_parse(blob: bytes):
                 )
                 j += 17 + total
         elif marker == 0xC0:  # SOF0: baseline sequential
+            if len(seg) < 9:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -1434,10 +1433,13 @@ def _jpeg_parse(blob: bytes):
             kind = "progressive" if marker in (0xC2, 0xC6, 0xCA) else "extended"
             raise ValueError(f"{kind} JPEG (SOF{marker - 0xC0}) unsupported")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: scan follows
-            ns = seg[0]
-            if ns != 1:
+            if len(seg) < 3:
+                raise ValueError("truncated SOS segment")
+            if seg[0] != 1:
                 raise ValueError("multi-component scan unsupported")
             td, ta = seg[2] >> 4, seg[2] & 0x0F
             if w is None:
@@ -1446,15 +1448,33 @@ def _jpeg_parse(blob: bytes):
                 raise ValueError("scan references missing quant table")
             if td not in dc_tables or ta not in ac_tables:
                 raise ValueError("scan references missing Huffman table")
-            reader = _JpegBitReader(blob, i)
-            break
+            return (
+                qtables[comp_q],
+                dc_tables[td],
+                ac_tables[ta],
+                w,
+                h,
+                restart_interval,
+                _JpegBitReader(blob, i),
+            )
         # APPn / COM / anything else: skipped
 
-    assert reader is not None
-    q_zz = np.array(qtables[comp_q], dtype=np.int64)
+
+def _jpeg_parse(blob: bytes):
+    """Real baseline JPEG decode. Returns (width, height, pixels uint8
+    h x w). Grayscale (1-component) baseline sequential only; progressive
+    (SOF2), extended (SOF1+), 16-bit quant tables, and multi-component
+    scans reject cleanly -- same explicit-subset posture as the PNG
+    parser's variant guard. Header walk shared with the DC-only fast
+    path (:func:`_jpeg_scan_headers`)."""
+    import numpy as np
+
+    q_zz_list, dc_tab, ac_tab, w, h, restart_interval, reader = (
+        _jpeg_scan_headers(blob)
+    )
+    q_zz = np.array(q_zz_list, dtype=np.int64)
     zz = np.array(_JPEG_ZIGZAG, dtype=np.int64)
     basis = _jpeg_idct_basis()
-    dc_tab, ac_tab = dc_tables[td], ac_tables[ta]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     px = np.empty((bh * 8, bw * 8), dtype=np.uint8)
     pred = 0
@@ -1512,11 +1532,10 @@ def jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
-def decode_jpeg(media: DataFrame) -> DataFrame:
-    """REAL lossy-image decode: marker walk, canonical Huffman entropy
-    decode, dequant, IDCT, crop; exact integer pixel stats plus a
-    position-weighted checksum that pins every pixel to its (x, y).
-    Arrow-batched mapInPandas -- shuffle-free, scan-speed parallel."""
+def _jpeg_stats_decoder(media: DataFrame, parse_fn) -> DataFrame:
+    """Shared Arrow stats body for the full and DC-only decoders: exact
+    integer pixel stats plus a position-weighted checksum that pins
+    every pixel to its (x, y). Shuffle-free, scan-speed parallel."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1526,9 +1545,8 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
                 "pixel_sum", "pixel_min", "pixel_max", "wsum",
             )}
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, px = _jpeg_parse(bytes(blob))
-                s = px.astype(np.int64)
-                flat = s.ravel()
+                w, h, px = parse_fn(bytes(blob))
+                flat = px.astype(np.int64).ravel()
                 weights = 1 + np.arange(flat.size, dtype=np.int64) % 251
                 out["media_id"].append(mid)
                 out["width"].append(w)
@@ -1543,104 +1561,34 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
 
 
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """REAL lossy-image decode: marker walk, canonical Huffman entropy
+    decode, dequant, IDCT, crop; exact integer pixel stats plus a
+    position-weighted checksum that pins every pixel to its (x, y)."""
+    return _jpeg_stats_decoder(media, _jpeg_parse)
+
+
 def _jpeg_parse_dc(blob: bytes):
     """DC-only fast decode: the production thumbnailing path. Runs the
-    same marker walk and Huffman scan as the full decoder, but keeps
-    ONLY each block's DC term (AC coefficients are entropy-decoded just
-    far enough to be skipped -- no dequant matrix application beyond the
-    DC entry, no IDCT) and reconstructs the 8x-downscaled image one
-    pixel per block: round(DC * q00 / 8) + 128. At corpus scale this is
-    ~64x less inverse-transform work per image than a full decode, which
-    is why thumbnail/triage pipelines ship it. Returns
-    (thumb_w, thumb_h, uint8 grid). Shares every guard with
-    :func:`_jpeg_parse` by construction of the scan."""
-    import struct
-
+    SAME header walk as the full decoder (:func:`_jpeg_scan_headers` --
+    every malformed-input guard is literally shared) and the same
+    Huffman scan, but keeps ONLY each block's DC term (AC coefficients
+    are entropy-decoded just far enough to be skipped -- no dequant
+    matrix application beyond the DC entry, no IDCT) and reconstructs
+    the 8x-downscaled image one pixel per block. The flat-block value is
+    floor(DC * q00 / 8 + 0.5) + 128 in exact integer arithmetic --
+    floor-half-up, matching the full decoder's floor(f + 128.5) for a
+    flat block bit-for-bit at ANY quant table (round() would diverge by
+    one on exact halves: banker's rounding, the documented cross-engine
+    trap). ~64x less inverse-transform work per image than a full
+    decode, which is why thumbnail/triage pipelines ship it. Returns
+    (thumb_w, thumb_h, uint8 grid)."""
     import numpy as np
 
-    if blob[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG stream (missing SOI)")
-    n = len(blob)
-    i = 2
-    qtables: dict[int, list[int]] = {}
-    dc_tables: dict[int, dict] = {}
-    ac_tables: dict[int, dict] = {}
-    w = h = None
-    comp_q = None
-    restart_interval = 0
-    reader = None
-    while True:
-        if i + 2 > n:
-            raise ValueError("truncated JPEG marker stream")
-        if blob[i] != 0xFF:
-            raise ValueError(f"expected marker at byte {i}")
-        marker = blob[i + 1]
-        i += 2
-        if marker == 0xD9:
-            raise ValueError("no scan data before EOI")
-        if 0xD0 <= marker <= 0xD7:
-            raise ValueError("unexpected RST marker outside scan")
-        if i + 2 > n:
-            raise ValueError("truncated JPEG segment header")
-        (seglen,) = struct.unpack(">H", blob[i : i + 2])
-        if seglen < 2 or i + seglen > n:
-            raise ValueError("truncated JPEG segment")
-        seg = blob[i + 2 : i + seglen]
-        i += seglen
-        if marker == 0xDB:
-            j = 0
-            while j < len(seg):
-                pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quantization tables unsupported")
-                if j + 65 > len(seg):
-                    raise ValueError("truncated DQT table")
-                qtables[tq] = list(seg[j + 1 : j + 65])
-                j += 65
-        elif marker == 0xC4:
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 0x0F
-                if j + 17 > len(seg):
-                    raise ValueError("truncated DHT header")
-                counts = list(seg[j + 1 : j + 17])
-                total = sum(counts)
-                if j + 17 + total > len(seg):
-                    raise ValueError("truncated DHT symbols")
-                symbols = list(seg[j + 17 : j + 17 + total])
-                (dc_tables if tc == 0 else ac_tables)[th] = _jpeg_build_huff(
-                    counts, symbols
-                )
-                j += 17 + total
-        elif marker == 0xC0:
-            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale baseline supported")
-            if w == 0 or h == 0 or w * h > 16_777_216:
-                raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
-            _cid, sampling, comp_q = seg[6], seg[7], seg[8]
-            if sampling != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"SOF{marker - 0xC0} unsupported")
-        elif marker == 0xDD:
-            (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:
-            if seg[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            td, ta = seg[2] >> 4, seg[2] & 0x0F
-            if w is None:
-                raise ValueError("SOS before SOF")
-            if comp_q not in qtables:
-                raise ValueError("scan references missing quant table")
-            if td not in dc_tables or ta not in ac_tables:
-                raise ValueError("scan references missing Huffman table")
-            reader = _JpegBitReader(blob, i)
-            break
-
-    assert reader is not None
-    q00 = qtables[comp_q][0]
-    dc_tab, ac_tab = dc_tables[td], ac_tables[ta]
+    q_zz, dc_tab, ac_tab, w, h, restart_interval, reader = (
+        _jpeg_scan_headers(blob)
+    )
+    q00 = q_zz[0]
     bw, bh = (w + 7) // 8, (h + 7) // 8
     thumb = np.empty((bh, bw), dtype=np.uint8)
     pred = 0
@@ -1669,9 +1617,9 @@ def _jpeg_parse_dc(blob: bytes):
                     raise ValueError("AC coefficient index out of range")
                 reader.read_bits(size)
                 k += 1
-            # DC-only inverse transform: the block's flat value is
+            # DC-only inverse transform, exact integers: floor-half-up of
             # F(0,0)/8 = DC*q00/8, level-shifted and clamped
-            val = int(round(pred * q00 / 8.0)) + 128
+            val = (pred * q00 + 4) // 8 + 128
             thumb[by, bx] = max(0, min(255, val))
             mcu += 1
     return bw, bh, thumb
@@ -1681,26 +1629,4 @@ def decode_jpeg_thumbnail(media: DataFrame) -> DataFrame:
     """8x-downscaled decode via the DC-only fast path: one pixel per
     block, AC coefficients Huffman-skipped. Emits exact integer stats
     plus the position-weighted checksum over the THUMBNAIL grid."""
-    import numpy as np
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = {k: [] for k in (
-                "media_id", "width", "height", "n_pixels",
-                "pixel_sum", "pixel_min", "pixel_max", "wsum",
-            )}
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, px = _jpeg_parse_dc(bytes(blob))
-                flat = px.astype(np.int64).ravel()
-                weights = 1 + np.arange(flat.size, dtype=np.int64) % 251
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(w * h)
-                out["pixel_sum"].append(int(flat.sum()))
-                out["pixel_min"].append(int(flat.min(initial=255)))
-                out["pixel_max"].append(int(flat.max(initial=0)))
-                out["wsum"].append(int((flat * weights).sum()))
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
+    return _jpeg_stats_decoder(media, _jpeg_parse_dc)

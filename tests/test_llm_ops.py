@@ -1158,10 +1158,41 @@ def test_jpeg_dc_thumbnail_matches_blockmeans_and_rejects_bad_input(spark):
             dtype=np.uint8,
         )
         assert np.array_equal(t, want)
-    # restart markers work on the fast path too (DC pred resets)
-    _, _, t = _jpeg_parse_dc(_jpeg_encode(7, restart_interval=2))
-    w, h = _jpeg_dims(7)
-    assert t.shape == ((h + 7) // 8, (w + 7) // 8)
+    # restart markers work on the fast path too: PIXEL-EXACT (a broken
+    # DC-predictor reset would keep the shape but corrupt every
+    # post-restart value)
+    for ri in (1, 2, 3, 5):
+        bw, bh, t = _jpeg_parse_dc(_jpeg_encode(7, restart_interval=ri))
+        want = np.array(
+            [[_jpeg_block_params(7, bx, by)[0] for bx in range(bw)]
+             for by in range(bh)],
+            dtype=np.uint8,
+        )
+        assert np.array_equal(t, want), ri
+
+    # non-fixture quant table: fast path matches the full decoder's
+    # flat-block value bit-for-bit, including the exact-half case
+    # (floor-half-up, never banker's round)
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _jpeg_encode_blocks,
+        _jpeg_parse,
+        _jpeg_seg,
+    )
+
+    flat = _jpeg_encode_blocks([[133]], [[0]], 8, 8)  # stored DC = 5
+    q8 = _jpeg_seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    q4 = _jpeg_seg(0xDB, bytes([0x00]) + bytes([4] * 64))
+    blob4 = flat.replace(q8, q4, 1)  # DC*q00/8 = 2.5: the half case
+    _, _, px_full = _jpeg_parse(blob4)
+    _, _, t4 = _jpeg_parse_dc(blob4)
+    assert int(px_full[0, 0]) == int(t4[0, 0]) == 131
+
+    # empty SOS segment rejects cleanly (shared header walk guard)
+    bad_sos = b"\xff\xd8" + _jpeg_seg(0xDA, b"") + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="SOS"):
+        _jpeg_parse_dc(bad_sos)
+    with _pytest.raises(ValueError, match="SOS"):
+        _jpeg_parse(bad_sos)
     # same rejection posture as the full decoder
     full = _jpeg_encode(3)
     for cut in (4, 20, len(full) // 2):
