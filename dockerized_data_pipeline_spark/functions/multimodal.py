@@ -1376,6 +1376,13 @@ def _jpeg_scan_headers(blob: bytes):
             raise ValueError("truncated JPEG marker stream")
         if blob[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
+        # T.81 B.1.1.2: any marker may be preceded by optional 0xFF fill
+        # bytes; some real encoders emit them for alignment. Skip the run
+        # and read the marker id from its last byte.
+        while blob[i + 1] == 0xFF:
+            i += 1
+            if i + 2 > n:
+                raise ValueError("truncated JPEG marker stream")
         marker = blob[i + 1]
         i += 2
         if marker == 0xD9:  # EOI before SOS

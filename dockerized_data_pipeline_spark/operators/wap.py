@@ -19,7 +19,6 @@ cannot sneak different data past the audit.
 
 from __future__ import annotations
 
-import os
 import shutil
 from collections.abc import Callable
 
@@ -28,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .atomic import (
     PublishConflict,
     _commit,
-    _is_complete,
+    _finish_stage,
     _new_version_path,
     current_version,
 )
@@ -132,8 +131,13 @@ def write_audit_publish(
     base = current_version(target_path)
     staged_dir = _new_version_path(target_path)
     write_fn(df, staged_dir)
-    if not _is_complete(staged_dir):
-        open(os.path.join(staged_dir, "_SUCCESS"), "a").close()
+    # _finish_stage writes _SUCCESS (if the writer didn't) AND the
+    # ._ddp_staging writer-owned marker: while the audits run, a concurrent
+    # publisher's _gc_plan must neither collect this dir nor adopt it as
+    # published history, and recover_table must never promote a
+    # never-audited stage. _commit clears the marker at flip; the
+    # AuditError / PublishConflict paths rmtree the whole dir.
+    _finish_stage(staged_dir)
 
     staged = spark.read.parquet(staged_dir)
     failures = [msg for msg in (a(staged) for a in audits) if msg is not None]

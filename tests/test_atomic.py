@@ -195,6 +195,55 @@ def test_write_audit_publish_null_audit(spark, tmp_path):
         write_audit_publish(spark, df, target, [expect_no_nulls(["v"])])
 
 
+def test_wap_stage_is_writer_owned_while_auditing(spark, tmp_path):
+    """ADVICE r4: a WAP stage mid-audit must carry the ._ddp_staging
+    writer-owned marker so a concurrent publisher's GC neither adopts it
+    as published history (never-audited data entering time travel) nor
+    collects it, even if the audit outlasts the grace window; and the
+    marker must be cleared at the flip."""
+    import os as _os
+
+    from dockerized_data_pipeline_spark.operators import atomic as A
+    from dockerized_data_pipeline_spark.operators.wap import (
+        write_audit_publish,
+    )
+
+    target = str(tmp_path / "t")
+    seen = {}
+
+    def staging_probe(staged_df):
+        # exactly one hidden version dir exists at this point: the stage
+        parent, name = _os.path.split(target)
+        import glob as _glob
+
+        [stage] = _glob.glob(_os.path.join(parent, f".{name}.v-*"))
+        seen["stage"] = stage
+        seen["staging_marker"] = _os.path.exists(
+            _os.path.join(stage, A._STAGING)
+        )
+        seen["success_marker"] = _os.path.exists(
+            _os.path.join(stage, "_SUCCESS")
+        )
+        # a concurrent GC pass with zero grace must leave it alone; the
+        # far-future floor simulates a publisher whose own new version is
+        # newer than this stage (the ADVICE adoption scenario)
+        plan = A._gc_plan(target, keep_versions=1, floor_key=(1, "9" * 40),
+                          grace_seconds=0.0)
+        seen["gc_would_delete"] = stage in plan
+        seen["adopted"] = _os.path.exists(_os.path.join(stage, A._PUBLISHED))
+        return None
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    published = write_audit_publish(spark, df, target, [staging_probe])
+    assert seen["staging_marker"], "mid-audit stage missing ._ddp_staging"
+    assert seen["success_marker"]
+    assert not seen["gc_would_delete"], "GC would collect an in-flight stage"
+    assert not seen["adopted"]
+    # flip cleared the writer-owned marker on the published version
+    assert not _os.path.exists(_os.path.join(published, A._STAGING))
+    assert _os.path.exists(_os.path.join(published, A._PUBLISHED))
+
+
 def test_time_travel_reads_retained_versions(spark, tmp_path):
     from dockerized_data_pipeline_spark.operators.atomic import (
         list_versions,

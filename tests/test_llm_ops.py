@@ -1136,6 +1136,20 @@ def test_jpeg_decoder_tolerates_real_world_marker_layouts(spark):
     with _pytest.raises(ValueError, match="Huffman table"):
         _jpeg_parse(full.replace(sos_old, sos_new, 1))  # tables still 0
 
+    # 6) optional 0xFF fill bytes before markers (T.81 B.1.1.2, ADVICE r4):
+    # pad runs of 0xFF ahead of DQT, SOF0 and SOS -- decode must be
+    # unchanged, not 'expected marker' / truncation errors
+    padded = full
+    for mk in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda"):
+        padded = padded.replace(mk, b"\xff\xff\xff" + mk, 1)
+    _, _, px = _jpeg_parse(padded)
+    assert np.array_equal(px, want)
+
+    # a blob that ENDS inside a fill run still raises, never spins
+    head = full[: full.index(b"\xff\xdb")]
+    with _pytest.raises(ValueError, match="truncated"):
+        _jpeg_parse(head + b"\xff\xff\xff")
+
 
 def test_jpeg_dc_thumbnail_matches_blockmeans_and_rejects_bad_input(spark):
     import numpy as np
