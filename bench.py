@@ -106,21 +106,23 @@ def main() -> None:
     materialize(spark.range(1_000_000).selectExpr("sum(id) as s"))
     materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
 
-    # Best of three runs per query: steady-state throughput, which is what
-    # a long-lived cluster session delivers (run 1 pays one-time codegen/
-    # IO; the extra run damps scheduler jitter on a shared box, which at
-    # this fixture size is the same order as the timings themselves).
+    # Median of three runs per query: steady-state throughput (run 1 pays
+    # one-time codegen/IO) with one-sided noise rejected in BOTH
+    # directions -- min() hides a real regression behind one lucky run,
+    # a single measurement makes ambient load indistinguishable from a
+    # plan regression (the r4 +39% incremental-neardup drift).
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = plans.QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+            runs.append(time.perf_counter() - t0)
+        med = sorted(runs)[1]
+        timings[name] = round(med, 3)
+        total += med
 
     result = {
         "metric": "headline_queries_total",

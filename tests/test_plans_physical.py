@@ -74,16 +74,40 @@ def test_q15_joinback_broadcasts_scalar_max(spark, sf_dir):
 _CARTESIAN_ALLOWED = {"join_cross_region_status", "x3_cosine_neardup_pairs"}
 
 
+# The only queries sanctioned to cross the JVM->Python boundary at all
+# (Arrow-batched stages: MapInPandas / MapInArrow / ArrowEvalPython /
+# FlatMapGroupsInPandas). Everything relational must stay whole-stage
+# codegen; an Arrow stage appearing anywhere else is a plan regression.
+_ARROW_ALLOWED_PREFIXES = ("x4_",)  # media codecs (stdlib decode)
+_ARROW_ALLOWED = {
+    "x5_unicode_nfc",  # Python unicodedata.normalize, no JVM equivalent
+    "x5_bpe_train",  # BPE merge-table fold (driver-iterative by design)
+    "x5_bpe_tokenize",  # BPE apply: broadcast ranks into Arrow batches
+    "x7_multimodal_dedup_census",  # composite over the x4 codec decoders
+}
+_ARROW_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+)
+
+
 def test_no_python_row_udfs_or_cartesians_anywhere(spark, sf_dir):
     """One sweep over every registered plan: BatchEvalPython (row-at-a-time
-    Python UDF) must not appear anywhere; ArrowEvalPython/mapInPandas only
-    on multimodal ops; CartesianProduct only on the two documented
-    exceptions (scalar crossJoins must plan as broadcast, not cartesian)."""
+    Python UDF) must not appear anywhere; Arrow-batched Python stages only
+    on the allowlisted codec/NFC/BPE queries; CartesianProduct only on the
+    two documented exceptions (scalar crossJoins must plan as broadcast,
+    not cartesian)."""
     for name in plans.QUERIES:
         plan = _formatted_plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
-        if not name.startswith("x4_"):
-            assert "ArrowEvalPython" not in plan, name
+        if not (
+            name.startswith(_ARROW_ALLOWED_PREFIXES)
+            or name in _ARROW_ALLOWED
+        ):
+            for node in _ARROW_NODES:
+                assert node not in plan, f"{name}: unsanctioned {node}"
         if name not in _CARTESIAN_ALLOWED:
             assert "CartesianProduct" not in plan, name
 
