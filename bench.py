@@ -61,6 +61,8 @@ HEADLINE = [
     "x4_png_decode",
     # r4 addition: baseline JPEG (stdlib Huffman+dequant+IDCT decode)
     "x4_jpeg_decode",
+    # r5 addition: color JPEG (4:2:0 interleaved MCUs, YCbCr->RGB)
+    "x4_jpeg_color_decode",
 ]
 
 

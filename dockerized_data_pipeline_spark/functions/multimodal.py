@@ -1174,6 +1174,32 @@ def _jpeg_dht_payload(tc_th: int, symbols: list[int]) -> bytes:
     return bytes([tc_th] + counts + symbols)
 
 
+def _jpeg_write_block(
+    wr: _JpegBitWriter, dc_code, ac_code, dc_q: int, ac44_q: int, pred: int
+) -> int:
+    """Entropy-code one block holding quantized DC ``dc_q`` and a single
+    quantized AC coefficient ``ac44_q`` at zigzag 39 = (4,4) (shared by
+    the grayscale and color encoders). Returns the new DC predictor."""
+    diff = dc_q - pred
+    cat = abs(diff).bit_length()
+    code, n = dc_code[cat]
+    wr.write(code, n)
+    if cat:
+        wr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    if ac44_q:
+        # zigzag index 39 = (4,4): 38 AC zeros = ZRL + ZRL + run 6
+        for _ in range(2):
+            code, n = ac_code[0xF0]
+            wr.write(code, n)
+        size = ac44_q.bit_length()
+        code, n = ac_code[0x60 | size]
+        wr.write(code, n)
+        wr.write(ac44_q, size)
+    code, n = ac_code[0x00]  # EOB
+    wr.write(code, n)
+    return dc_q
+
+
 def _jpeg_encode_blocks(
     c_grid, a_grid, w: int, h: int, restart_interval: int = 0
 ) -> bytes:
@@ -1199,25 +1225,8 @@ def _jpeg_encode_blocks(
                 rst = (rst + 1) % 8
                 pred = 0  # restart resets the DC predictor
             c, a = int(c_grid[by][bx]), int(a_grid[by][bx])
-            dc = c - 128  # quantized DC: F(0,0)=8*(c-128), q=8
-            diff = dc - pred
-            pred = dc
-            cat = abs(diff).bit_length()
-            code, n = dc_code[cat]
-            wr.write(code, n)
-            if cat:
-                wr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            if a:
-                # zigzag index 39 = (4,4): 38 AC zeros = ZRL + ZRL + run 6
-                for _ in range(2):
-                    code, n = ac_code[0xF0]
-                    wr.write(code, n)
-                size = a.bit_length()
-                code, n = ac_code[0x60 | size]
-                wr.write(code, n)
-                wr.write(a, size)
-            code, n = ac_code[0x00]  # EOB
-            wr.write(code, n)
+            # quantized DC: F(0,0)=8*(c-128), q=8
+            pred = _jpeg_write_block(wr, dc_code, ac_code, c - 128, a, pred)
             mcu += 1
     wr.align_ones()
 
@@ -1353,12 +1362,15 @@ def _jpeg_idct_basis():
     return _JPEG_IDCT_BASIS
 
 
-def _jpeg_scan_headers(blob: bytes):
-    """Shared marker walk for the full and DC-only decoders: SOI check,
-    segment loop (DQT/DHT/SOF0/DRI/SOS, APPn/COM skipped), every
-    malformed-input guard in ONE place (both decoders reject
-    identically). Returns (qtable_zz, dc_tab, ac_tab, w, h,
-    restart_interval, reader) positioned at the entropy data."""
+def _jpeg_scan_headers_any(blob: bytes):
+    """Shared marker walk for every decoder (grayscale full, DC-only,
+    color): SOI check, segment loop (DQT/DHT/SOF0/DRI/SOS, APPn/COM
+    skipped), every malformed-input guard in ONE place so all decode
+    paths reject identically. Returns (comps, w, h, restart_interval,
+    reader) positioned at the entropy data, where ``comps`` is the
+    scan-ordered component list: dicts with keys ``cid`` (component id),
+    ``h``/``v`` (sampling factors), ``q`` (64 zigzag quant entries),
+    ``dc``/``ac`` (canonical Huffman decode tables)."""
     import struct
 
     if blob[:2] != b"\xff\xd8":
@@ -1369,7 +1381,7 @@ def _jpeg_scan_headers(blob: bytes):
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     w = h = None
-    comp_q = None
+    sof_comps: list[dict] = []
     restart_interval = 0
     while True:
         if i + 2 > n:
@@ -1422,19 +1434,31 @@ def _jpeg_scan_headers(blob: bytes):
                 )
                 j += 17 + total
         elif marker == 0xC0:  # SOF0: baseline sequential
-            if len(seg) < 9:
+            if len(seg) < 6:
                 raise ValueError("truncated SOF0 segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError("only 1-component (grayscale) supported")
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported (grayscale or YCbCr)"
+                )
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component specs")
             if w == 0 or h == 0 or w * h > 16_777_216:
                 # attacker-controlled dims size the decode loop and the
                 # pixel allocation -- same guard as the PNG parser
                 raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
-            _cid, sampling, comp_q = seg[6], seg[7], seg[8]
-            if sampling != 0x11:
+            sof_comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {ch}x{cv} unsupported (1 or 2)"
+                    )
+                sof_comps.append({"cid": cid, "h": ch, "v": cv, "tq": tq})
+            if ncomp == 1 and (sof_comps[0]["h"], sof_comps[0]["v"]) != (1, 1):
                 raise ValueError("subsampling unsupported for grayscale")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             kind = "progressive" if marker in (0xC2, 0xC6, 0xCA) else "extended"
@@ -1444,35 +1468,104 @@ def _jpeg_scan_headers(blob: bytes):
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: scan follows
-            if len(seg) < 3:
-                raise ValueError("truncated SOS segment")
-            if seg[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            td, ta = seg[2] >> 4, seg[2] & 0x0F
             if w is None:
                 raise ValueError("SOS before SOF")
-            if comp_q not in qtables:
-                raise ValueError("scan references missing quant table")
-            if td not in dc_tables or ta not in ac_tables:
-                raise ValueError("scan references missing Huffman table")
-            return (
-                qtables[comp_q],
-                dc_tables[td],
-                ac_tables[ta],
-                w,
-                h,
-                restart_interval,
-                _JpegBitReader(blob, i),
-            )
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated SOS segment")
+            if seg[0] != len(sof_comps):
+                raise ValueError(
+                    "partial (non-interleaved) scan unsupported: SOS must "
+                    "cover every SOF component"
+                )
+            by_cid = {c["cid"]: c for c in sof_comps}
+            comps = []
+            for c in range(len(sof_comps)):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in by_cid:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                spec = by_cid[cs]
+                td, ta = tdta >> 4, tdta & 0x0F
+                if spec["tq"] not in qtables:
+                    raise ValueError("scan references missing quant table")
+                if td not in dc_tables or ta not in ac_tables:
+                    raise ValueError("scan references missing Huffman table")
+                comps.append(
+                    {
+                        "cid": cs,
+                        "h": spec["h"],
+                        "v": spec["v"],
+                        "q": qtables[spec["tq"]],
+                        "dc": dc_tables[td],
+                        "ac": ac_tables[ta],
+                    }
+                )
+            # T.81 B.2.3: scan component order must follow frame order
+            if [c["cid"] for c in comps] != [c["cid"] for c in sof_comps]:
+                raise ValueError("SOS component order differs from SOF order")
+            return comps, w, h, restart_interval, _JpegBitReader(blob, i)
         # APPn / COM / anything else: skipped
+
+
+def _jpeg_scan_headers(blob: bytes):
+    """Single-component (grayscale) view of the shared marker walk, kept
+    as the full/DC-only decoders' entry point: rejects color streams
+    with a routing hint instead of mis-decoding them. Returns
+    (qtable_zz, dc_tab, ac_tab, w, h, restart_interval, reader)."""
+    comps, w, h, restart_interval, reader = _jpeg_scan_headers_any(blob)
+    if len(comps) != 1:
+        raise ValueError(
+            "color (multi-component) JPEG: use the color decode path"
+        )
+    c = comps[0]
+    return c["q"], c["dc"], c["ac"], w, h, restart_interval, reader
+
+
+def _jpeg_decode_block_zz(reader, dc_tab, ac_tab, pred: int):
+    """Entropy-decode one 8x8 block (shared by the grayscale and color
+    decoders): returns (zigzag int64[64] coefficients, new DC
+    predictor)."""
+    import numpy as np
+
+    coeff_zz = np.zeros(64, dtype=np.int64)
+    cat = _jpeg_huff_decode(reader, dc_tab)
+    pred += _jpeg_extend(reader.read_bits(cat), cat)
+    coeff_zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _jpeg_huff_decode(reader, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL: 16 zeros
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        coeff_zz[k] = _jpeg_extend(reader.read_bits(size), size)
+        k += 1
+    return coeff_zz, pred
+
+
+def _jpeg_idct_block(coeff_zz, q_zz, zz, basis):
+    """Dequantize + 2-D IDCT + level shift + clamp for one block;
+    floor(f + 128.5) is floor-half-up, the documented cross-engine
+    rounding (see _jpeg_parse_dc)."""
+    import numpy as np
+
+    F = np.zeros(64, dtype=np.float64)
+    F[zz] = (coeff_zz * q_zz).astype(np.float64)
+    f = np.einsum("uv,ux,vy->xy", F.reshape(8, 8), basis, basis)
+    return np.clip(np.floor(f + 128.5), 0, 255).astype(np.uint8)
 
 
 def _jpeg_parse(blob: bytes):
     """Real baseline JPEG decode. Returns (width, height, pixels uint8
     h x w). Grayscale (1-component) baseline sequential only; progressive
-    (SOF2), extended (SOF1+), 16-bit quant tables, and multi-component
-    scans reject cleanly -- same explicit-subset posture as the PNG
-    parser's variant guard. Header walk shared with the DC-only fast
+    (SOF2), extended (SOF1+), and 16-bit quant tables reject cleanly --
+    same explicit-subset posture as the PNG parser's variant guard --
+    and color streams are rejected with a routing hint to
+    :func:`_jpeg_parse_color`. Header walk shared with the DC-only fast
     path (:func:`_jpeg_scan_headers`)."""
     import numpy as np
 
@@ -1493,28 +1586,8 @@ def _jpeg_parse(blob: bytes):
                 reader.sync_restart(rst)
                 rst = (rst + 1) % 8
                 pred = 0
-            coeff_zz = np.zeros(64, dtype=np.int64)
-            cat = _jpeg_huff_decode(reader, dc_tab)
-            pred += _jpeg_extend(reader.read_bits(cat), cat)
-            coeff_zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _jpeg_huff_decode(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                coeff_zz[k] = _jpeg_extend(reader.read_bits(size), size)
-                k += 1
-            F = np.zeros(64, dtype=np.float64)
-            F[zz] = (coeff_zz * q_zz).astype(np.float64)
-            f = np.einsum("uv,ux,vy->xy", F.reshape(8, 8), basis, basis)
-            block = np.clip(np.floor(f + 128.5), 0, 255).astype(np.uint8)
+            coeff_zz, pred = _jpeg_decode_block_zz(reader, dc_tab, ac_tab, pred)
+            block = _jpeg_idct_block(coeff_zz, q_zz, zz, basis)
             px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
             mcu += 1
     return w, h, px[:h, :w]  # crop edge blocks to the declared dims
@@ -1637,3 +1710,320 @@ def decode_jpeg_thumbnail(media: DataFrame) -> DataFrame:
     block, AC coefficients Huffman-skipped. Emits exact integer stats
     plus the position-weighted checksum over the THUMBNAIL grid."""
     return _jpeg_stats_decoder(media, _jpeg_parse_dc)
+
+
+# ---------------------------------------------------------------------------
+# Color JPEG: 3-component YCbCr baseline with subsampling (the production
+# image format -- real-world corpora are overwhelmingly color JPEG). The
+# r4 grayscale decoder deliberately rejected multi-component streams; this
+# is the interleaved-MCU decode that closes that gap: per-component
+# Huffman/quant table selection, three independent DC predictors, chroma
+# upsampling by sample replication, and YCbCr->RGB in exact fixed-point
+# integer arithmetic so the oracle can replay every pixel.
+# ---------------------------------------------------------------------------
+
+# BT.601/JFIF YCbCr->RGB coefficients scaled by 2^16 (libjpeg's classic
+# fixed-point constants): R = Y + 1.402 Cr', G = Y - 0.344136 Cb'
+# - 0.714136 Cr', B = Y + 1.772 Cb' with Cb' = Cb-128, Cr' = Cr-128.
+_JPEG_FIX_R_CR = 91881  # round(1.402 * 65536)
+_JPEG_FIX_G_CB = -22554  # round(-0.344136 * 65536)
+_JPEG_FIX_G_CR = -46802  # round(-0.714136 * 65536)
+_JPEG_FIX_B_CB = 116130  # round(1.772 * 65536)
+# floor-division offset: adding 2^31 (an exact multiple of 2^16) before
+# the // 2^16 keeps the numerator positive, so truncating and flooring
+# division agree -- the same trick on both engines makes the conversion
+# bit-exact cross-engine regardless of either engine's negative-division
+# convention.
+_JPEG_FIX_OFF = 1 << 31
+
+
+def _jpeg_ycc_to_rgb(yv, cb, cr):
+    """Exact fixed-point YCbCr->RGB (int64 numpy arrays in, uint8 out):
+    term = floor((coef * chroma' + 32768 + 2^31) / 65536) - 32768, then
+    clamp(Y + term). Replayed verbatim by the x4_jpeg_color_decode
+    oracle SQL."""
+    import numpy as np
+
+    cb = cb - 128
+    cr = cr - 128
+    r = yv + (_JPEG_FIX_R_CR * cr + 32768 + _JPEG_FIX_OFF) // 65536 - 32768
+    g = (
+        yv
+        + (_JPEG_FIX_G_CB * cb + _JPEG_FIX_G_CR * cr + 32768 + _JPEG_FIX_OFF)
+        // 65536
+        - 32768
+    )
+    b = yv + (_JPEG_FIX_B_CB * cb + 32768 + _JPEG_FIX_OFF) // 65536 - 32768
+    clip = lambda t: np.clip(t, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def _jpeg_color_dims(media_id: int) -> tuple[int, int]:
+    """16..32 on both axes: spans images needing 1x1 to 2x2 MCU grids,
+    including non-multiple-of-16 dims that force padded edge MCUs in
+    BOTH the luma and chroma planes."""
+    return 16 + media_id % 17, 16 + (media_id * 5) % 17
+
+
+def _jpeg_chroma_params(media_id: int, comp: int, bx: int, by: int):
+    """(c, a) for chroma block (bx, by) of component 1=Cb / 2=Cr. Values
+    are even so the chroma quant table of 16s divides F(0,0) = 8*(c-128)
+    and F(4,4) = 8*a exactly -- quantization lossless BY CONSTRUCTION,
+    like the luma fixtures (and unlike luma, exercising a genuinely
+    different quant table per component). Ranges keep c +- a inside
+    [0, 255] so the IDCT clamp never fires on fixtures (the clamp path
+    has its own crafted test)."""
+    if comp == 1:
+        c = 2 * (48 + (media_id * 13 + by * 11 + bx * 19) % 72)  # 96..238
+        a = 2 * ((media_id + 7 * bx + 3 * by) % 8)  # 0..14
+    else:
+        c = 2 * (44 + (media_id * 17 + by * 7 + bx * 13) % 76)  # 88..238
+        a = 2 * ((media_id + 5 * bx + 7 * by) % 8)
+    return c, a
+
+
+def _jpeg_color_pixels(media_id: int):
+    """Ground-truth decoded RGB, derived arithmetically (the oracle's
+    twin): Y from the grayscale block formulas at full resolution,
+    Cb/Cr from the chroma block formulas at half resolution indexed by
+    (x//2, y//2) -- nearest-neighbor 2x upsample by construction -- then
+    the exact fixed-point YCbCr->RGB. Returns (r, g, b) uint8 h x w."""
+    import numpy as np
+
+    w, h = _jpeg_color_dims(media_id)
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    s = lambda t: np.where((t % 4 == 0) | (t % 4 == 3), 1, -1)  # noqa: E731
+
+    yc = 32 + (media_id * 31 + (y // 8) * 17 + (x // 8) * 7) % 160
+    ya = (media_id + 3 * (x // 8) + 5 * (y // 8)) % 17
+    yv = yc + s(x) * s(y) * ya
+
+    cx, cy = x // 2, y // 2
+    mbx, mby = cx // 8, cy // 8
+    cb = (
+        2 * (48 + (media_id * 13 + mby * 11 + mbx * 19) % 72)
+        + s(cx) * s(cy) * 2 * ((media_id + 7 * mbx + 3 * mby) % 8)
+    )
+    cr = (
+        2 * (44 + (media_id * 17 + mby * 7 + mbx * 13) % 76)
+        + s(cx) * s(cy) * 2 * ((media_id + 5 * mbx + 7 * mby) % 8)
+    )
+    return _jpeg_ycc_to_rgb(
+        yv.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64)
+    )
+
+
+def _jpeg_color_encode(media_id: int, restart_interval: int = 0) -> bytes:
+    """Write a real 3-component baseline JFIF stream with 4:2:0
+    subsampling (Y 2x2, Cb/Cr 1x1) in interleaved MCU order: per MCU
+    four luma blocks (raster within the MCU) then one Cb and one Cr
+    block, three independent DC predictors, luma on quant/Huffman
+    tables 0 and chroma on tables 1 -- the layout every mainstream
+    encoder emits."""
+    import struct
+
+    w, h = _jpeg_color_dims(media_id)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    dc_code = {s: (i, 4) for i, s in enumerate(_JPEG_DC_SYMBOLS)}
+    ac_code = {s: (i, 4) for i, s in enumerate(_JPEG_AC_SYMBOLS)}
+
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wr.raw_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]  # restart resets EVERY DC predictor
+            for vi in range(2):  # 4 luma blocks, raster order in the MCU
+                for hi in range(2):
+                    c, a = _jpeg_block_params(
+                        media_id, 2 * mx + hi, 2 * my + vi
+                    )
+                    preds[0] = _jpeg_write_block(
+                        wr, dc_code, ac_code, c - 128, a, preds[0]
+                    )
+            for comp in (1, 2):  # Cb then Cr, one block each (1x1 sampling)
+                c, a = _jpeg_chroma_params(media_id, comp, mx, my)
+                # chroma quant table is all 16s: quantized DC = (c-128)/2,
+                # quantized (4,4) = a/2 -- exact because c and a are even
+                preds[comp] = _jpeg_write_block(
+                    wr, dc_code, ac_code, (c - 128) // 2, a // 2, preds[comp]
+                )
+            mcu += 1
+    wr.align_ones()
+
+    qtabs = _jpeg_seg(  # both tables packed in ONE DQT segment
+        0xDB,
+        bytes([0x00]) + bytes([8] * 64) + bytes([0x01]) + bytes([16] * 64),
+    )
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes((1, 0x22, 0))  # Y: 2x2 sampling, quant table 0
+        + bytes((2, 0x11, 1))  # Cb: 1x1, quant table 1
+        + bytes((3, 0x11, 1)),  # Cr: 1x1, quant table 1
+    )
+    dht_luma = _jpeg_seg(
+        0xC4,
+        _jpeg_dht_payload(0x00, _JPEG_DC_SYMBOLS)
+        + _jpeg_dht_payload(0x10, _JPEG_AC_SYMBOLS),
+    )
+    dht_chroma = _jpeg_seg(
+        0xC4,
+        _jpeg_dht_payload(0x01, _JPEG_DC_SYMBOLS)
+        + _jpeg_dht_payload(0x11, _JPEG_AC_SYMBOLS),
+    )
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    app0 = _jpeg_seg(
+        0xE0,
+        b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00",
+    )
+    sos = _jpeg_seg(
+        0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    )
+    return (
+        b"\xff\xd8" + app0 + qtabs + sof + dht_luma + dht_chroma + dri + sos
+        + bytes(wr.buf) + b"\xff\xd9"
+    )
+
+
+def _jpeg_parse_color(blob: bytes):
+    """Interleaved multi-component baseline JPEG decode, table-general:
+    any 1- or 3-component stream with per-component sampling factors in
+    {1, 2} (4:4:4, 4:2:2, 4:2:0, ...). Per MCU, each component
+    contributes h x v blocks in raster order, each entropy-decoded with
+    ITS tables and ITS DC predictor; component planes are cropped to
+    their own ceil-scaled dims, upsampled to full resolution by sample
+    replication, and converted YCbCr->RGB in exact fixed-point. A
+    grayscale stream decodes to R=G=B=Y (the JFIF convention), so this
+    is a strict superset of :func:`_jpeg_parse`. Returns
+    (w, h, r, g, b) uint8 h x w channel arrays."""
+    import numpy as np
+
+    comps, w, h, restart_interval, reader = _jpeg_scan_headers_any(blob)
+    zz = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+    basis = _jpeg_idct_basis()
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.empty((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8)
+        for c in comps
+    ]
+    q_arrs = [np.array(c["q"], dtype=np.int64) for c in comps]
+    preds = [0] * len(comps)
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for vi in range(c["v"]):
+                    for hi in range(c["h"]):
+                        coeff_zz, preds[ci] = _jpeg_decode_block_zz(
+                            reader, c["dc"], c["ac"], preds[ci]
+                        )
+                        block = _jpeg_idct_block(
+                            coeff_zz, q_arrs[ci], zz, basis
+                        )
+                        py = (my * c["v"] + vi) * 8
+                        px = (mx * c["h"] + hi) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+            mcu += 1
+
+    out = []
+    for ci, c in enumerate(comps):
+        # T.81 A.1.1: component dims are ceil(full * factor / max)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        p = planes[ci][:ch, :cw]
+        p = np.repeat(p, vmax // c["v"], axis=0)
+        p = np.repeat(p, hmax // c["h"], axis=1)
+        out.append(p[:h, :w].astype(np.int64))
+    if len(out) == 1:
+        gray = out[0].astype(np.uint8)
+        return w, h, gray, gray.copy(), gray.copy()
+    yv, cb, cr = out
+    r, g, b = _jpeg_ycc_to_rgb(yv, cb, cr)
+    return w, h, r, g, b
+
+
+JPEG_COLOR_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "r_sum long, g_sum long, b_sum long, chan_min int, chan_max int, "
+    "wsum_r long, wsum_g long, wsum_b long"
+)
+
+
+def jpeg_color_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(ids) -> real 4:2:0 color JFIF blobs, one per id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "image/jpeg",
+                    "blob": [_jpeg_color_encode(int(m)) for m in mids],
+                    "meta": [{"codec": "jfif-baseline-ycbcr420"} for _ in mids],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+def decode_jpeg_color(media: DataFrame) -> DataFrame:
+    """REAL color-image decode: interleaved-MCU entropy decode with
+    per-component tables and predictors, chroma upsample, fixed-point
+    YCbCr->RGB; exact per-channel integer stats plus position-weighted
+    per-channel checksums that pin every (x, y, channel) value.
+    Shuffle-free Arrow stage, parallelism = input splits."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels",
+                "r_sum", "g_sum", "b_sum", "chan_min", "chan_max",
+                "wsum_r", "wsum_g", "wsum_b",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, r, g, b = _jpeg_parse_color(bytes(blob))
+                fr = r.astype(np.int64).ravel()
+                fg = g.astype(np.int64).ravel()
+                fb = b.astype(np.int64).ravel()
+                weights = 1 + np.arange(fr.size, dtype=np.int64) % 251
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["r_sum"].append(int(fr.sum()))
+                out["g_sum"].append(int(fg.sum()))
+                out["b_sum"].append(int(fb.sum()))
+                out["chan_min"].append(
+                    int(min(fr.min(initial=255), fg.min(initial=255),
+                            fb.min(initial=255)))
+                )
+                out["chan_max"].append(
+                    int(max(fr.max(initial=0), fg.max(initial=0),
+                            fb.max(initial=0)))
+                )
+                out["wsum_r"].append(int((fr * weights).sum()))
+                out["wsum_g"].append(int((fg * weights).sum()))
+                out["wsum_b"].append(int((fb * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=JPEG_COLOR_SCHEMA)

@@ -1214,3 +1214,181 @@ def test_jpeg_dc_thumbnail_matches_blockmeans_and_rejects_bad_input(spark):
             _jpeg_parse_dc(full[:cut])
     with _pytest.raises(ValueError):
         _jpeg_parse_dc(b"\x89PNG" + bytes(32))
+
+
+def test_jpeg_color_roundtrip_is_lossless_and_pinned(spark):
+    """The 4:2:0 color fixtures decode bit-exactly to the arithmetic
+    ground truth (per-component quant lossless by construction), across
+    MCU-grid edge geometries, restart intervals, and truncations."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _jpeg_color_dims,
+        _jpeg_color_encode,
+        _jpeg_color_pixels,
+        _jpeg_encode,
+        _jpeg_parse,
+        _jpeg_parse_color,
+        _jpeg_pixels,
+    )
+
+    # ids 0..16 sweep w in 16..32: covers w%16 in {0..15} (padded edge
+    # MCUs in luma AND chroma planes) and both 1- and 2-MCU columns
+    for mid in range(17):
+        w, h, r, g, b = _jpeg_parse_color(_jpeg_color_encode(mid))
+        assert (w, h) == _jpeg_color_dims(mid)
+        rr, gg, bb = _jpeg_color_pixels(mid)
+        assert np.array_equal(r, rr), mid
+        assert np.array_equal(g, gg), mid
+        assert np.array_equal(b, bb), mid
+
+    # restart intervals: all three DC predictors reset per RST
+    for mid in (3, 7, 19):
+        for ri in (1, 2, 3):
+            _, _, r, g, b = _jpeg_parse_color(
+                _jpeg_color_encode(mid, restart_interval=ri)
+            )
+            rr, gg, bb = _jpeg_color_pixels(mid)
+            assert np.array_equal(r, rr) and np.array_equal(g, gg) and \
+                np.array_equal(b, bb), (mid, ri)
+
+    # a wrong restart marker number must reject, not desync silently
+    blob_rst = _jpeg_color_encode(7, restart_interval=1)
+    assert b"\xff\xd0" in blob_rst.split(b"\xff\xda", 1)[1]
+    with _pytest.raises(ValueError):
+        _jpeg_parse_color(blob_rst.replace(b"\xff\xd0", b"\xff\xd4", 1))
+
+    # truncation at every granularity raises, never spins
+    full = _jpeg_color_encode(9)
+    for cut in (2, 4, 10, 30, len(full) // 3, len(full) // 2, len(full) - 3):
+        with _pytest.raises(ValueError):
+            _jpeg_parse_color(full[:cut])
+
+    # a grayscale stream through the color path: R=G=B=Y (JFIF)
+    gray = _jpeg_encode(5)
+    w, h, r, g, b = _jpeg_parse_color(gray)
+    assert np.array_equal(r, _jpeg_pixels(5))
+    assert np.array_equal(r, g) and np.array_equal(g, b)
+
+    # ... and a color stream through the grayscale path: routed, not
+    # mis-decoded (replaces the r4 blanket multi-component rejection)
+    with _pytest.raises(ValueError, match="color"):
+        _jpeg_parse(full)
+
+
+def test_jpeg_color_guards_and_sampling_variants(spark):
+    """Header guards specific to multi-component streams, plus a
+    hand-built 4:4:4 stream (1x1 sampling everywhere) proving the MCU
+    decode is sampling-general, not hardcoded to 4:2:0."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _JPEG_AC_SYMBOLS,
+        _JPEG_DC_SYMBOLS,
+        _jpeg_color_encode,
+        _jpeg_dht_payload,
+        _jpeg_parse_color,
+        _jpeg_seg,
+        _jpeg_write_block,
+        _jpeg_ycc_to_rgb,
+        _JpegBitWriter,
+    )
+
+    full = _jpeg_color_encode(4)
+
+    # sampling factor 3 rejects by name
+    sof_at = full.index(bytes((1, 0x22, 0)), full.index(b"\xff\xc0"))
+    bad = full[:sof_at] + bytes((1, 0x32, 0)) + full[sof_at + 3 :]
+    with _pytest.raises(ValueError, match="sampling factors"):
+        _jpeg_parse_color(bad)
+
+    # partial (non-interleaved) scan rejects: SOS covering 1 of 3 comps
+    sos_old = _jpeg_seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+    assert sos_old in full
+    sos_one = _jpeg_seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    with _pytest.raises(ValueError, match="non-interleaved"):
+        _jpeg_parse_color(full.replace(sos_old, sos_one, 1))
+
+    # SOS order differing from SOF order rejects (T.81 B.2.3)
+    sos_swapped = _jpeg_seg(
+        0xDA, bytes((3, 2, 0x11, 1, 0x00, 3, 0x11, 0, 63, 0))
+    )
+    with _pytest.raises(ValueError, match="order"):
+        _jpeg_parse_color(full.replace(sos_old, sos_swapped, 1))
+
+    # SOS naming an unknown component id rejects
+    sos_unknown = _jpeg_seg(
+        0xDA, bytes((3, 1, 0x00, 2, 0x11, 9, 0x11, 0, 63, 0))
+    )
+    with _pytest.raises(ValueError, match="unknown component"):
+        _jpeg_parse_color(full.replace(sos_old, sos_unknown, 1))
+
+    # hand-built 4:4:4: one flat block per component, 1x1 sampling, all
+    # on table 0 -- decode must equal the fixed-point conversion of the
+    # constant (Y, Cb, Cr) triple over the full 8x8
+    yv, cbv, crv = 150, 90, 200
+    dc_code = {s: (i, 4) for i, s in enumerate(_JPEG_DC_SYMBOLS)}
+    ac_code = {s: (i, 4) for i, s in enumerate(_JPEG_AC_SYMBOLS)}
+    wr = _JpegBitWriter()
+    for level in (yv, cbv, crv):  # interleaved MCU: Y, Cb, Cr blocks,
+        # each with its OWN DC predictor (starting at 0)
+        _jpeg_write_block(wr, dc_code, ac_code, level - 128, 0, 0)
+    wr.align_ones()
+    blob = (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+        + _jpeg_seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)),
+        )
+        + _jpeg_seg(0xC4, _jpeg_dht_payload(0x00, _JPEG_DC_SYMBOLS))
+        + _jpeg_seg(0xC4, _jpeg_dht_payload(0x10, _JPEG_AC_SYMBOLS))
+        + _jpeg_seg(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+        + bytes(wr.buf)
+        + b"\xff\xd9"
+    )
+    w, h, r, g, b = _jpeg_parse_color(blob)
+    assert (w, h) == (8, 8)
+    er, eg, eb = _jpeg_ycc_to_rgb(
+        np.full((8, 8), yv, dtype=np.int64),
+        np.full((8, 8), cbv, dtype=np.int64),
+        np.full((8, 8), crv, dtype=np.int64),
+    )
+    assert np.array_equal(r, er) and np.array_equal(g, eg) and \
+        np.array_equal(b, eb)
+    # the sanity anchor: Cr >> 128 drives red up, Cb < 128 drives blue down
+    assert r[0, 0] > yv > b[0, 0]
+
+
+def test_jpeg_color_decode_query_plan_is_shuffle_free(spark, sf_dir):
+    """decode_jpeg_color(jpeg_color_media(ids)) must stay two chained
+    Arrow stages over the scan -- zero exchanges, like the grayscale
+    path: embarrassingly parallel at 100 TB."""
+    from dockerized_data_pipeline_spark.plans.multimodal_queries import (
+        x4_jpeg_color_decode,
+    )
+
+    df = x4_jpeg_color_decode(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import numpy as np
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _jpeg_color_pixels,
+    )
+
+    rows = {r.media_id: r for r in df.collect()}
+    mid = next(iter(rows))
+    er, eg, eb = (a.astype(np.int64) for a in _jpeg_color_pixels(mid))
+    got = rows[mid]
+    assert (got.width, got.height) == (er.shape[1], er.shape[0])
+    assert got.r_sum == int(er.sum())
+    assert got.g_sum == int(eg.sum())
+    assert got.b_sum == int(eb.sum())
+    weights = 1 + np.arange(er.size, dtype=np.int64) % 251
+    assert got.wsum_b == int((eb.ravel() * weights).sum())
