@@ -11,13 +11,14 @@ fact table.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .atomic import publish_table
+from .atomic import _commit_lock, publish_table
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # ~128 MB parquet files (SURVEY 4.3)
 
@@ -254,8 +255,7 @@ def vacuum_table(
 # (any tag) treats the compacted dir as prior-corpus, and its own epoch
 # numbering is untouched.
 #
-# Crash-safety is a manifest-commit protocol (run with the stream
-# STOPPED, like any file-table maintenance):
+# Crash-safety is a manifest-commit protocol:
 #   A. write the consolidated rows to a temp dir OUTSIDE the epoch=
 #      namespace (invisible to corpus reads; Spark's _SUCCESS lands last)
 #   B. atomically rename a manifest listing the source dirs into place --
@@ -271,11 +271,62 @@ def vacuum_table(
 # fixed by re-running) but NEVER contains duplicates, which for a dedup
 # index is the correct failure direction -- duplicated signatures would
 # emit duplicate pairs silently.
+#
+# Writer interlock (the docstring used to merely ASK for the stream to be
+# stopped; now it is enforced): every streaming fold holds the index's
+# commit lock via ``index_write_guard`` for its whole read-probe-write,
+# and compaction takes the SAME lock for the source listing and the
+# rename window (B-E). A fold in flight makes compaction wait then fail
+# loudly on lock timeout; a fold that completed an epoch during the bulk
+# rewrite (phase A runs unlocked -- it is O(index)) is caught by
+# re-listing the epoch set under the lock, aborting the compaction with
+# nothing renamed. Consolidated source names are logged to
+# ``_compacted_epochs`` so a crash-REPLAYED micro-batch whose own epoch
+# was compacted while its checkpoint commit was pending fails loudly in
+# ``_epoch_dirs_and_tag`` instead of silently double-counting its own
+# signatures as corpus.
 # ---------------------------------------------------------------------------
 
 _COMPACT_MANIFEST = "_compact_manifest"
 _COMPACT_TMP = "_compact_tmp"
+_COMPACTED_LOG = "_compacted_epochs"
 _TRASH_PREFIX = ".trash-"
+
+
+def compacted_epochs(index_path: str) -> set[str]:
+    """Names of every epoch dir ever consolidated by compaction."""
+    log = os.path.join(index_path, _COMPACTED_LOG)
+    if not os.path.exists(log):
+        return set()
+    with open(log) as f:
+        return {ln for ln in f.read().splitlines() if ln}
+
+
+def _log_compacted(index_path: str, sources) -> None:
+    """Record consolidated source epochs (atomic replace; idempotent, so
+    a replayed recovery appending the same names is harmless)."""
+    merged = sorted(compacted_epochs(index_path) | set(sources))
+    tmp = os.path.join(index_path, _COMPACTED_LOG + ".tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(merged))
+    os.replace(tmp, os.path.join(index_path, _COMPACTED_LOG))
+
+
+@contextlib.contextmanager
+def index_write_guard(index_path: str, wait: float = 30.0):
+    """Serialize an epoch writer (a streaming fold) against
+    ``compact_epoch_index``'s rename window: hold the index commit lock
+    for the fold's whole read-probe-write, and first roll any crashed
+    compaction forward/back so the corpus listing never sees a
+    half-renamed index (sources trashed but the consolidated epoch not
+    yet flipped in = silently dropped signatures). ``stale_after`` is the
+    lock default (60s): compaction's locked section is metadata renames
+    plus the trash sweep, so a lock older than that belongs to a dead
+    process."""
+    with _commit_lock(index_path, wait=wait):
+        if os.path.isdir(index_path):
+            _compact_recover(index_path)
+        yield
 
 
 def _epoch_dirs(index_path: str) -> list[str]:
@@ -312,6 +363,7 @@ def _compact_recover(index_path: str, fault=None) -> None:
                 if fault:
                     fault("recover-flip")
                 os.rename(tmp, target_path)
+            _log_compacted(index_path, sources)
         else:
             # manifest committed but temp lost its _SUCCESS (crash inside
             # A replayed?): roll BACK -- restore trash, drop debris
@@ -343,59 +395,110 @@ def compact_epoch_index(
     index_path: str,
     partition_by: str | None = None,
     fault=None,
+    lock_wait: float = 10.0,
 ) -> dict[str, int]:
     """Consolidate every complete ``epoch=*`` dir under ``index_path``
-    into one foreign-tagged epoch. Run with the writing stream stopped.
-    Idempotent: re-running after a crash at any phase completes or
-    safely rolls back the interrupted attempt first. ``partition_by``
-    re-partitions the consolidated epoch (e.g. ``cluster_id`` for the
-    semantic index, preserving its partition-pruned probes). ``fault``
-    is a test hook called before each rename phase. Returns
-    {"epochs_before": ..., "epochs_after": ...}."""
+    into one foreign-tagged epoch. Idempotent: re-running after a crash
+    at any phase completes or safely rolls back the interrupted attempt
+    first. ``partition_by`` re-partitions the consolidated epoch (e.g.
+    ``cluster_id`` for the semantic index, preserving its
+    partition-pruned probes). ``fault`` is a test hook called before
+    each rename phase. Returns {"epochs_before": ..., "epochs_after": ...}.
+
+    Safe to attempt against a LIVE writing stream (VERDICT r4 round-5
+    item 5): the source listing and the whole rename window run under
+    the index commit lock shared with the streams' ``index_write_guard``,
+    so a micro-batch fold in flight makes this call wait
+    (``lock_wait``) then raise ``TimeoutError`` loudly; and the rename
+    window re-lists the epoch set -- a fold that landed an epoch during
+    the unlocked bulk rewrite aborts the compaction cleanly (temp
+    dropped, nothing renamed). A serialized-but-uncommitted batch whose
+    epoch this run consolidates is caught at its replay by the
+    ``_compacted_epochs`` log. Never a silently dropped or duplicated
+    signature; the failure mode is always an explicit error."""
     import hashlib
 
-    _compact_recover(index_path, fault=None)
-    sources = _epoch_dirs(index_path)
+    with _commit_lock(index_path, wait=lock_wait):
+        _compact_recover(index_path, fault=None)
+        sources = _epoch_dirs(index_path)
     if len(sources) <= 1:
         return {"epochs_before": len(sources), "epochs_after": len(sources)}
 
     digest = hashlib.md5("\n".join(sources).encode()).hexdigest()[:6]
     target = f"epoch=compact{digest}-0"
     tmp = os.path.join(index_path, _COMPACT_TMP)
-    shutil.rmtree(tmp, ignore_errors=True)
+    # phase A writes under a UNIQUE name: a concurrent fold's
+    # index_write_guard recovery rmtrees a fixed-name temp with no
+    # manifest (crashed-attempt debris, correctly), which would delete
+    # THIS attempt's live write out from under Spark's output committer.
+    # The unique temp is invisible to recovery and only renamed to the
+    # protocol's fixed name under the lock. Crashed unique temps (never
+    # renamed) are swept here once stale.
+    import time
+    import uuid
 
+    tmp_unique = tmp + "-" + uuid.uuid4().hex[:8]
+    now = time.time()
+    for stray in os.listdir(index_path):
+        if stray.startswith(_COMPACT_TMP + "-"):
+            p = os.path.join(index_path, stray)
+            with contextlib.suppress(OSError):
+                if now - os.path.getmtime(p) > 3600.0:
+                    shutil.rmtree(p, ignore_errors=True)
+
+    # phase A: bulk rewrite, OUTSIDE the lock -- O(index) work must not
+    # wedge live folds; sources are immutable until the rename window
+    if fault:
+        fault("rewrite")
     df = spark.read.option("basePath", index_path).parquet(
         *[os.path.join(index_path, s) for s in sources]
     ).drop("epoch")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
-    writer.parquet(tmp)  # phase A (Spark writes _SUCCESS last)
+    writer.parquet(tmp_unique)  # Spark writes _SUCCESS last
 
-    # phase B: commit point -- manifest lands atomically
-    manifest_tmp = os.path.join(index_path, _COMPACT_MANIFEST + ".tmp")
-    with open(manifest_tmp, "w") as f:
-        f.write("\n".join([target, *sources]))
-    if fault:
-        fault("commit")
-    os.replace(manifest_tmp, os.path.join(index_path, _COMPACT_MANIFEST))
-
-    # phase C: retire sources (atomic renames out of the epoch= namespace)
-    for src in sources:
+    with _commit_lock(index_path, wait=lock_wait):
+        if _epoch_dirs(index_path) != sources:
+            shutil.rmtree(tmp_unique, ignore_errors=True)
+            raise RuntimeError(
+                f"compact_epoch_index aborted: the epoch set under "
+                f"{index_path} changed during the rewrite (a writing "
+                "stream is live); stop the stream or re-run to pick up "
+                "the new epochs"
+            )
+        shutil.rmtree(tmp, ignore_errors=True)  # crashed-attempt leftover
+        os.rename(tmp_unique, tmp)
+        # phase B: commit point -- manifest lands atomically
+        manifest_tmp = os.path.join(index_path, _COMPACT_MANIFEST + ".tmp")
+        with open(manifest_tmp, "w") as f:
+            f.write("\n".join([target, *sources]))
         if fault:
-            fault("trash")
-        os.rename(
-            os.path.join(index_path, src),
-            os.path.join(index_path, _TRASH_PREFIX + src),
-        )
-    # phase D: the consolidated epoch appears
-    if fault:
-        fault("flip")
-    os.rename(tmp, os.path.join(index_path, target))
-    # phase E: cleanup
-    for src in sources:
-        shutil.rmtree(
-            os.path.join(index_path, _TRASH_PREFIX + src), ignore_errors=True
-        )
-    os.remove(os.path.join(index_path, _COMPACT_MANIFEST))
+            fault("commit")
+        os.replace(manifest_tmp, os.path.join(index_path, _COMPACT_MANIFEST))
+
+        # phase C: retire sources (atomic renames out of the epoch=
+        # namespace)
+        for src in sources:
+            if fault:
+                fault("trash")
+            os.rename(
+                os.path.join(index_path, src),
+                os.path.join(index_path, _TRASH_PREFIX + src),
+            )
+        # phase D: the consolidated epoch appears
+        if fault:
+            fault("flip")
+        os.rename(tmp, os.path.join(index_path, target))
+        _log_compacted(index_path, sources)
+        # phase E: cleanup (trash before manifest: recovery with no
+        # manifest RESTORES trash strays, so the manifest must outlive
+        # them; signature epochs are slim, so the sweep stays well under
+        # the peers' 60s stale-break horizon)
+        for src in sources:
+            shutil.rmtree(
+                os.path.join(index_path, _TRASH_PREFIX + src),
+                ignore_errors=True,
+            )
+        os.remove(os.path.join(index_path, _COMPACT_MANIFEST))
     return {"epochs_before": len(sources), "epochs_after": 1}

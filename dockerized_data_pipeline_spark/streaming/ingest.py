@@ -253,7 +253,34 @@ def _epoch_dirs_and_tag(
     import hashlib
     import os
 
+    from ..operators.maintenance import compacted_epochs
+
     tag = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+    if os.path.isdir(index_path):
+        # Epochs consolidated by compact_epoch_index live on inside a
+        # foreign-tagged compacted dir -- corpus, by design. But if one
+        # of THIS RUN's epochs numbered >= the current batch was
+        # consolidated, the batch being (re)played wrote that epoch and
+        # never committed its checkpoint: its own signatures are now
+        # corpus and every pair would silently double. Fail loudly.
+        for e in compacted_epochs(index_path):
+            val = e.split("=", 1)[1] if e.startswith("epoch=") else e
+            run_tag, _sep, num = val.rpartition("-")
+            try:
+                n = int(num)
+            except ValueError:
+                continue
+            if run_tag == tag and n >= epoch_id:
+                raise RuntimeError(
+                    f"epoch {e!r} of this run (batch id {n}, current "
+                    f"batch {epoch_id}) was consolidated by "
+                    "compact_epoch_index while its checkpoint commit was "
+                    "still pending: the replayed batch's own signatures "
+                    "are inside a foreign-tagged compacted epoch and "
+                    "would be double-counted as corpus. Restart the "
+                    "stream under a fresh checkpoint path (new tag), or "
+                    "restore the index from backup."
+                )
     prior: list[str] = []
     if os.path.isdir(index_path):
         for e in os.listdir(index_path):
@@ -343,6 +370,7 @@ def neardup_stream(
     import os
 
     from ..operators.dedup import incremental_neardup_pairs, minhash_signatures
+    from ..operators.maintenance import index_write_guard
 
     num_hashes = bands * rows_per_band
 
@@ -358,33 +386,44 @@ def neardup_stream(
         # picks the corpus flavor). A fresh-checkpoint restart instead
         # gets a new tag, so pre-existing epochs stay corpus and batch 0
         # cannot overwrite them.
-        prior, tag = _epoch_dirs_and_tag(index_path, checkpoint_dir, epoch_id)
-        if prior:
-            corpus_sig = spark.read.option("basePath", index_path).parquet(
-                *prior
-            ).select("doc", *[f"mh{i}" for i in range(num_hashes)])
-        else:
-            corpus_sig = spark.createDataFrame(
-                [],
-                "doc long, " + ", ".join(f"mh{i} long" for i in range(num_hashes)),
+        #
+        # index_write_guard: hold the index lock for the whole
+        # read-probe-write so compact_epoch_index's rename window
+        # serializes against this fold instead of trashing the corpus
+        # dirs mid-read (maintenance.py's writer interlock).
+        with index_write_guard(index_path):
+            prior, tag = _epoch_dirs_and_tag(
+                index_path, checkpoint_dir, epoch_id
             )
-        pairs = incremental_neardup_pairs(
-            corpus_sig,
-            batch_df,
-            id_col,
-            text_col,
-            n=n,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            min_est_jaccard_ppm=min_est_jaccard_ppm,
-        )
-        pairs.write.mode("overwrite").parquet(
-            f"{pairs_path}/epoch={tag}-{epoch_id}"
-        )
-        batch_sig = minhash_signatures(batch_df, id_col, text_col, n, num_hashes)
-        batch_sig.write.mode("overwrite").parquet(
-            f"{index_path}/epoch={tag}-{epoch_id}"
-        )
+            if prior:
+                corpus_sig = spark.read.option("basePath", index_path).parquet(
+                    *prior
+                ).select("doc", *[f"mh{i}" for i in range(num_hashes)])
+            else:
+                corpus_sig = spark.createDataFrame(
+                    [],
+                    "doc long, "
+                    + ", ".join(f"mh{i} long" for i in range(num_hashes)),
+                )
+            pairs = incremental_neardup_pairs(
+                corpus_sig,
+                batch_df,
+                id_col,
+                text_col,
+                n=n,
+                bands=bands,
+                rows_per_band=rows_per_band,
+                min_est_jaccard_ppm=min_est_jaccard_ppm,
+            )
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/epoch={tag}-{epoch_id}"
+            )
+            batch_sig = minhash_signatures(
+                batch_df, id_col, text_col, n, num_hashes
+            )
+            batch_sig.write.mode("overwrite").parquet(
+                f"{index_path}/epoch={tag}-{epoch_id}"
+            )
 
     writer = (
         stream_docs.writeStream.foreachBatch(fold)
@@ -425,6 +464,7 @@ def semantic_dedup_stream(
     """
     import os
 
+    from ..operators.maintenance import index_write_guard
     from ..operators.similarity import semantic_pairs_against, unit_assigned
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
@@ -440,25 +480,30 @@ def semantic_dedup_stream(
         clusters = sorted(
             r.cluster_id for r in b.select("cluster_id").distinct().collect()
         )
-        prior, tag = _epoch_dirs_and_tag(index_path, checkpoint_dir, epoch_id)
-        if prior:
-            corpus = (
-                spark.read.option("basePath", index_path)
-                .parquet(*prior)
-                .filter(F.col("cluster_id").isin(clusters))
-                .select(id_col, "cluster_id", "u")
+        # index_write_guard: serialize the corpus read + epoch write
+        # against compact_epoch_index's rename window (see neardup fold)
+        with index_write_guard(index_path):
+            prior, tag = _epoch_dirs_and_tag(
+                index_path, checkpoint_dir, epoch_id
             )
-        else:
-            corpus = spark.createDataFrame(
-                [], f"{id_col} long, cluster_id int, u array<double>"
+            if prior:
+                corpus = (
+                    spark.read.option("basePath", index_path)
+                    .parquet(*prior)
+                    .filter(F.col("cluster_id").isin(clusters))
+                    .select(id_col, "cluster_id", "u")
+                )
+            else:
+                corpus = spark.createDataFrame(
+                    [], f"{id_col} long, cluster_id int, u array<double>"
+                )
+            pairs = semantic_pairs_against(b, corpus, threshold, id_col)
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/epoch={tag}-{epoch_id}"
             )
-        pairs = semantic_pairs_against(b, corpus, threshold, id_col)
-        pairs.write.mode("overwrite").parquet(
-            f"{pairs_path}/epoch={tag}-{epoch_id}"
-        )
-        b.write.partitionBy("cluster_id").mode("overwrite").parquet(
-            f"{index_path}/epoch={tag}-{epoch_id}"
-        )
+            b.write.partitionBy("cluster_id").mode("overwrite").parquet(
+                f"{index_path}/epoch={tag}-{epoch_id}"
+            )
 
     writer = (
         stream_vecs.writeStream.foreachBatch(fold)

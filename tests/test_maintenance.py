@@ -279,8 +279,18 @@ def test_compact_epoch_index_crash_at_every_phase_recovers(spark, tmp_path):
         leftovers = [
             e for e in os.listdir(index_path)
             if e.startswith((".trash-", "_compact"))
+            and e != "_compacted_epochs"  # the log is permanent, not debris
         ]
         assert leftovers == [], (phase, leftovers)
+        # the consolidated sources are on the log no matter where the
+        # first attempt crashed (replay-protection for live streams)
+        from dockerized_data_pipeline_spark.operators.maintenance import (
+            compacted_epochs,
+        )
+
+        assert {f"epoch=run1-{e}" for e in range(6)} <= compacted_epochs(
+            index_path
+        ), phase
 
 
 def test_compact_epoch_index_preserves_partitioning(spark, tmp_path):

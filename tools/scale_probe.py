@@ -1,9 +1,18 @@
-"""Scale probe: run the heavy dedup/similarity paths on an N-fold union of
-the sf0.1 fixtures to check for parallelism cliffs that the per-query bench
-cannot see (single-task stages, projection-collapse re-evaluation, hot
-buckets). Prints one JSON line.
+"""Scale probe: run the heavy dedup/similarity paths -- and the real
+media codec stages -- on an N-fold union of the sf0.1 fixtures to check
+for parallelism cliffs that the per-query bench cannot see (single-task
+stages, projection-collapse re-evaluation, hot buckets, super-linear
+per-blob decode cost). Prints one JSON line.
 
-Usage: python tools/scale_probe.py [multiplier]   (default 10)
+Usage: python tools/scale_probe.py [multiplier] [section]
+  multiplier  fixture fan-out factor (default 10)
+  section     "llm" | "media" | "all" (default all)
+
+The media section times ONLY the decode stage (blob synthesis is
+materialized first into a 32-partition localCheckpoint, the layout a
+32-file parquet media table would scan as) and reports per-blob
+milliseconds -- the number that must stay FLAT across 10x/50x for the
+"scan-bound, embarrassingly parallel" claim to hold.
 """
 
 from __future__ import annotations
@@ -17,17 +26,12 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def main() -> int:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-
+def _llm_stages(spark, results: dict, mult: int) -> int:
     from pyspark.sql import functions as F
 
     from dockerized_data_pipeline_spark.functions import text as TX
     from dockerized_data_pipeline_spark.operators import dedup as DD
-    from dockerized_data_pipeline_spark.session import get_session
-
-    spark = get_session("scale-probe")
-    spark.sparkContext.setLogLevel("ERROR")
+    from dockerized_data_pipeline_spark.operators import similarity as SIM
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     big = docs
@@ -37,8 +41,6 @@ def main() -> int:
         )
     big = big.repartition(32).localCheckpoint()
     n_docs = big.count()
-
-    results: dict[str, float] = {}
 
     t0 = time.time()
     DD.minhash_neardup_pairs_native(big, "doc_id", "text").count()
@@ -51,8 +53,6 @@ def main() -> int:
     t0 = time.time()
     DD.exact_dedup(big, ["text"]).count()
     results["exact_dedup"] = round(time.time() - t0, 2)
-
-    from dockerized_data_pipeline_spark.operators import similarity as SIM
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     bige = emb
@@ -110,16 +110,82 @@ def main() -> int:
     t0 = time.time()
     SIM.semantic_dedup_incremental(spark, idx, ebatch, threshold=0.35).count()
     results["incremental_semantic"] = round(time.time() - t0, 2)
+    return n_docs
+
+
+def _media_stages(spark, results: dict, mult: int) -> int:
+    """Per-codec decode cost at mult-x blob counts. Each codec's blobs
+    are synthesized once into a 32-partition in-memory checkpoint; the
+    timed stage is decode ONLY. A flat <codec>_per_blob_ms across
+    multipliers = linear scaling (VERDICT r4 round-5 item 6)."""
+    from pyspark.sql import functions as F
+
+    from dockerized_data_pipeline_spark.functions import multimodal as MM
+
+    ids = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    big = ids
+    for i in range(1, mult):
+        big = big.unionByName(
+            ids.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        )
+    big = big.repartition(32).localCheckpoint()
+    n_blobs = big.count()
+
+    codecs = [
+        ("jpeg", MM.jpeg_media, MM.decode_jpeg),
+        ("jpeg_dc_thumb", MM.jpeg_media, MM.decode_jpeg_thumbnail),
+        ("jpeg_color", MM.jpeg_color_media, MM.decode_jpeg_color),
+        ("png", MM.png_media, MM.decode_png),
+        ("y4m_motion", MM.y4m_media, MM.y4m_frame_motion),
+    ]
+    blobs_cache: dict = {}
+    for name, make_media, decode in codecs:
+        key = make_media.__name__
+        if key not in blobs_cache:
+            blobs_cache[key] = make_media(big).localCheckpoint()
+            blobs_cache[key].count()  # materialize: synthesis excluded
+        media = blobs_cache[key]
+        t0 = time.time()
+        decode(media).count()
+        dt = time.time() - t0
+        results[name] = round(dt, 2)
+        results[f"{name}_per_blob_ms"] = round(dt * 1000.0 / n_blobs, 3)
+    for df in blobs_cache.values():
+        df.unpersist()
+    return n_blobs
+
+
+def main() -> int:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    section = sys.argv[2] if len(sys.argv) > 2 else "all"
+
+    from dockerized_data_pipeline_spark.session import get_session
+
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    n_docs = 0
+    if section in ("all", "llm"):
+        n_docs = _llm_stages(spark, results, mult)
+    n_blobs = 0
+    if section in ("all", "media"):
+        n_blobs = _media_stages(spark, results, mult)
 
     print(
         json.dumps(
             {
                 "metric": "scale_probe_total",
-                "value": round(sum(results.values()), 2),
+                "value": round(
+                    sum(v for k, v in results.items() if not k.endswith("_ms")),
+                    2,
+                ),
                 "unit": "sec",
                 "stages": results,
                 "n_docs": n_docs,
+                "n_blobs": n_blobs,
                 "multiplier": mult,
+                "section": section,
             }
         )
     )
