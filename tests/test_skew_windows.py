@@ -117,3 +117,85 @@ def test_salted_join_bounds_hot_key_task_skew(spark):
     finally:
         for c, v in old.items():
             spark.conf.set(c, v)
+
+
+def test_tuned_skew_conf_scales_with_partition_stats():
+    """The tuned AQE profile (session.tuned_skew_conf) derives all three
+    skew knobs from the observed median partition size, with 1 MiB floors."""
+    from dockerized_data_pipeline_spark.session import tuned_skew_conf
+
+    c = tuned_skew_conf(10 << 20)  # 10 MiB median
+    assert c["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"] == str(20 << 20)
+    assert c["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == str(10 << 20)
+    assert c["spark.sql.adaptive.skewJoin.skewedPartitionFactor"] == "2.0"
+
+    tiny = tuned_skew_conf(10)  # floors: never sub-MiB thresholds
+    assert tiny["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"] == str(1 << 20)
+    assert tiny["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == str(1 << 20)
+
+    wide = tuned_skew_conf(256 << 20, factor=3.0)  # cluster-scale median
+    assert wide["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"] == str(768 << 20)
+    assert wide["spark.sql.adaptive.skewJoin.skewedPartitionFactor"] == "3.0"
+
+
+def test_tuned_skew_profile_splits_hot_partition(spark):
+    """At probe-scale partition sizes Spark's DEFAULT skew thresholds never
+    fire (256 MB absolute), leaving the hot key in ONE post-join partition;
+    the tuned profile scaled to the real median splits it across several.
+    Mirrors tools/skew_probe.py's 'aqe' vs 'aqe (tuned)' rows in-test."""
+    from dockerized_data_pipeline_spark.session import tuned_skew_conf
+
+    n = 240_000
+    # hot key 7 holds ~2/3 of rows; ~96B incompressible payload per row so
+    # the hot shuffle partition is a few MiB even after lz4
+    fact = spark.range(n).select(
+        F.when(F.pmod(F.col("id"), F.lit(3)) != 0, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(997)))
+        .alias("k"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("x"))),
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("y"))),
+        ).alias("payload"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d_"), F.col("id")).alias("label")
+    )
+
+    def hot_spread(conf: dict) -> int:
+        old = {k: spark.conf.get(k, None) for k in conf}
+        try:
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            # collect()ing max(payload) keeps the wide column alive through
+            # the join: a bare .distinct().count() (or .count() over this
+            # aggregate) lets column pruning strip payload from the shuffle,
+            # deflating the hot partition below any threshold
+            return len(
+                fact.join(dim, "k")
+                .filter(F.col("k") == 7)
+                .withColumn("__pid", F.spark_partition_id())
+                .groupBy("__pid")
+                .agg(F.max("payload").alias("mx"))
+                .collect()
+            )
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    force_shuffle = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    # default thresholds: skew split never fires -> one straggler partition
+    assert hot_spread(force_shuffle) == 1
+    # tuned to the observed median (non-hot keys: ~n/3 rows over 8
+    # partitions at ~100B/row -> ~1 MiB median): the hot partition splits
+    tuned = dict(force_shuffle)
+    tuned.update(tuned_skew_conf((n // 3) * 100 // 8))
+    assert hot_spread(tuned) >= 2

@@ -10,8 +10,11 @@ large to broadcast, which is exactly when skew hurts.
 Variants:
   * plain      -- AQE off: the hot key is ONE shuffle partition = one
                   straggler task doing ~20% of all probe work
-  * aqe        -- AQE skew-join split (session default): runtime splits
-                  the oversized partition
+  * aqe        -- AQE skew-join split at Spark's DEFAULT thresholds
+                  (256 MB absolute): never fires at probe partition sizes
+  * aqe (tuned)-- session.tuned_skew_conf: thresholds re-derived from the
+                  median shuffle-partition size measured on the plain run,
+                  so the split fires where the data says it should
   * salted     -- operators.skew.hot_key_salted_join: explicit partial
                   salting of detected hot keys (AQE off, to isolate)
 
@@ -114,6 +117,30 @@ def worst_stage_task_skew(spark, first_stage_after: int):
     return worst[1], worst[2], worst[3], worst[4]
 
 
+def median_shuffle_read_bytes(spark, first_stage_after: int):
+    """Median per-task shuffle-read bytes of the heaviest shuffle-read
+    stage newer than the watermark -- the partition stat the tuned AQE
+    profile scales its thresholds from (session.tuned_skew_conf)."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    stages = _rest(f"{base}/api/v1/applications/{app_id}/stages?status=complete")
+    new = [
+        s for s in stages
+        if s["stageId"] >= first_stage_after and s.get("shuffleReadBytes", 0) > 0
+    ]
+    if not new:
+        return None
+    s = max(new, key=lambda s: s["shuffleReadBytes"])
+    q = _rest(
+        f"{base}/api/v1/applications/{app_id}/stages/{s['stageId']}/"
+        f"{s['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+    )
+    rb = q.get("shuffleReadMetrics", {}).get("readBytes")
+    if rb:
+        return int(rb[1])
+    return int(s["shuffleReadBytes"] / max(s.get("numCompleteTasks", 1), 1))
+
+
 def run_variant(spark, name: str, build, conf: dict):
     from pyspark.sql import functions as F
 
@@ -140,6 +167,7 @@ def run_variant(spark, name: str, build, conf: dict):
     skew = worst_stage_task_skew(spark, next_stage)
     mx, med, ntasks, stage_id = skew if skew else (0, 0, 0, -1)
     factor = (mx / med) if med else float("inf")
+    shuffle_med = median_shuffle_read_bytes(spark, next_stage)
     print(
         f"{name:>14}: wall {wall:6.2f}s  rows {n}  worst-stage task "
         f"max/median {mx:.0f}/{med:.0f} ms = {factor:.1f}x "
@@ -147,7 +175,8 @@ def run_variant(spark, name: str, build, conf: dict):
     )
     return {"variant": name, "wall_sec": round(wall, 2), "rows": n,
             "task_max_ms": mx, "task_median_ms": med,
-            "straggler_factor": round(factor, 2)}
+            "straggler_factor": round(factor, 2),
+            "shuffle_median_bytes": shuffle_med}
 
 
 def main():
@@ -156,7 +185,7 @@ def main():
     if len(sys.argv) > 2:
         ALPHA = float(sys.argv[2])
     from dockerized_data_pipeline_spark.operators.skew import hot_key_salted_join
-    from dockerized_data_pipeline_spark.session import get_session
+    from dockerized_data_pipeline_spark.session import get_session, tuned_skew_conf
 
     spark = get_session(
         "skew-probe",
@@ -189,6 +218,21 @@ def main():
             spark, "aqe", lambda: fact.join(dim, "k"),
             {"spark.sql.adaptive.enabled": "true",
              "spark.sql.adaptive.skewJoin.enabled": "true"},
+        ),
+    ]
+    # Tuned profile (VERDICT r4 item 7): thresholds scaled to the median
+    # shuffle-partition size MEASURED on the plain run, not Spark's
+    # cluster-scale absolute defaults under which the split never fires
+    # at probe sizes.
+    med_bytes = results[0]["shuffle_median_bytes"] or (n_rows * 20 // 64)
+    print(
+        f"measured median shuffle partition: {med_bytes} bytes -> tuned "
+        f"threshold {tuned_skew_conf(med_bytes)['spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes']} bytes"
+    )
+    results += [
+        run_variant(
+            spark, "aqe (tuned)", lambda: fact.join(dim, "k"),
+            tuned_skew_conf(med_bytes),
         ),
         run_variant(
             spark, "salted",
