@@ -63,6 +63,8 @@ HEADLINE = [
     "x4_jpeg_decode",
     # r5 addition: color JPEG (4:2:0 interleaved MCUs, YCbCr->RGB)
     "x4_jpeg_color_decode",
+    # r5 addition: progressive JPEG (multi-scan SOF2, EOB runs, SA refine)
+    "x4_jpeg_progressive_decode",
 ]
 
 

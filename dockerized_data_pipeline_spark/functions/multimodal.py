@@ -1100,6 +1100,14 @@ assert _JPEG_ZIGZAG[39] == 4 * 8 + 4  # (4,4) -- the checkerboard basis
 # it rebuilds whatever canonical tables the DHT segments declare.
 _JPEG_DC_SYMBOLS = list(range(12))  # DC difference categories 0..11
 _JPEG_AC_SYMBOLS = [0x00, 0xF0] + [0x60 | s for s in range(1, 11)]  # EOB, ZRL, (6,s)
+# progressive encoder alphabet: EOB0..EOB4 (block runs to 31), ZRL,
+# (run 0, size) for band-start coefficients, (run 6, size) for the
+# checkerboard position after 2 ZRLs
+_JPEG_PROG_AC_SYMBOLS = (
+    [0x00, 0x10, 0x20, 0x30, 0x40, 0xF0]
+    + [s for s in range(1, 11)]
+    + [0x60 | s for s in range(1, 11)]
+)
 
 
 def _jpeg_dims(media_id: int) -> tuple[int, int]:
@@ -1168,9 +1176,9 @@ def _jpeg_seg(marker: int, payload: bytes) -> bytes:
     return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
 
 
-def _jpeg_dht_payload(tc_th: int, symbols: list[int]) -> bytes:
+def _jpeg_dht_payload(tc_th: int, symbols: list[int], length: int = 4) -> bytes:
     counts = [0] * 16
-    counts[3] = len(symbols)  # all codes length 4
+    counts[length - 1] = len(symbols)  # all codes at one length
     return bytes([tc_th] + counts + symbols)
 
 
@@ -1461,7 +1469,11 @@ def _jpeg_scan_headers_any(blob: bytes):
             if ncomp == 1 and (sof_comps[0]["h"], sof_comps[0]["v"]) != (1, 1):
                 raise ValueError("subsampling unsupported for grayscale")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            kind = "progressive" if marker in (0xC2, 0xC6, 0xCA) else "extended"
+            if marker == 0xC2:
+                raise ValueError(
+                    "progressive JPEG (SOF2): use the progressive decode path"
+                )
+            kind = "progressive" if marker in (0xC6, 0xCA) else "extended"
             raise ValueError(f"{kind} JPEG (SOF{marker - 0xC0}) unsupported")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -1943,6 +1955,17 @@ def _jpeg_parse_color(blob: bytes):
                         planes[ci][py : py + 8, px : px + 8] = block
             mcu += 1
 
+    return (w, h) + _jpeg_assemble_rgb(comps, planes, w, h, hmax, vmax)
+
+
+def _jpeg_assemble_rgb(comps, planes, w, h, hmax, vmax):
+    """Shared decode tail (baseline color + progressive): crop each
+    component plane to its ceil-scaled dims (T.81 A.1.1), upsample to
+    full resolution by sample replication, and convert YCbCr->RGB in
+    exact fixed-point; a 1-component stream yields R=G=B=Y (JFIF
+    grayscale convention). Returns (r, g, b) uint8 h x w."""
+    import numpy as np
+
     out = []
     for ci, c in enumerate(comps):
         # T.81 A.1.1: component dims are ceil(full * factor / max)
@@ -1954,10 +1977,9 @@ def _jpeg_parse_color(blob: bytes):
         out.append(p[:h, :w].astype(np.int64))
     if len(out) == 1:
         gray = out[0].astype(np.uint8)
-        return w, h, gray, gray.copy(), gray.copy()
+        return gray, gray.copy(), gray.copy()
     yv, cb, cr = out
-    r, g, b = _jpeg_ycc_to_rgb(yv, cb, cr)
-    return w, h, r, g, b
+    return _jpeg_ycc_to_rgb(yv, cb, cr)
 
 
 JPEG_COLOR_SCHEMA = (
@@ -1991,6 +2013,13 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
     YCbCr->RGB; exact per-channel integer stats plus position-weighted
     per-channel checksums that pin every (x, y, channel) value.
     Shuffle-free Arrow stage, parallelism = input splits."""
+    return _jpeg_color_stats_decoder(media, _jpeg_parse_color)
+
+
+def _jpeg_color_stats_decoder(media: DataFrame, parse_fn) -> DataFrame:
+    """Shared Arrow stats body for the RGB-producing decoders (baseline
+    color and progressive): per-channel integer stats + per-channel
+    position-weighted checksums. Shuffle-free, scan-speed parallel."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2001,7 +2030,7 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
                 "wsum_r", "wsum_g", "wsum_b",
             )}
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, r, g, b = _jpeg_parse_color(bytes(blob))
+                w, h, r, g, b = parse_fn(bytes(blob))
                 fr = r.astype(np.int64).ravel()
                 fg = g.astype(np.int64).ravel()
                 fb = b.astype(np.int64).ravel()
@@ -2027,3 +2056,723 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=JPEG_COLOR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, ITU T.81 Annex G): the OTHER half of real-world
+# JPEG. Web corpora are full of progressive streams (most encoders emit
+# them at quality presets; large images almost always), and the baseline
+# decoder above rejects them by design. Progressive transmits each
+# image's DCT coefficients across MULTIPLE scans -- spectral selection
+# (frequency bands per scan) and successive approximation (high-order
+# magnitude bits first, one refinement bit per later scan) -- with
+# end-of-band (EOBn) run codes spanning whole blocks. The decoder below
+# is table-general and spec-complete for 8-bit SOF2: interleaved DC
+# scans, non-interleaved AC band scans, DC+AC refinement (correction
+# bits, T.81 G.1.2.3), EOB runs, restart markers, multi-scan DHT
+# redefinition. The fixture encoder re-encodes the SAME pixel content as
+# the baseline color fixtures (identical block parameters), so
+# progressive decode must equal baseline color decode bit-for-bit and
+# the x4_jpeg_color_decode oracle replays it unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_parse_progressive(blob: bytes):
+    """Progressive (SOF2) JPEG decode. Multi-scan driver: the marker
+    walk persists quant/Huffman tables ACROSS scans (real encoders emit
+    fresh DHTs before most scans), each SOS decodes one scan into the
+    per-component coefficient store, and dequant + IDCT + upsample +
+    YCbCr->RGB run once at EOI over the final coefficients. Returns
+    (w, h, r, g, b) uint8 h x w channel arrays -- same contract as
+    :func:`_jpeg_parse_color`, and bit-identical to it on streams that
+    carry the same coefficients."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    n = len(blob)
+    i = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = None
+    sof_comps: list[dict] = []
+    restart_interval = 0
+    coeffs: list = []  # per comp: int64[bh, bw, 64] in ZIGZAG index space
+    dc_started: list[bool] = []
+    mcux = mcuy = hmax = vmax = 0
+    nblocks: list[tuple[int, int]] = []  # non-interleaved (bw, bh) per comp
+
+    while True:
+        if i + 2 > n:
+            raise ValueError("truncated JPEG marker stream")
+        if blob[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        while blob[i + 1] == 0xFF:  # optional fill bytes (T.81 B.1.1.2)
+            i += 1
+            if i + 2 > n:
+                raise ValueError("truncated JPEG marker stream")
+        marker = blob[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:
+            raise ValueError("unexpected RST marker outside scan")
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", blob[i : i + 2])
+        if seglen < 2 or i + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        seg = blob[i + 2 : i + seglen]
+        i += seglen
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                if j + 65 > len(seg):
+                    raise ValueError("truncated DQT table")
+                qtables[tq] = list(seg[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC4:  # DHT -- may be redefined between scans
+            j = 0
+            while j < len(seg):
+                if j + 17 > len(seg):
+                    raise ValueError("truncated DHT header")
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = list(seg[j + 1 : j + 17])
+                total = sum(counts)
+                if j + 17 + total > len(seg):
+                    raise ValueError("truncated DHT symbols")
+                symbols = list(seg[j + 17 : j + 17 + total])
+                (dc_tables if tc == 0 else ac_tables)[th] = _jpeg_build_huff(
+                    counts, symbols
+                )
+                j += 17 + total
+        elif marker == 0xC2:  # SOF2: progressive DCT
+            if sof_comps:
+                raise ValueError("multiple SOF segments")
+            if len(seg) < 6:
+                raise ValueError("truncated SOF2 segment")
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported (grayscale or YCbCr)"
+                )
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF2 component specs")
+            if w == 0 or h == 0 or w * h > 16_777_216:
+                raise ValueError(f"JPEG dimensions out of range: {w}x{h}")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {ch}x{cv} unsupported (1 or 2)"
+                    )
+                sof_comps.append({"cid": cid, "h": ch, "v": cv, "tq": tq})
+            hmax = max(c["h"] for c in sof_comps)
+            vmax = max(c["v"] for c in sof_comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in sof_comps:
+                coeffs.append(
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                )
+                dc_started.append(False)
+                # T.81 A.2.2: non-interleaved scans cover the component's
+                # OWN ceil-scaled dims, not the MCU-padded grid
+                cw = -(-w * c["h"] // hmax)
+                chh = -(-h * c["v"] // vmax)
+                nblocks.append((-(-cw // 8), -(-chh // 8)))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"SOF{marker - 0xC0} stream in the progressive decoder: "
+                "route baseline streams to the baseline paths"
+            )
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: one progressive scan
+            if not sof_comps:
+                raise ValueError("SOS before SOF")
+            ns = seg[0] if seg else 0
+            if len(seg) < 1 + 2 * ns + 3 or ns < 1:
+                raise ValueError("truncated SOS segment")
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            by_cid = {c["cid"]: ci for ci, c in enumerate(sof_comps)}
+            scan_cis = []
+            scan_tabs = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in by_cid:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                scan_cis.append(by_cid[cs])
+                scan_tabs.append((tdta >> 4, tdta & 0x0F))
+            reader = _JpegBitReader(blob, i)
+            _jpeg_decode_progressive_scan(
+                reader, sof_comps, coeffs, dc_started, nblocks,
+                mcux, mcuy, scan_cis, scan_tabs, dc_tables, ac_tables,
+                ss, se, ah, al, restart_interval,
+            )
+            reader.nbits = 0  # drop padding bits before the next marker
+            i = reader.pos
+        # APPn / COM / anything else: skipped
+
+    if not sof_comps:
+        raise ValueError("no SOF2 frame before EOI")
+    if not all(dc_started):
+        raise ValueError("component missing its first DC scan")
+    zz = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+    basis = _jpeg_idct_basis()
+    planes = []
+    for ci, c in enumerate(sof_comps):
+        if c["tq"] not in qtables:
+            raise ValueError("frame references missing quant table")
+        q_zz = np.array(qtables[c["tq"]], dtype=np.int64)
+        bh_i, bw_i = coeffs[ci].shape[:2]
+        plane = np.empty((bh_i * 8, bw_i * 8), dtype=np.uint8)
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _jpeg_idct_block(coeffs[ci][by, bx], q_zz, zz, basis)
+                )
+        planes.append(plane)
+    return (w, h) + _jpeg_assemble_rgb(sof_comps, planes, w, h, hmax, vmax)
+
+
+def _jpeg_decode_progressive_scan(
+    reader, sof_comps, coeffs, dc_started, nblocks, mcux, mcuy,
+    scan_cis, scan_tabs, dc_tables, ac_tables, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode ONE progressive scan into the coefficient store. Validates
+    the T.81 G scan-header constraints, then dispatches: interleaved or
+    single-component DC scans (first pass Huffman-coded, refinements one
+    raw bit per block), and single-component AC band scans (first pass
+    with EOBn run codes, refinement with correction bits per G.1.2.3).
+    Restart markers reset DC predictors and the EOB run."""
+    if se > 63 or ss > 63:
+        raise ValueError("spectral band out of range")
+    if al > 13 or (ah and ah != al + 1):
+        # successive approximation reveals exactly one bit per scan
+        raise ValueError("invalid successive-approximation Ah/Al")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0 (no DC+AC mixed scans)")
+    else:
+        if len(scan_cis) != 1:
+            raise ValueError("AC scans must be single-component (T.81 G.1)")
+        if se < ss:
+            raise ValueError("empty spectral band")
+
+    if ss == 0:
+        dc_tabs = []
+        for (td, _ta), ci in zip(scan_tabs, scan_cis):
+            if ah == 0:
+                if td not in dc_tables:
+                    raise ValueError("scan references missing Huffman table")
+                dc_tabs.append(dc_tables[td])
+            else:
+                if not dc_started[ci]:
+                    raise ValueError(
+                        "DC refinement before the component's first DC scan"
+                    )
+                dc_tabs.append(None)  # refinement: raw bits, no table
+        preds = [0] * len(scan_cis)
+        rst = 0
+        since_restart = 0
+
+        def dc_block(si, ci, by, bx):
+            blk = coeffs[ci][by, bx]
+            if ah == 0:
+                cat = _jpeg_huff_decode(reader, dc_tabs[si])
+                preds[si] += _jpeg_extend(reader.read_bits(cat), cat)
+                blk[0] = preds[si] << al
+            elif reader.read_bit():
+                # two's-complement OR appends the revealed magnitude bit
+                # for positive AND negative DC values alike
+                blk[0] |= 1 << al
+
+        if len(scan_cis) > 1:  # interleaved over MCUs
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and since_restart == restart_interval
+                    ):
+                        reader.sync_restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0] * len(scan_cis)
+                        since_restart = 0
+                    for si, ci in enumerate(scan_cis):
+                        c = sof_comps[ci]
+                        for vi in range(c["v"]):
+                            for hi in range(c["h"]):
+                                dc_block(
+                                    si, ci, my * c["v"] + vi, mx * c["h"] + hi
+                                )
+                    since_restart += 1
+        else:  # single-component DC scan: the comp's own block grid
+            ci = scan_cis[0]
+            bw_i, bh_i = nblocks[ci]
+            for by in range(bh_i):
+                for bx in range(bw_i):
+                    if (
+                        restart_interval
+                        and since_restart == restart_interval
+                    ):
+                        reader.sync_restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0]
+                        since_restart = 0
+                    dc_block(0, ci, by, bx)
+                    since_restart += 1
+        if ah == 0:
+            for ci in scan_cis:
+                dc_started[ci] = True
+        return
+
+    # AC band scan: single component, non-interleaved
+    ci = scan_cis[0]
+    if not dc_started[ci]:
+        raise ValueError("AC scan before the component's first DC scan")
+    ta = scan_tabs[0][1]
+    if ta not in ac_tables:
+        raise ValueError("scan references missing Huffman table")
+    ac_tab = ac_tables[ta]
+    bw_i, bh_i = nblocks[ci]
+    eobrun = 0
+    rst = 0
+    since_restart = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for by in range(bh_i):
+        for bx in range(bw_i):
+            if restart_interval and since_restart == restart_interval:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                eobrun = 0  # EOB runs never cross a restart boundary
+                since_restart = 0
+            since_restart += 1
+            blk = coeffs[ci][by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _jpeg_huff_decode(reader, ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC coefficient outside band")
+                        blk[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                        k += 1
+            else:  # refinement pass (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _jpeg_huff_decode(reader, ac_tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            # r == 15: ZRL skips 16 ZERO-HISTORY coeffs
+                        elif s != 1:
+                            raise ValueError(
+                                "refinement scan coded magnitude != 1"
+                            )
+                        else:
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                # correction bit for already-significant
+                                if reader.read_bit() and not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0:
+                            if k > se:
+                                raise ValueError(
+                                    "AC coefficient outside band"
+                                )
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # inside an EOB run: correction bits only
+                    while k <= se:
+                        if blk[k] != 0 and reader.read_bit() and not (
+                            blk[k] & p1
+                        ):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+class _JpegProgressiveACWriter:
+    """Encoder-side state for one progressive AC scan: accumulates EOB
+    runs (with their buffered correction bits, jcphuff's BE mechanism)
+    and flushes them as EOBn + extra bits + bits, exactly the stream the
+    refinement decoder reads back."""
+
+    def __init__(self, wr: _JpegBitWriter, ac_code) -> None:
+        self.wr = wr
+        self.ac_code = ac_code
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def emit_symbol(self, sym: int) -> None:
+        code, nb = self.ac_code[sym]
+        self.wr.write(code, nb)
+
+    def flush_eobrun(self) -> None:
+        while self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            if nbits > 14:
+                nbits = 14
+            run = min(self.eobrun, (1 << (nbits + 1)) - 1)
+            self.emit_symbol(nbits << 4)
+            if nbits:
+                self.wr.write(run - (1 << nbits), nbits)
+            for bit in self.pending_bits:
+                self.wr.write(bit, 1)
+            self.pending_bits = []
+            self.eobrun -= run
+
+    def end_block_eob(self, correction_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending_bits.extend(correction_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _jpeg_write_ac_first(acw, band_vals, ss, se, al) -> None:
+    """One block of an AC first-pass scan (Ah=0): run/size-code every
+    coefficient whose point-transformed magnitude is nonzero, EOB-run
+    the zero tail. ``band_vals[k]`` are the SIGNED quantized
+    coefficients in zigzag index space."""
+    coded = [
+        (k, band_vals[k]) for k in range(ss, se + 1)
+        if abs(band_vals[k]) >> al
+    ]
+    if not coded:
+        acw.end_block_eob([])
+        return
+    acw.flush_eobrun()
+    prev = ss - 1
+    for k, v in coded:
+        run = k - prev - 1
+        while run > 15:
+            acw.emit_symbol(0xF0)  # ZRL
+            run -= 16
+        t = abs(v) >> al
+        size = t.bit_length()
+        acw.emit_symbol((run << 4) | size)
+        # signed magnitude bits, T.81 F.1.2.2 style: negative values send
+        # the one's complement of |t|
+        acw.wr.write(t if v >= 0 else (t ^ ((1 << size) - 1)), size)
+        prev = k
+    if prev < se:
+        acw.end_block_eob([])
+
+
+def _jpeg_write_ac_refine(acw, band_vals, ss, se, al) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-significant
+    coefficients as (run,1)+sign, correction bits for already-significant
+    ones -- buffered across EOB runs exactly like jcphuff's BE buffer, so
+    the decoder's G.1.2.3 bit order is exercised end-to-end."""
+    absvals = [0] * (se + 1)
+    eob = 0
+    for k in range(ss, se + 1):
+        t = abs(band_vals[k]) >> al
+        absvals[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absvals[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            acw.flush_eobrun()
+            acw.emit_symbol(0xF0)
+            r -= 16
+            for bit in br:
+                acw.wr.write(bit, 1)
+            br = []
+        if t > 1:  # already significant: one correction bit
+            br.append(t & 1)
+            continue
+        acw.flush_eobrun()
+        acw.emit_symbol((r << 4) | 1)
+        acw.wr.write(1 if band_vals[k] >= 0 else 0, 1)
+        for bit in br:
+            acw.wr.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        acw.end_block_eob(br)
+
+
+def _jpeg_progressive_encode(media_id: int, restart_interval: int = 0) -> bytes:
+    """Write a REAL progressive (SOF2) 4:2:0 color JFIF stream carrying
+    the SAME quantized coefficients as :func:`_jpeg_color_encode` --
+    identical block parameters and quant tables -- across an 11-scan
+    script that exercises every progressive decode path:
+
+      1. interleaved DC first (Al=1) for all three components
+      2. interleaved DC refinement (Ah=1, Al=0): one raw bit per block
+      3-5. per component: AC band 1..38 first (Al=1) -- all-zero band,
+           pure EOBn run aggregation across blocks
+      6-8. per component: AC band 39..63 first (Al=1) -- the (4,4)
+           checkerboard coefficient, mixing run/size codes and EOB runs
+      9-11. per component: AC 1..63 refinement (Ah=1, Al=0) -- newly
+           significant (amplitude 1) coefficients, correction bits for
+           already-significant ones, buffered bits across EOB runs
+
+    Optional DRI applies to every scan (restart markers inside
+    interleaved DC and non-interleaved AC scans, EOB runs flushed at
+    each boundary)."""
+    import struct
+
+    w, h = _jpeg_color_dims(media_id)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    dc_code = {s: (i, 4) for i, s in enumerate(_JPEG_DC_SYMBOLS)}
+    # progressive AC alphabet: EOBn for runs up to 31 blocks, ZRL,
+    # (run 0|6, size) pairs -- 26 symbols, all coded at length 5
+    # (canonical codes 0..25; all-ones unused)
+    ac_code = {s: (i, 5) for i, s in enumerate(_JPEG_PROG_AC_SYMBOLS)}
+
+    # quantized coefficient store, zigzag index space (DC at 0, the
+    # (4,4) checkerboard at 39), mirroring the baseline color encoder:
+    # Y blocks on the MCU-padded 2x grid, chroma on the MCU grid
+    comps_blocks = []  # per comp: dict[(by, bx)] -> (dcq, ac39q)
+    yb = {}
+    for by in range(2 * mcuy):
+        for bx in range(2 * mcux):
+            c, a = _jpeg_block_params(media_id, bx, by)
+            yb[(by, bx)] = (c - 128, a)
+    comps_blocks.append(yb)
+    for comp in (1, 2):
+        cb = {}
+        for by in range(mcuy):
+            for bx in range(mcux):
+                c, a = _jpeg_chroma_params(media_id, comp, bx, by)
+                cb[(by, bx)] = ((c - 128) // 2, a // 2)
+        comps_blocks.append(cb)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    # non-interleaved AC-scan block grids (T.81 A.2.2: the component's
+    # own ceil-scaled dims, NOT the MCU-padded grid)
+    nblocks = []
+    for ch, cv in samp:
+        cw = -(-w * ch // 2)
+        chh = -(-h * cv // 2)
+        nblocks.append(((cw + 7) // 8, (chh + 7) // 8))
+
+    wr = _JpegBitWriter()
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        body = bytes((len(comp_specs),))
+        for cid, tdta in comp_specs:
+            body += bytes((cid, tdta))
+        return _jpeg_seg(0xDA, body + bytes((ss, se, (ah << 4) | al)))
+
+    def band_vals(ci, by, bx):
+        vals = [0] * 64
+        dcq, ac39 = comps_blocks[ci][(by, bx)]
+        vals[0] = dcq
+        vals[39] = ac39
+        return vals
+
+    scans = []
+
+    # --- scan 1: interleaved DC first, Al=1 ---
+    def dc_first():
+        preds = [0, 0, 0]
+        rst = 0
+        since = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and since == restart_interval:
+                    wr.raw_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    preds = [0, 0, 0]
+                    since = 0
+                for ci, (ch, cv) in enumerate(samp):
+                    for vi in range(cv):
+                        for hi in range(ch):
+                            dcq = comps_blocks[ci][
+                                (my * cv + vi, mx * ch + hi)
+                            ][0]
+                            v = dcq >> 1  # arithmetic shift, T.81 G.1.2.1
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            cat = abs(diff).bit_length()
+                            code, nb = dc_code[cat]
+                            wr.write(code, nb)
+                            if cat:
+                                wr.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << cat) - 1,
+                                    cat,
+                                )
+                since += 1
+        wr.align_ones()
+
+    scans.append((
+        sos_header([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1), dc_first
+    ))
+
+    # --- scan 2: interleaved DC refinement, Ah=1 Al=0 ---
+    def dc_refine():
+        rst = 0
+        since = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and since == restart_interval:
+                    wr.raw_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    since = 0
+                for ci, (ch, cv) in enumerate(samp):
+                    for vi in range(cv):
+                        for hi in range(ch):
+                            dcq = comps_blocks[ci][
+                                (my * cv + vi, mx * ch + hi)
+                            ][0]
+                            wr.write(dcq & 1, 1)  # two's-complement bit
+                since += 1
+        wr.align_ones()
+
+    scans.append((
+        sos_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0), dc_refine
+    ))
+
+    # --- AC scans: per component, bands then refinement ---
+    def ac_scan(ci, ss, se, ah, al):
+        def run():
+            acw = _JpegProgressiveACWriter(wr, ac_code)
+            bw_i, bh_i = nblocks[ci]
+            rst = 0
+            since = 0
+            for by in range(bh_i):
+                for bx in range(bw_i):
+                    if restart_interval and since == restart_interval:
+                        acw.flush_eobrun()
+                        wr.raw_marker(0xD0 + rst)
+                        rst = (rst + 1) % 8
+                        since = 0
+                    since += 1
+                    vals = band_vals(ci, by, bx)
+                    if ah == 0:
+                        _jpeg_write_ac_first(acw, vals, ss, se, al)
+                    else:
+                        _jpeg_write_ac_refine(acw, vals, ss, se, al)
+            acw.flush_eobrun()
+            wr.align_ones()
+
+        return run
+
+    cids_t = [(1, 0x10), (2, 0x11), (3, 0x11)]
+    for ci in range(3):
+        scans.append((
+            sos_header([cids_t[ci]], 1, 38, 0, 1), ac_scan(ci, 1, 38, 0, 1)
+        ))
+    for ci in range(3):
+        scans.append((
+            sos_header([cids_t[ci]], 39, 63, 0, 1), ac_scan(ci, 39, 63, 0, 1)
+        ))
+    for ci in range(3):
+        scans.append((
+            sos_header([cids_t[ci]], 1, 63, 1, 0), ac_scan(ci, 1, 63, 1, 0)
+        ))
+
+    qtabs = _jpeg_seg(
+        0xDB,
+        bytes([0x00]) + bytes([8] * 64) + bytes([0x01]) + bytes([16] * 64),
+    )
+    sof = _jpeg_seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes((1, 0x22, 0))
+        + bytes((2, 0x11, 1))
+        + bytes((3, 0x11, 1)),
+    )
+    dht = _jpeg_seg(
+        0xC4,
+        _jpeg_dht_payload(0x00, _JPEG_DC_SYMBOLS)  # DC table 0 (luma)
+        + _jpeg_dht_payload(0x01, _JPEG_DC_SYMBOLS)  # DC table 1 (chroma)
+        + _jpeg_dht_payload(0x10, _JPEG_PROG_AC_SYMBOLS, 5)  # AC table 0
+        + _jpeg_dht_payload(0x11, _JPEG_PROG_AC_SYMBOLS, 5),  # AC table 1
+    )
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    app0 = _jpeg_seg(
+        0xE0,
+        b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00",
+    )
+    out = bytearray(b"\xff\xd8" + app0 + qtabs + sof + dht + dri)
+    for header, run in scans:
+        out += header
+        start = len(wr.buf)
+        run()
+        out += bytes(wr.buf[start:])
+    return bytes(out) + b"\xff\xd9"
+
+
+def jpeg_progressive_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(ids) -> real progressive (SOF2) 4:2:0 color JFIF blobs, one per
+    id -- the same pixel content as :func:`jpeg_color_media`, transmitted
+    across 11 spectral-selection / successive-approximation scans."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "image/jpeg",
+                    "blob": [_jpeg_progressive_encode(int(m)) for m in mids],
+                    "meta": [
+                        {"codec": "jfif-progressive-ycbcr420"} for _ in mids
+                    ],
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+def decode_jpeg_progressive(media: DataFrame) -> DataFrame:
+    """REAL progressive-JPEG decode: multi-scan coefficient accumulation
+    (spectral selection + successive approximation + EOB runs), then
+    dequant, IDCT, chroma upsample, fixed-point YCbCr->RGB -- same
+    output contract and checksums as :func:`decode_jpeg_color`.
+    Shuffle-free Arrow stage, parallelism = input splits."""
+    return _jpeg_color_stats_decoder(media, _jpeg_parse_progressive)

@@ -708,9 +708,11 @@ def x4_jpeg_dc_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_thumbnail(jpeg_media(docs))
 
 
-@query(
-    "x4_jpeg_color_decode",
-    oracle="""
+# shared by x4_jpeg_color_decode and x4_jpeg_progressive_decode: the
+# progressive fixtures carry the SAME quantized coefficients as the
+# baseline color fixtures, so both decoders must reproduce the same
+# arithmetically re-derived RGB grid
+_JPEG_COLOR_ORACLE = """
     WITH d AS (
       SELECT doc_id AS mid,
              16 + doc_id % 17 AS w,
@@ -768,8 +770,10 @@ def x4_jpeg_dc_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(b * (1 + i % 251)) AS BIGINT) AS wsum_b
     FROM rgb
     GROUP BY mid
-    """,
-)
+    """
+
+
+@query("x4_jpeg_color_decode", oracle=_JPEG_COLOR_ORACLE)
 def x4_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE production image format, end-to-end in stdlib: synthesize real
     3-component YCbCr baseline JFIF streams with 4:2:0 subsampling
@@ -789,3 +793,25 @@ def x4_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_jpeg_color(jpeg_color_media(docs))
+
+
+@query("x4_jpeg_progressive_decode", oracle=_JPEG_COLOR_ORACLE)
+def x4_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG -- the other half of real-world JPEG
+    (large web images are overwhelmingly progressive). Synthesizes real
+    11-scan progressive 4:2:0 color streams (interleaved DC first +
+    refinement, per-component AC spectral bands with EOBn run codes, AC
+    successive-approximation refinement with correction bits per T.81
+    G.1.2.3) and decodes them back through the multi-scan coefficient
+    accumulator. The fixtures carry the SAME quantized coefficients as
+    the baseline color fixtures, so the decode is losslessly pinned and
+    the oracle is literally the x4_jpeg_color_decode oracle: any
+    scan-sequencing, EOB-run, refinement-bit, predictor, or band bug
+    hash-fails on the per-channel position-weighted checksums."""
+    from ..functions.multimodal import (
+        decode_jpeg_progressive,
+        jpeg_progressive_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_progressive(jpeg_progressive_media(docs))

@@ -1392,3 +1392,132 @@ def test_jpeg_color_decode_query_plan_is_shuffle_free(spark, sf_dir):
     assert got.b_sum == int(eb.sum())
     weights = 1 + np.arange(er.size, dtype=np.int64) % 251
     assert got.wsum_b == int((eb.ravel() * weights).sum())
+
+
+def test_jpeg_progressive_equals_baseline_color(spark):
+    """Progressive (SOF2) decode is losslessly pinned: the 11-scan
+    progressive fixtures carry the SAME quantized coefficients as the
+    baseline color fixtures, so decode must match _jpeg_parse_color
+    bit-for-bit -- across MCU-edge geometries, restart intervals, and
+    the scan-script structure itself."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _jpeg_color_dims,
+        _jpeg_color_encode,
+        _jpeg_color_pixels,
+        _jpeg_parse_color,
+        _jpeg_parse_progressive,
+        _jpeg_progressive_encode,
+    )
+
+    # ids 0..16 sweep both axes' MCU padding; ground truth is the same
+    # arithmetic grid the color oracle replays
+    for mid in range(17):
+        w, h, r, g, b = _jpeg_parse_progressive(_jpeg_progressive_encode(mid))
+        assert (w, h) == _jpeg_color_dims(mid)
+        rr, gg, bb = _jpeg_color_pixels(mid)
+        assert np.array_equal(r, rr), mid
+        assert np.array_equal(g, gg), mid
+        assert np.array_equal(b, bb), mid
+
+    # restart markers inside EVERY scan kind: interleaved DC, DC refine,
+    # AC band first passes, AC refinement (EOB runs flushed at each RST)
+    for mid in (3, 7, 19):
+        base = _jpeg_parse_color(_jpeg_color_encode(mid))
+        for ri in (1, 2, 3):
+            got = _jpeg_parse_progressive(
+                _jpeg_progressive_encode(mid, restart_interval=ri)
+            )
+            assert got[0] == base[0] and got[1] == base[1]
+            for ch_got, ch_ref in zip(got[2:], base[2:]):
+                assert np.array_equal(ch_got, ch_ref), (mid, ri)
+
+    # scan script structure: 11 SOS markers, progressive SOF2 frame
+    blob = _jpeg_progressive_encode(5)
+    assert blob.count(b"\xff\xda") == 11
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob[2:4]
+
+    # truncation at every granularity raises, never spins
+    for cut in (2, 4, 10, 30, len(blob) // 3, len(blob) // 2, len(blob) - 3):
+        with _pytest.raises(ValueError):
+            _jpeg_parse_progressive(blob[:cut])
+
+    # a wrong restart marker number must reject, not desync silently
+    blob_rst = _jpeg_progressive_encode(7, restart_interval=1)
+    assert b"\xff\xd0" in blob_rst.split(b"\xff\xda", 1)[1]
+    with _pytest.raises(ValueError):
+        _jpeg_parse_progressive(blob_rst.replace(b"\xff\xd0", b"\xff\xd4", 1))
+
+
+def test_jpeg_progressive_guards_and_routing(spark):
+    """Scan-sequencing and header guards specific to progressive:
+    T.81 G constraints are enforced, baseline streams route away, and
+    the baseline decoders route SOF2 to this path by name."""
+    import struct
+
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark.functions.multimodal import (
+        _jpeg_color_encode,
+        _jpeg_encode,
+        _jpeg_parse,
+        _jpeg_parse_color,
+        _jpeg_parse_progressive,
+        _jpeg_progressive_encode,
+    )
+
+    blob = _jpeg_progressive_encode(4)
+
+    # baseline decoders route SOF2 progressive streams here by name
+    for parse in (_jpeg_parse, _jpeg_parse_color):
+        with _pytest.raises(ValueError, match="progressive"):
+            parse(blob)
+    # ... and baseline SOF0 streams route away from this decoder
+    with _pytest.raises(ValueError, match="baseline"):
+        _jpeg_parse_progressive(_jpeg_color_encode(4))
+    with _pytest.raises(ValueError, match="baseline"):
+        _jpeg_parse_progressive(_jpeg_encode(4))
+
+    def patch_first_sos(b, ss, se, ahal):
+        """Rewrite (Ss, Se, AhAl) of the FIRST scan header in b."""
+        at = b.index(b"\xff\xda")
+        (seglen,) = struct.unpack(">H", b[at + 2 : at + 4])
+        end = at + 2 + seglen
+        return b[: end - 3] + bytes((ss, se, ahal)) + b[end:]
+
+    # first scan is the interleaved DC scan: corrupting it into an AC
+    # band scan must reject (AC scans are single-component, and AC
+    # before the first DC scan is out of order)
+    with _pytest.raises(ValueError):
+        _jpeg_parse_progressive(patch_first_sos(blob, 1, 5, 0))
+    # DC scan with Se != 0 (mixed DC+AC scan) rejects
+    with _pytest.raises(ValueError):
+        _jpeg_parse_progressive(patch_first_sos(blob, 0, 5, 0))
+    # refinement must reveal exactly one bit: Ah != Al + 1 rejects
+    with _pytest.raises(ValueError, match="Ah/Al"):
+        _jpeg_parse_progressive(patch_first_sos(blob, 0, 0, 0x20))
+    # DC refinement before any DC first scan rejects
+    with _pytest.raises(ValueError, match="refinement"):
+        _jpeg_parse_progressive(patch_first_sos(blob, 0, 0, 0x10))
+    # spectral band out of range rejects
+    with _pytest.raises(ValueError):
+        _jpeg_parse_progressive(patch_first_sos(blob, 64, 64, 0))
+
+    # a frame whose quant table never arrives rejects at EOI
+    qt_at = blob.index(b"\xff\xdb")
+    (qlen,) = struct.unpack(">H", blob[qt_at + 2 : qt_at + 4])
+    no_q = blob[:qt_at] + blob[qt_at + 2 + qlen :]
+    with _pytest.raises(ValueError, match="quant"):
+        _jpeg_parse_progressive(no_q)
+
+    # oversized dims cap (same posture as every other codec guard)
+    sof_at = blob.index(b"\xff\xc2") + 5
+    huge = (
+        blob[:sof_at]
+        + struct.pack(">HH", 50000, 50000)
+        + blob[sof_at + 4 :]
+    )
+    with _pytest.raises(ValueError, match="dimensions"):
+        _jpeg_parse_progressive(huge)
