@@ -3023,3 +3023,140 @@ def x5_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=24)
     return bpe_apply(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# X5 -- n-gram LM training + stupid-backoff scoring (CCNet-style filter)
+# ---------------------------------------------------------------------------
+
+# Shared oracle scaffolding: train bigram/unigram counts on 90% of the
+# corpus (doc_id % 10 <> 0), score the held-out 10% transition by
+# transition with exact-integer stupid-backoff INVERSE probabilities
+# (operators/ngramlm.py module doc: logs are libm-unportable, integer
+# ratios never are; 1/alpha = 1/0.4 = 2.5 exactly).
+_LM_ORACLE_CTES = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(t) AS w FROM toks WHERE doc_id % 10 <> 0
+      ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             COUNT(*) AS c12
+      FROM (
+        SELECT UNNEST([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+        FROM toks WHERE doc_id % 10 <> 0
+      ) GROUP BY 1, 2
+    ),
+    held AS (
+      SELECT doc_id, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+      FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+        FROM toks WHERE doc_id % 10 = 0
+      )
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             CASE WHEN b.c12 IS NOT NULL THEN 0
+                  WHEN u2.c IS NOT NULL THEN 1 ELSE 2 END AS tier,
+             CASE WHEN b.c12 IS NOT NULL THEN (1000000 * u1.c) // b.c12
+                  WHEN u2.c IS NOT NULL THEN (2500000 * n) // u2.c
+                  ELSE 2500000 * n END AS inv_ppm
+      FROM held s
+      LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+      LEFT JOIN uni u1 ON u1.w = s.w1
+      LEFT JOIN uni u2 ON u2.w = s.w2
+      CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_trans,
+             CAST(SUM(CASE WHEN tier >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+             CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             CAST(SUM(inv_ppm) AS BIGINT) AS sum_inv_ppm,
+             CAST(SUM(inv_ppm) AS BIGINT) // COUNT(*) AS amip,
+             MAX(inv_ppm) AS max_inv_ppm
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+def _lm_split(spark: SparkSession, sf_dir: str):
+    """(train_docs, heldout_docs) — the 90/10 doc_id split both LM
+    queries and their oracles use."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 10 != 0), d.filter(F.col("doc_id") % 10 == 0)
+
+
+@query(
+    "x5_lm_score_heldout",
+    oracle=_LM_ORACLE_CTES + "\n    SELECT * FROM per_doc",
+)
+def x5_lm_score_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL distributed language-model quality scoring (the CCNet move,
+    Wenzek 2020): train bigram+unigram counts on 90% of the corpus, score
+    every held-out document with stupid backoff (Brants 2007). Per doc:
+    transition count, backoff/OOV counts, and AMIP -- the exact-integer
+    perplexity analog (mean inverse transition probability in ppm; see
+    operators/ngramlm.py for why not log-perplexity). Scale: training is
+    two map-side-combinable hash aggregates; scoring is stream x model
+    joins on vocabulary keys (model side unique-keyed -- no
+    amplification; Zipf-hot probe keys are AQE-split hash-join skew)."""
+    from ..operators import ngramlm as LM
+
+    train, held = _lm_split(spark, sf_dir)
+    uni, bi, total = LM.train_bigram_lm(train)
+    return LM.score_documents(held, uni, bi, total)
+
+
+@query(
+    "x5_lm_perplexity_buckets",
+    oracle=_LM_ORACLE_CTES
+    + """
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_trans) AS BIGINT) AS sum_trans,
+           CAST(SUM(n_backoff) AS BIGINT) AS sum_backoff,
+           CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+           MIN(amip) AS min_amip,
+           MAX(amip) AS max_amip
+    FROM (SELECT *, NTILE(3) OVER (ORDER BY amip, doc_id) AS bucket
+          FROM per_doc)
+    GROUP BY bucket
+    """,
+)
+def x5_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition: tercile the held-out
+    docs by LM score (AMIP ascending = most-fluent first; ties broken by
+    doc_id for a total order) and summarize each bucket. NTILE over a
+    fully-specified order is engine-portable. Scale: the windowed sort
+    runs over the PER-DOC score table (one row per doc, not per token);
+    at 100 TB one computes the two AMIP cutoffs with approx_percentile
+    and buckets by comparison instead -- same buckets, no global sort."""
+    from pyspark.sql import Window
+
+    from ..operators import ngramlm as LM
+
+    train, held = _lm_split(spark, sf_dir)
+    uni, bi, total = LM.train_bigram_lm(train)
+    per_doc = LM.score_documents(held, uni, bi, total)
+    w = Window.orderBy("amip", "doc_id")
+    return (
+        per_doc.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_trans").alias("sum_trans"),
+            F.sum("n_backoff").alias("sum_backoff"),
+            F.sum("n_oov").alias("sum_oov"),
+            F.min("amip").alias("min_amip"),
+            F.max("amip").alias("max_amip"),
+        )
+    )
