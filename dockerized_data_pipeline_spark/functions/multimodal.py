@@ -48,6 +48,23 @@ FEATURE_DIM = 8
 FEATURE_SCHEMA = f"media_id long, feature array<double>"
 
 
+def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
+    """Round-robin the bare id column across the session's full width
+    before a synth/codec Arrow stage.
+
+    The fixture tables are small enough to arrive as ONE parquet split
+    (sf0.1 documents = 1 file), and mapInPandas inherits input
+    partitioning -- without this, every codec stage ran on a single core
+    (measured: x4_jpeg_progressive_decode 7.35s ~= 5000 blobs x 1.4ms
+    serial; full-width it is bounded by the stage launch overhead). The
+    shuffle moves only int64 ids, never blobs. At production scale blobs
+    arrive in thousands of splits and the equivalent lever is
+    spark.sql.files.maxPartitionBytes, not a repartition."""
+    return ids.select(id_col).repartition(
+        ids.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: text bytes stand in
     for encoded image blobs (deterministic, no external data)."""
@@ -290,7 +307,7 @@ def wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_wav(media: DataFrame) -> DataFrame:
@@ -423,7 +440,7 @@ def pgm_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_pgm(media: DataFrame) -> DataFrame:
@@ -644,7 +661,7 @@ def y4m_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_y4m(media: DataFrame) -> DataFrame:
@@ -896,7 +913,7 @@ def png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_png(media: DataFrame) -> DataFrame:
@@ -1621,7 +1638,7 @@ def jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def _jpeg_stats_decoder(media: DataFrame, parse_fn) -> DataFrame:
@@ -2004,7 +2021,7 @@ def jpeg_color_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_jpeg_color(media: DataFrame) -> DataFrame:
@@ -2766,7 +2783,7 @@ def jpeg_progressive_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_jpeg_progressive(media: DataFrame) -> DataFrame:

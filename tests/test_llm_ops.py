@@ -1040,15 +1040,20 @@ def test_jpeg_codec_roundtrip_and_integrity(spark):
 
 
 def test_jpeg_decode_query_plan_is_shuffle_free(spark, sf_dir):
-    """decode(jpeg_media(ids)) is two chained Arrow stages over the scan:
-    no exchange anywhere -- at 100 TB this is embarrassingly parallel."""
+    """decode(jpeg_media(ids)) is two chained Arrow stages over the scan.
+    The ONLY exchange is the deliberate round-robin spread of the bare
+    int64 id column ahead of the synth stage (multimodal._spread_ids:
+    the single-split fixture otherwise pins every codec to one core);
+    blobs themselves never shuffle -- at 100 TB this is embarrassingly
+    parallel."""
     from dockerized_data_pipeline_spark.plans.multimodal_queries import (
         x4_jpeg_decode,
     )
 
     df = x4_jpeg_decode(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
     rows = {r.media_id: r for r in df.collect()}
     # spot-check one row against the arithmetic ground truth
     import numpy as np
@@ -1367,7 +1372,8 @@ def test_jpeg_color_guards_and_sampling_variants(spark):
 
 def test_jpeg_color_decode_query_plan_is_shuffle_free(spark, sf_dir):
     """decode_jpeg_color(jpeg_color_media(ids)) must stay two chained
-    Arrow stages over the scan -- zero exchanges, like the grayscale
+    Arrow stages over the scan, with only the id-spread round-robin
+    exchange below them (blobs never shuffle) -- like the grayscale
     path: embarrassingly parallel at 100 TB."""
     from dockerized_data_pipeline_spark.plans.multimodal_queries import (
         x4_jpeg_color_decode,
@@ -1375,7 +1381,8 @@ def test_jpeg_color_decode_query_plan_is_shuffle_free(spark, sf_dir):
 
     df = x4_jpeg_color_decode(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
     import numpy as np
 
     from dockerized_data_pipeline_spark.functions.multimodal import (
