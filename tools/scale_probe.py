@@ -135,6 +135,7 @@ def _media_stages(spark, results: dict, mult: int) -> int:
         ("jpeg", MM.jpeg_media, MM.decode_jpeg),
         ("jpeg_dc_thumb", MM.jpeg_media, MM.decode_jpeg_thumbnail),
         ("jpeg_color", MM.jpeg_color_media, MM.decode_jpeg_color),
+        ("jpeg_progressive", MM.jpeg_progressive_media, MM.decode_jpeg_progressive),
         ("png", MM.png_media, MM.decode_png),
         ("y4m_motion", MM.y4m_media, MM.y4m_frame_motion),
     ]
