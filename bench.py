@@ -110,6 +110,22 @@ def main() -> None:
     materialize(spark.range(1_000_000).selectExpr("sum(id) as s"))
     materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
 
+    # ... and the Python worker fleet: the first full-width mapInPandas
+    # stage forks + imports pandas in every worker (~7s at 32 threads,
+    # measured on x4_wav_decode run 1). Workers are reused afterwards
+    # (spark.python.worker.reuse), so one throwaway Arrow stage moves the
+    # fork cost into warmup where JVM/codegen startup already lives.
+    def _passthrough(it):
+        for pdf in it:
+            yield pdf
+
+    width = spark.sparkContext.defaultParallelism
+    materialize(
+        spark.range(width * 4)
+        .repartition(width)
+        .mapInPandas(_passthrough, "id long")
+    )
+
     # Median of three runs per query: steady-state throughput (run 1 pays
     # one-time codegen/IO) with one-sided noise rejected in BOTH
     # directions -- min() hides a real regression behind one lucky run,

@@ -51,12 +51,28 @@ def cosine_neardup_pairs(
 
     Exact but quadratic: only for modest partitions / oracle checks. The
     production path for 100 TB is lsh_neardup_pairs below.
-    """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits).cast(
-        f"decimal(18,{round_digits})"
+
+    Norms are materialized per ROW before the self-join (localCheckpoint:
+    an un-materialized subtree would re-derive them per PAIR — 2n of 3
+    O(dim) folds in the n^2 hot loop were redundant; measured 37s -> ~13s
+    at 6k vectors). The pair arithmetic is still dot/(norm*norm) with the
+    same left-to-right folds, so scores stay bit-identical to the DuckDB
+    oracle's expression."""
+    from ..functions.vectors import dot, norm
+
+    side = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    side = side.localCheckpoint(eager=True)
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
+    b = side.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits
+    ).cast(f"decimal(18,{round_digits})")
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
