@@ -37,16 +37,28 @@ def pagerank(
     ``damping`` is a string so it enters the plan as an exact decimal
     literal, not a float.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # The loop-invariant frames (deduped edges, node set, out-degrees) are
+    # materialized ONCE: un-checkpointed they re-ran their scan+distinct
+    # shuffles inside every one of the 10 iteration jobs.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # scalar driver value: sizes the teleport term only
     d = F.lit(damping).cast(_RANK)
     teleport = ((F.lit(1).cast(_RANK) - d) / F.lit(n)).cast(_RANK)
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_degree"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("out_degree"))
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.withColumn(
         "rank", (F.lit(1).cast(_RANK) / F.lit(n)).cast(_RANK)

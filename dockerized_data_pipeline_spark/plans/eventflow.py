@@ -156,6 +156,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.a", "p.b")
         .distinct()
+        # materialized once: the same edge table feeds all three join
+        # legs, and un-checkpointed the per-order set build + pair
+        # explode + distinct re-ran per leg (at real scale this is
+        # "write the edge table", exactly like the winnow fingerprint
+        # stage in x8_winnow_overlap)
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
