@@ -159,3 +159,129 @@ def score_documents(
             "sum_inv_ppm", "amip", "max_inv_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram stupid backoff: the full recursive chain of Brants 2007 --
+# trigram hit -> bigram backoff (x 1/alpha) -> unigram backoff (x 1/alpha^2)
+# -> OOV. 1/0.4 = 2.5 and 1/0.16 = 6.25 are exact in ppm, so the whole
+# chain stays integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_BACKOFF2_INV_PPM = 6_250_000  # 1/alpha^2 = 6.25, exact
+
+
+def trigram_transitions(toks: DataFrame) -> DataFrame:
+    """(id, w1, w2, w3) for every length-3 window; docs with < 3 tokens
+    contribute no rows (guarded empty array, same trap as bigrams)."""
+    tri = F.when(
+        F.size("t") >= 3,
+        F.transform(
+            F.slice("t", 1, F.greatest(F.size("t") - 2, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                F.element_at(F.col("t"), i + 2).alias("w2"),
+                F.element_at(F.col("t"), i + 3).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        toks.select("id", F.explode(tri).alias("p"))
+        .select("id", "p.w1", "p.w2", "p.w3")
+    )
+
+
+def train_trigram_lm(
+    train_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(uni, bi, tri, total) count tables. Three vocabulary-keyed hash
+    aggregates over the exploded streams; a trigram's prefix bigram is
+    always present in ``bi`` by construction, which the scoring chain
+    relies on (the trigram-hit numerator is the CONTEXT count c(w1 w2))."""
+    uni, bi, total = train_bigram_lm(train_docs)
+    tri = (
+        trigram_transitions(tokens(train_docs))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+    )
+    return uni, bi, tri, total
+
+
+def score_documents_trigram(
+    score_docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    total: DataFrame,
+) -> DataFrame:
+    """Per-document trigram stupid-backoff summary (positions 3..n; docs
+    with < 3 tokens are absent). Per transition, exact-integer inverse
+    probability:
+
+      tri hit       : (1e6     * c(w1 w2)) div c(w1 w2 w3)
+      bigram backoff: (2.5e6   * c(w2))    div c(w2 w3)
+      unigram       : (6.25e6  * N)        div c(w3)
+      OOV           : 6.25e6 * N
+
+    Model sides are unique-keyed vocab tables (broadcast when they fit);
+    the transition stream is never shuffled on itself."""
+    tr = trigram_transitions(tokens(score_docs))
+    ctx = bi.select(
+        F.col("w1"), F.col("w2"), F.col("c12").alias("c12ctx")
+    )
+    b23 = bi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c12").alias("c23")
+    )
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2ctx"))
+    u3 = uni.select(F.col("w").alias("w3"), F.col("c").alias("c3"))
+    j = (
+        tr.join(tri, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    inv = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.expr(f"({_PPM} * c12ctx) div c123"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.expr(f"({_BACKOFF_INV_PPM} * c2ctx) div c23"),
+        )
+        .when(
+            F.col("c3").isNotNull(),
+            F.expr(f"({_BACKOFF2_INV_PPM} * n) div c3"),
+        )
+        .otherwise(F.lit(_BACKOFF2_INV_PPM) * F.col("n"))
+    )
+    tier = (
+        F.when(F.col("c123").isNotNull(), F.lit(0))
+        .when(F.col("c23").isNotNull(), F.lit(1))
+        .when(F.col("c3").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    scored = j.select(
+        "id",
+        tier.cast("int").alias("tier"),
+        inv.cast("bigint").alias("inv_ppm"),
+    )
+    return (
+        scored.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_trans"),
+            F.sum((F.col("tier") == 0).cast("bigint")).alias("n_tri"),
+            F.sum((F.col("tier") == 1).cast("bigint")).alias("n_bi_backoff"),
+            F.sum((F.col("tier") == 2).cast("bigint")).alias("n_uni_backoff"),
+            F.sum((F.col("tier") == 3).cast("bigint")).alias("n_oov"),
+            F.sum("inv_ppm").alias("sum_inv_ppm"),
+            F.max("inv_ppm").alias("max_inv_ppm"),
+        )
+        .withColumn("amip", F.expr("sum_inv_ppm div n_trans"))
+        .select(
+            "doc_id", "n_trans", "n_tri", "n_bi_backoff", "n_uni_backoff",
+            "n_oov", "sum_inv_ppm", "amip", "max_inv_ppm",
+        )
+    )

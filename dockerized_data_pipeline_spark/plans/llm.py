@@ -3184,3 +3184,75 @@ def x5_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("amip").alias("max_amip"),
         )
     )
+
+
+@query(
+    "x5_lm_trigram_score",
+    oracle=_LM_ORACLE_CTES
+    + """
+    , tri AS (
+      SELECT split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3, COUNT(*) AS c123
+      FROM (
+        SELECT UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS tg
+        FROM toks WHERE doc_id % 10 <> 0
+      ) GROUP BY 1, 2, 3
+    ),
+    held3 AS (
+      SELECT doc_id, split_part(tg, ' ', 1) AS w1,
+             split_part(tg, ' ', 2) AS w2, split_part(tg, ' ', 3) AS w3
+      FROM (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]) AS tg
+        FROM toks WHERE doc_id % 10 = 0
+      )
+    ),
+    scored3 AS (
+      SELECT s.doc_id,
+             CASE WHEN tr.c123 IS NOT NULL THEN 0
+                  WHEN b23.c12 IS NOT NULL THEN 1
+                  WHEN u3.c IS NOT NULL THEN 2 ELSE 3 END AS tier,
+             CASE WHEN tr.c123 IS NOT NULL THEN (1000000 * ctx.c12) // tr.c123
+                  WHEN b23.c12 IS NOT NULL THEN (2500000 * u2.c) // b23.c12
+                  WHEN u3.c IS NOT NULL THEN (6250000 * n) // u3.c
+                  ELSE 6250000 * n END AS inv_ppm
+      FROM held3 s
+      LEFT JOIN tri tr
+        ON tr.w1 = s.w1 AND tr.w2 = s.w2 AND tr.w3 = s.w3
+      LEFT JOIN bi ctx ON ctx.w1 = s.w1 AND ctx.w2 = s.w2
+      LEFT JOIN bi b23 ON b23.w1 = s.w2 AND b23.w2 = s.w3
+      LEFT JOIN uni u2 ON u2.w = s.w2
+      LEFT JOIN uni u3 ON u3.w = s.w3
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trans,
+           CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bi_backoff,
+           CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uni_backoff,
+           CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(inv_ppm) AS BIGINT) AS sum_inv_ppm,
+           CAST(SUM(inv_ppm) AS BIGINT) // COUNT(*) AS amip,
+           MAX(inv_ppm) AS max_inv_ppm
+    FROM scored3 GROUP BY doc_id
+    """,
+)
+def x5_lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL recursive stupid-backoff chain (Brants 2007): trigram hit
+    -> bigram backoff (x 1/alpha) -> unigram backoff (x 1/alpha^2) -> OOV,
+    all in exact integer ppm (2.5 and 6.25 are exact). Same 90/10 split
+    as x5_lm_score_heldout; positions 3..n scored. Scale: the trigram
+    count table is the big one (|distinct trigrams| ~ corpus tokens), so
+    its scoring join shuffles stream-vs-model on (w1,w2,w3) rather than
+    broadcasting; the bigram/unigram sides still broadcast. A trigram
+    hit's numerator is the CONTEXT bigram count c(w1 w2) -- present by
+    construction whenever the trigram is."""
+    from ..operators import ngramlm as LM
+
+    train, held = _lm_split(spark, sf_dir)
+    uni, bi, tri, total = LM.train_trigram_lm(train)
+    return LM.score_documents_trigram(held, uni, bi, tri, total)

@@ -85,3 +85,40 @@ def test_uniform_model_amip_is_vocab_size_ppm(spark):
     assert r.n_backoff == 0
     # c(a)=26 ((26*1e6)//25=1_040_000), others 25 -> 1_000_000
     assert r.sum_inv_ppm == 1_040_000 + 3 * 1_000_000
+
+
+def test_trigram_backoff_chain(spark, lm_frames):
+    """All four tiers, hand-computed on the module corpus.
+
+    Training trigrams: (a,b,a) (b,a,b) (a,b,c) (a,b,b), each count 1.
+    Held "a b c b z a": (a,b,c) tri hit -> 1e6*c(ab)=3//1 = 3_000_000;
+    (b,c,b) uni backoff on c(b)=4 -> 6_250_000*8//4 = 12_500_000;
+    (c,b,z) OOV -> 6_250_000*8 = 50_000_000;
+    (b,z,a) uni backoff on c(a)=3 -> 6_250_000*8//3 = 16_666_666.
+    Held "c a b": trigram unseen but bigram (a,b)=3 seen ->
+    2_500_000*c(a)=3//3 = 2_500_000 (tier 1)."""
+    train, _ = lm_frames
+    held = spark.createDataFrame(
+        [(10, "a b c b z a"), (20, "c a b"), (30, "x y")],
+        "doc_id long, text string",
+    )
+    uni, bi, tri, total = LM.train_trigram_lm(train)
+    assert {(r.w1, r.w2, r.w3, r.c123) for r in tri.collect()} == {
+        ("a", "b", "a", 1), ("b", "a", "b", 1),
+        ("a", "b", "c", 1), ("a", "b", "b", 1),
+    }
+    rows = {r.doc_id: r for r in
+            LM.score_documents_trigram(held, uni, bi, tri, total).collect()}
+    assert set(rows) == {10, 20}  # the 2-token doc has no trigram windows
+    r = rows[10]
+    assert (r.n_trans, r.n_tri, r.n_bi_backoff, r.n_uni_backoff, r.n_oov) == (
+        4, 1, 0, 2, 1
+    )
+    assert r.sum_inv_ppm == 3_000_000 + 12_500_000 + 50_000_000 + 16_666_666
+    assert r.amip == r.sum_inv_ppm // 4
+    assert r.max_inv_ppm == 50_000_000
+    r = rows[20]
+    assert (r.n_trans, r.n_tri, r.n_bi_backoff, r.n_uni_backoff, r.n_oov) == (
+        1, 0, 1, 0, 0
+    )
+    assert r.sum_inv_ppm == 2_500_000
