@@ -285,3 +285,20 @@ def score_documents_trigram(
             "n_oov", "sum_inv_ppm", "amip", "max_inv_ppm",
         )
     )
+
+
+def merge_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of two count tables with identical schemas
+    (key columns..., count column last): union + re-aggregate.
+
+    This additivity is what makes the LM incrementally maintainable at
+    corpus scale -- a new document batch trains its own (small) count
+    tables and merges them into the persisted model without touching
+    the historical corpus; exact integer counts make merged and
+    from-scratch models identical (tests/test_ngramlm.py pins this)."""
+    keys, cnt = a.columns[:-1], a.columns[-1]
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(F.sum(cnt).cast("bigint").alias(cnt))
+    )

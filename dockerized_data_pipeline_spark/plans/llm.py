@@ -3256,3 +3256,51 @@ def x5_lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, held = _lm_split(spark, sf_dir)
     uni, bi, tri, total = LM.train_trigram_lm(train)
     return LM.score_documents_trigram(held, uni, bi, tri, total)
+
+
+def _persisted_lm_model(spark: SparkSession, sf_dir: str) -> str:
+    """The trained bigram LM AS DISK STATE (uni/bi/total parquet under
+    one cache slot) -- the production posture: a pipeline trains the
+    count tables once, persists them beside the corpus, and every
+    arriving batch probes the stored model (the LM analog of
+    _persisted_corpus_sig / _persisted_ivf_index). Counts are exact
+    integers, so persisted and recomputed models are identical."""
+    import os
+
+    from ..operators import ngramlm as LM
+
+    def build(staging: str) -> None:
+        train = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        uni, bi, total = LM.train_bigram_lm(train)
+        uni.write.parquet(os.path.join(staging, "uni"))
+        bi.write.parquet(os.path.join(staging, "bi"))
+        total.write.parquet(os.path.join(staging, "total"))
+
+    return _fixture_cache(sf_dir, "documents", "lm_bigram_v1", build)
+
+
+@query(
+    "x5_lm_score_incremental",
+    oracle=_LM_ORACLE_CTES + "\n    SELECT * FROM per_doc",
+)
+def x5_lm_score_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the arriving batch against the PERSISTED LM: the count
+    tables come off disk (built once per fixture), so the per-batch cost
+    is O(batch tokens) joins against stored vocabulary tables -- no
+    touch of the historical corpus, mirroring x2_incremental_neardup's
+    persisted-signature-index shape at the language-model level.
+    Identical output to x5_lm_score_heldout (exact integer counts make
+    the persisted model equal the inline one), which is exactly what the
+    shared oracle asserts."""
+    import os
+
+    from ..operators import ngramlm as LM
+
+    path = _persisted_lm_model(spark, sf_dir)
+    uni = spark.read.parquet(os.path.join(path, "uni"))
+    bi = spark.read.parquet(os.path.join(path, "bi"))
+    total = spark.read.parquet(os.path.join(path, "total"))
+    _, held = _lm_split(spark, sf_dir)
+    return LM.score_documents(held, uni, bi, total)

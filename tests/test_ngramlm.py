@@ -122,3 +122,28 @@ def test_trigram_backoff_chain(spark, lm_frames):
         1, 0, 1, 0, 0
     )
     assert r.sum_inv_ppm == 2_500_000
+
+
+def test_count_merge_additivity(spark):
+    """merge_counts(train(A), train(B)) == train(A union B) for all three
+    tables -- the property that makes the persisted LM incrementally
+    maintainable without retraining on the historical corpus."""
+    a = spark.createDataFrame([(1, "a b a"), (2, "b c")], "doc_id long, text string")
+    b = spark.createDataFrame([(3, "a b"), (4, "c c b a")], "doc_id long, text string")
+    both = a.unionByName(b)
+
+    ua, ba, _ = LM.train_bigram_lm(a)
+    ub, bb, _ = LM.train_bigram_lm(b)
+    uf, bf, tf = LM.train_bigram_lm(both)
+
+    assert {tuple(r) for r in LM.merge_counts(ua, ub).collect()} == {
+        tuple(r) for r in uf.collect()
+    }
+    assert {tuple(r) for r in LM.merge_counts(ba, bb).collect()} == {
+        tuple(r) for r in bf.collect()
+    }
+    # total follows from the merged unigrams
+    merged_n = LM.merge_counts(ua, ub).agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("c")
+    ).collect()[0][0]
+    assert merged_n == tf.collect()[0].n
