@@ -9,6 +9,7 @@ catalog with Spark temp views over columnar parquet. Schema presence checks
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,6 +135,29 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str,
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+@contextmanager
+def scoped_views(spark: SparkSession, **views: DataFrame):
+    """Temp views that exist only for the duration of the ``with`` body.
+
+    Spark analyzes eagerly inside ``spark.sql`` (``Dataset.ofRows`` asserts
+    analysis), so a DataFrame built in the body stays valid after the views
+    are dropped -- the analyzed plan holds the actual relations, not the
+    names. Query functions MUST use this instead of bare
+    ``createOrReplaceTempView``: a view that outlives its query leaks
+    session state (name collisions across queries, stale sf_dir bindings
+    when the same query runs against another scale factor).
+    """
+    registered = []
+    try:
+        for name, df in views.items():
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+        yield
+    finally:
+        for name in registered:
+            spark.catalog.dropTempView(name)
 
 
 def create_table_if_not_exists(

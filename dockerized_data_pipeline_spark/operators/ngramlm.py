@@ -55,9 +55,11 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 def transitions(toks: DataFrame) -> DataFrame:
     """Explode each doc's adjacent-token transitions to (id, w1, w2).
 
-    Docs with < 2 tokens contribute no rows (``sequence(1, 0)`` descends
-    in Spark, so the short side is guarded with an empty array, the same
-    trap x8_epoch_upsample hit — see .claude verify notes)."""
+    Docs with < 2 tokens contribute no rows. Gotcha this guards:
+    ``sequence(1, 0)`` DESCENDS in Spark (yields [1, 0], not []), so a
+    short doc must be short-circuited to an empty array explicitly rather
+    than relying on an empty sequence range — the same trap
+    x8_epoch_upsample hit."""
     pair = F.when(
         F.size("t") >= 2,
         F.transform(

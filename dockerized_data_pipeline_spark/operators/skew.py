@@ -10,9 +10,9 @@ second phase over bounded data.
 AQE's skew-join handling (on by default in session.py) splits oversized
 sort-merge partitions at runtime and is the first line of defense. Salting
 is the explicit fallback for pathological keys or non-SMJ plans: the skewed
-(large) side gets a random salt in [0, salt_buckets); the small side is
-replicated across all buckets; the join key becomes (key, salt), spreading
-one hot key over salt_buckets tasks.
+(large) side gets a deterministic content-hash salt in [0, salt_buckets);
+the small side is replicated across all buckets; the join key becomes
+(key, salt), spreading one hot key over salt_buckets tasks.
 
 Correctness: every large-side row joins exactly once (its salt matches
 exactly one replica), so results equal the unsalted join.
@@ -22,6 +22,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def salt_expr(df: DataFrame, salt_buckets: int, seed: int = 42) -> Column:
+    """Deterministic per-row salt in [0, salt_buckets): a content hash of
+    every column plus the seed.
+
+    Unlike ``F.rand`` this is stable under task retry (a re-executed task
+    re-derives the same salts, so the (key, salt) join keys a downstream
+    stage already consumed cannot change) and independent of partition
+    layout. Rows that are full-content duplicates share a salt, which only
+    narrows the spread when one (key, payload) pair dominates -- not a skew
+    shape salting can help with anyway.
+    """
+    return F.pmod(
+        F.xxhash64(F.lit(seed), *df.columns), F.lit(salt_buckets)
+    ).cast("int")
 
 
 def salted_join(
@@ -36,10 +52,15 @@ def salted_join(
 
     ``small`` is replicated salt_buckets times -- use only when small is
     genuinely the smaller side (dimension-sized).
+
+    The operator's spread guarantee is per SALT BUCKET: a hot key's rows
+    split across ``salt_buckets`` distinct (key, salt) join keys. How those
+    buckets map onto physical shuffle partitions is the partitioner's
+    business (two buckets legally hash into one partition at small
+    partition counts); size assertions belong on bucket counts, not
+    ``spark_partition_id()``.
     """
-    salted_large = large.withColumn(
-        "__salt", (F.rand(seed) * salt_buckets).cast("int")
-    )
+    salted_large = large.withColumn("__salt", salt_expr(large, salt_buckets, seed))
     replicated_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scoped_views
 from .registry import query
 
 # Tight decimal widths keep multi-factor decimal products within precision 38
@@ -776,10 +776,10 @@ def sql_frontdoor_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle -- proving a user can bring plain ANSI SQL to this engine, not
     just the DataFrame API, and Catalyst still plans it (pushdown, partial
     aggregation) exactly like the DataFrame q1."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "ddp_lineitem_frontdoor"
-    )
-    return spark.sql(_FRONTDOOR_SQL.format(lineitem="ddp_lineitem_frontdoor"))
+    with scoped_views(
+        spark, ddp_lineitem_frontdoor=load_table(spark, sf_dir, "lineitem")
+    ):
+        return spark.sql(_FRONTDOOR_SQL.format(lineitem="ddp_lineitem_frontdoor"))
 
 
 @query(

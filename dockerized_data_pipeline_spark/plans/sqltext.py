@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import load_table, scoped_views
 from .registry import AS_OF, query
 
 # shared view definitions -- ONE dialect-neutral text per view, used as a
@@ -48,20 +48,21 @@ _PIPELINE_LOGS_VIEW = """
 """
 
 
-def _register_views(spark: SparkSession, sf_dir: str) -> None:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "ddp_sqltext_events"
-    )
-    spark.sql(
-        _STOCK_DATA_VIEW.format(events="ddp_sqltext_events")
-    ).createOrReplaceTempView("stock_data")
-    spark.sql(
-        _PIPELINE_LOGS_VIEW.format(
-            events="ddp_sqltext_events",
-            # unique per row (event_id is the PK), so DESC LIMIT n is total
-            created_at="timestampadd(MICROSECOND, event_id, ts)",
+def _doc_views(spark: SparkSession, sf_dir: str):
+    """Scoped stock_data/pipeline_logs views for the verbatim doc-SQL
+    queries; dropped as soon as the query DataFrame is analyzed so no
+    session state outlives the query function."""
+    events = load_table(spark, sf_dir, "events")
+    with scoped_views(spark, ddp_sqltext_events=events):
+        stock = spark.sql(_STOCK_DATA_VIEW.format(events="ddp_sqltext_events"))
+        logs = spark.sql(
+            _PIPELINE_LOGS_VIEW.format(
+                events="ddp_sqltext_events",
+                # unique per row (event_id is the PK), so DESC LIMIT n is total
+                created_at="timestampadd(MICROSECOND, event_id, ts)",
+            )
         )
-    ).createOrReplaceTempView("pipeline_logs")
+    return scoped_views(spark, stock_data=stock, pipeline_logs=logs)
 
 
 def _oracle(text: str) -> str:
@@ -80,8 +81,8 @@ def _sqltext(name: str, text: str, oracle_text: str | None = None):
 
     @query(name, oracle=_oracle(oracle_text or text))
     def run(spark: SparkSession, sf_dir: str, _text=text) -> DataFrame:
-        _register_views(spark, sf_dir)
-        return spark.sql(_text)
+        with _doc_views(spark, sf_dir):
+            return spark.sql(_text)
 
     run.__name__ = name
     run.__qualname__ = name

@@ -61,10 +61,9 @@ def tuned_skew_conf(
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(factor),
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(thr),
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(adv),
-        # coalescing must not immediately re-merge the split chunks
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(
-            min(adv, 1 << 20)
-        ),
+        # coalescing must not immediately re-merge the split chunks; 1 MiB
+        # (the adv floor) is small enough that no tuned split is re-merged
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(1 << 20),
     }
 
 
@@ -102,8 +101,19 @@ def get_session(
     # cluster-scale absolute defaults. Off unless the env flag carries a size.
     tune_bytes = os.environ.get("SPARK_GRAFT_SKEW_TUNE_BYTES")
     if tune_bytes:
-        for k, v in tuned_skew_conf(int(tune_bytes)).items():
-            builder = builder.config(k, v)
+        try:
+            median_bytes = int(tune_bytes)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_SKEW_TUNE_BYTES must be a plain byte integer "
+                f"(got {tune_bytes!r}); skew tuning disabled for this session",
+                stacklevel=2,
+            )
+        else:
+            for k, v in tuned_skew_conf(median_bytes).items():
+                builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -15,12 +15,16 @@ from dockerized_data_pipeline_spark.catalog import (
 
 def test_register_views_and_presence(spark, sf_dir):
     views = register_views(spark, sf_dir)
-    assert set(views) == {
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    }
-    assert tables_present(spark, ("region", "lineitem", "nope")) == 2
-    assert spark.sql("SELECT COUNT(*) AS n FROM region").first().n == 5
+    try:
+        assert set(views) == {
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        }
+        assert tables_present(spark, ("region", "lineitem", "nope")) == 2
+        assert spark.sql("SELECT COUNT(*) AS n FROM region").first().n == 5
+    finally:
+        for name in views:
+            spark.catalog.dropTempView(name)
 
 
 def test_create_table_ddl_analog(spark, tmp_path):

@@ -4,6 +4,8 @@ locality."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from dockerized_data_pipeline_spark.catalog import load_table
@@ -1039,7 +1041,7 @@ def test_jpeg_codec_roundtrip_and_integrity(spark):
         _jpeg_parse(huge)
 
 
-def test_jpeg_decode_query_plan_is_shuffle_free(spark, sf_dir):
+def test_jpeg_decode_query_plan_has_only_id_spread_exchange(spark, sf_dir):
     """decode(jpeg_media(ids)) is two chained Arrow stages over the scan.
     The ONLY exchange is the deliberate round-robin spread of the bare
     int64 id column ahead of the synth stage (multimodal._spread_ids:
@@ -1052,7 +1054,10 @@ def test_jpeg_decode_query_plan_is_shuffle_free(spark, sf_dir):
 
     df = x4_jpeg_decode(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
+    # shuffle exchanges only (word-boundary, as plan_report.py counts them);
+    # a future BroadcastExchange must not hide inside a bare substring count
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "BroadcastExchange" not in plan
     assert "RoundRobinPartitioning" in plan
     rows = {r.media_id: r for r in df.collect()}
     # spot-check one row against the arithmetic ground truth
@@ -1370,7 +1375,7 @@ def test_jpeg_color_guards_and_sampling_variants(spark):
     assert r[0, 0] > yv > b[0, 0]
 
 
-def test_jpeg_color_decode_query_plan_is_shuffle_free(spark, sf_dir):
+def test_jpeg_color_decode_query_plan_has_only_id_spread_exchange(spark, sf_dir):
     """decode_jpeg_color(jpeg_color_media(ids)) must stay two chained
     Arrow stages over the scan, with only the id-spread round-robin
     exchange below them (blobs never shuffle) -- like the grayscale
@@ -1381,7 +1386,10 @@ def test_jpeg_color_decode_query_plan_is_shuffle_free(spark, sf_dir):
 
     df = x4_jpeg_color_decode(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
+    # shuffle exchanges only (word-boundary, as plan_report.py counts them);
+    # a future BroadcastExchange must not hide inside a bare substring count
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "BroadcastExchange" not in plan
     assert "RoundRobinPartitioning" in plan
     import numpy as np
 
