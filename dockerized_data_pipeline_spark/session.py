@@ -67,6 +67,70 @@ def tuned_skew_conf(
     }
 
 
+def measured_median_shuffle_bytes(
+    spark: SparkSession, first_stage_after: int = 0
+) -> int | None:
+    """Median per-task shuffle-read bytes of the heaviest shuffle-read
+    stage completed since the ``first_stage_after`` watermark, read from
+    the Spark REST API (requires ``spark.ui.enabled=true``).
+
+    This is the partition statistic :func:`tuned_skew_conf` scales its
+    thresholds from. Returns None when the UI is off or no stage has
+    shuffled yet. On a real cluster the same endpoint serves per-app
+    history, so a nightly job can derive tomorrow's profile from
+    tonight's run."""
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app_id = spark.sparkContext.applicationId
+
+    def rest(url: str):
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.loads(r.read())
+
+    try:
+        stages = rest(f"{base}/api/v1/applications/{app_id}/stages?status=complete")
+    except OSError:
+        return None
+    new = [
+        s for s in stages
+        if s["stageId"] >= first_stage_after and s.get("shuffleReadBytes", 0) > 0
+    ]
+    if not new:
+        return None
+    s = max(new, key=lambda s: s["shuffleReadBytes"])
+    q = rest(
+        f"{base}/api/v1/applications/{app_id}/stages/{s['stageId']}/"
+        f"{s['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+    )
+    rb = q.get("shuffleReadMetrics", {}).get("readBytes")
+    if rb:
+        return int(rb[1])
+    return int(s["shuffleReadBytes"] / max(s.get("numCompleteTasks", 1), 1))
+
+
+def auto_skew_profile(
+    spark: SparkSession, first_stage_after: int = 0, factor: float = 2.0
+) -> dict[str, str]:
+    """Self-deriving AQE skew profile: measure the median shuffle
+    partition of the run so far via the REST API and scale the skew-join
+    knobs to it (:func:`tuned_skew_conf`). Removes the hand-fed
+    median-bytes input -- run a representative query, then apply this
+    profile to the rest of the job. Raises when no shuffle stats exist
+    yet (nothing to derive from beats silently keeping the cluster-scale
+    defaults that never fire at small partition sizes)."""
+    med = measured_median_shuffle_bytes(spark, first_stage_after)
+    if med is None:
+        raise RuntimeError(
+            "auto_skew_profile: no completed shuffle stage to measure "
+            "(is spark.ui.enabled=true and has a shuffling query run?)"
+        )
+    return tuned_skew_conf(med, factor)
+
+
 def get_session(
     app_name: str = "ddp-spark",
     master: str | None = None,

@@ -165,6 +165,32 @@ def test_tuned_skew_conf_scales_with_partition_stats():
     assert wide["spark.sql.adaptive.skewJoin.skewedPartitionFactor"] == "3.0"
 
 
+def test_auto_skew_profile_derives_from_measured_median(spark, monkeypatch):
+    """auto_skew_profile must emit exactly tuned_skew_conf(measured
+    median) and refuse to guess when no shuffle stats exist (the
+    REST-reading half is exercised by tools/skew_probe.py, which asserts
+    the auto profile equals the hand-fed one on a live UI)."""
+    import pytest as _pytest
+
+    from dockerized_data_pipeline_spark import session as S
+
+    monkeypatch.setattr(
+        S, "measured_median_shuffle_bytes", lambda sp, w=0: 10 << 20
+    )
+    assert S.auto_skew_profile(spark) == S.tuned_skew_conf(10 << 20)
+
+    monkeypatch.setattr(
+        S, "measured_median_shuffle_bytes", lambda sp, w=0: None
+    )
+    with _pytest.raises(RuntimeError, match="no completed shuffle"):
+        S.auto_skew_profile(spark)
+
+    # the real measurement helper returns None (not an exception) on a
+    # UI-disabled session like this one
+    monkeypatch.undo()
+    assert S.measured_median_shuffle_bytes(spark) is None
+
+
 def test_tuned_skew_profile_splits_hot_partition(spark):
     """At probe-scale partition sizes Spark's DEFAULT skew thresholds never
     fire (256 MB absolute), leaving the hot key in ONE post-join partition;

@@ -110,6 +110,22 @@ def _llm_stages(spark, results: dict, mult: int) -> int:
     t0 = time.time()
     SIM.semantic_dedup_incremental(spark, idx, ebatch, threshold=0.35).count()
     results["incremental_semantic"] = round(time.time() - t0, 2)
+
+    # n-gram LM (r5 operator): count-table build over the 90% corpus, then
+    # stupid-backoff scoring of the 10% batch against the persisted model
+    # -- the vocab-keyed-join shape whose Python-side constants (if any)
+    # would surface at this tier.
+    from dockerized_data_pipeline_spark.operators import ngramlm as LM
+
+    t0 = time.time()
+    uni, bi, total = LM.train_bigram_lm(corpus)
+    uni = uni.localCheckpoint()
+    bi = bi.localCheckpoint()
+    total = total.localCheckpoint()
+    results["lm_train"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    LM.score_documents(batch, uni, bi, total).count()
+    results["lm_score_batch"] = round(time.time() - t0, 2)
     return n_docs
 
 

@@ -120,25 +120,14 @@ def worst_stage_task_skew(spark, first_stage_after: int):
 def median_shuffle_read_bytes(spark, first_stage_after: int):
     """Median per-task shuffle-read bytes of the heaviest shuffle-read
     stage newer than the watermark -- the partition stat the tuned AQE
-    profile scales its thresholds from (session.tuned_skew_conf)."""
-    base = spark.sparkContext.uiWebUrl
-    app_id = spark.sparkContext.applicationId
-    stages = _rest(f"{base}/api/v1/applications/{app_id}/stages?status=complete")
-    new = [
-        s for s in stages
-        if s["stageId"] >= first_stage_after and s.get("shuffleReadBytes", 0) > 0
-    ]
-    if not new:
-        return None
-    s = max(new, key=lambda s: s["shuffleReadBytes"])
-    q = _rest(
-        f"{base}/api/v1/applications/{app_id}/stages/{s['stageId']}/"
-        f"{s['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+    profile scales its thresholds from. Delegates to the engine helper
+    (session.measured_median_shuffle_bytes) so probe and production
+    derive the number identically."""
+    from dockerized_data_pipeline_spark.session import (
+        measured_median_shuffle_bytes,
     )
-    rb = q.get("shuffleReadMetrics", {}).get("readBytes")
-    if rb:
-        return int(rb[1])
-    return int(s["shuffleReadBytes"] / max(s.get("numCompleteTasks", 1), 1))
+
+    return measured_median_shuffle_bytes(spark, first_stage_after)
 
 
 def run_variant(spark, name: str, build, conf: dict):
@@ -214,6 +203,17 @@ def main():
             spark, "plain", lambda: fact.join(dim, "k"),
             {"spark.sql.adaptive.enabled": "false"},
         ),
+    ]
+    # Self-derived profile (VERDICT r5 item 8): auto_skew_profile reads the
+    # REST taskSummary of the heaviest shuffle so far -- the plain run's
+    # join read, the same stat the hand-fed path below is given -- so the
+    # two profiles must be identical and their runs equivalent. Derived
+    # HERE, before the AQE variant runs, because AQE's coalesced stages
+    # would otherwise compete for "heaviest shuffle stage".
+    from dockerized_data_pipeline_spark.session import auto_skew_profile
+
+    auto_profile = auto_skew_profile(spark)
+    results += [
         run_variant(
             spark, "aqe", lambda: fact.join(dim, "k"),
             {"spark.sql.adaptive.enabled": "true",
@@ -229,10 +229,18 @@ def main():
         f"measured median shuffle partition: {med_bytes} bytes -> tuned "
         f"threshold {tuned_skew_conf(med_bytes)['spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes']} bytes"
     )
+    hand_profile = tuned_skew_conf(med_bytes)
+    if results[0]["shuffle_median_bytes"]:
+        assert auto_profile == hand_profile, (auto_profile, hand_profile)
+        print("auto_skew_profile == hand-tuned profile: PASS")
     results += [
         run_variant(
             spark, "aqe (tuned)", lambda: fact.join(dim, "k"),
-            tuned_skew_conf(med_bytes),
+            hand_profile,
+        ),
+        run_variant(
+            spark, "aqe (auto)", lambda: fact.join(dim, "k"),
+            auto_profile,
         ),
         run_variant(
             spark, "salted",
