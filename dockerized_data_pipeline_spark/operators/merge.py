@@ -137,13 +137,12 @@ def merge_upsert_partitioned(
     )
     merged = merge_upsert(target_slice, batch, keys, update_cols, preserve_cols)
 
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # dynamic mode replaces only the partitions present in `merged`
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # dynamic mode replaces only the partitions present in `merged`; the
+    # per-WRITER option scopes it to this one write -- no session-conf
+    # flip that a concurrent query (or the next test) could observe
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(partition_col).parquet(target_path)
     return {"partitions_rewritten": len(touched)}
 
 

@@ -66,21 +66,26 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-def split_malformed(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean_rows_without_rescue_col, malformed_rows) -- the P5 contract:
-    quarantine bad input for inspection instead of failing or dropping.
+def split_malformed(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean_rows_without_rescue_col, malformed_rows, cached_source) --
+    the P5 contract: quarantine bad input for inspection instead of
+    failing or dropping.
 
     The parsed batch is cached: Spark disallows plans that reference only
     the internal corrupt-record column of a live CSV/JSON scan (the parser
     would have to re-run just to report its own failures), and both halves
     of the split re-scan the same input anyway. Callers process one
     bounded ingest batch at a time (the reference's model), so the cache
-    is batch-sized, not corpus-sized; unpersist after the quarantine write.
-    """
+    is batch-sized, not corpus-sized; call ``cached_source.unpersist()``
+    after the quarantine write (the third return value exists precisely
+    so the caller CAN release it -- the two filtered views cannot
+    unpersist their parent)."""
     cached = df.cache()
     clean = cached.filter(cached[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     bad = cached.filter(cached[CORRUPT_COL].isNotNull())
-    return clean, bad
+    return clean, bad, cached
 
 
 def write_table(

@@ -477,6 +477,14 @@ def semantic_dedup_stream(
         b = unit_assigned(batch_df, centroids, id_col, vec_col).localCheckpoint(
             eager=True
         )
+        try:
+            _fold_body(spark, b, epoch_id)
+        finally:
+            # a long-running stream would otherwise pin one checkpoint
+            # RDD per micro-batch until the JVM's periodic GC
+            b.unpersist()
+
+    def _fold_body(spark, b: DataFrame, epoch_id: int) -> None:
         clusters = sorted(
             r.cluster_id for r in b.select("cluster_id").distinct().collect()
         )

@@ -18,18 +18,22 @@ def spark():
 
 
 def _persisted_rdd_ids(spark):
-    """Ids of persisted RDDs, EXCLUDING localCheckpoint working state:
-    eagerly-checkpointed per-query RDDs are unpersisted by the
-    ContextCleaner once GC'd, but py4j defers the detach of collected
+    """{id: description} of persisted RDDs, EXCLUDING localCheckpoint
+    working state: eagerly-checkpointed per-query RDDs are unpersisted by
+    the ContextCleaner once GC'd, but py4j defers the detach of collected
     proxies until further gateway activity, so their exact lifetime is
     nondeterministic -- and they carry no semantic state into later tests
     (unlike the SQL cache, which rewrites plans to InMemoryTableScan)."""
-    ids = set()
+    ids = {}
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
     while it.hasNext():
         e = it.next()
-        if "localCheckpoint" not in e._2().toString():
-            ids.add(e._1())
+        rdd = e._2()
+        # isLocallyCheckpointed, not a callsite-string match: an RDD
+        # checkpointed inside a streaming thread carries the thread's
+        # entry point ("at start") as its creation site
+        if not rdd.isLocallyCheckpointed():
+            ids[e._1()] = rdd.toString()
     return ids
 
 
@@ -101,7 +105,9 @@ def _no_session_state_leak(request):
         problems.append(
             f"pre-existing tables dropped: {sorted(dropped_tables)}"
         )
-    leaked_rdds = after_cached - before_cached
+    leaked_rdds = {
+        i: d for i, d in after_cached.items() if i not in before_cached
+    }
     if leaked_rdds:
         # give the ContextCleaner one GC round for just-dropped references
         # (cache()d DataFrames a test forgot to unpersist but no longer
@@ -110,10 +116,14 @@ def _no_session_state_leak(request):
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        leaked_rdds = _persisted_rdd_ids(spark) - before_cached
+        leaked_rdds = {
+            i: d
+            for i, d in _persisted_rdd_ids(spark).items()
+            if i not in before_cached
+        }
     if leaked_rdds:
         spark.catalog.clearCache()
-        problems.append(f"persisted RDDs leaked: {sorted(leaked_rdds)}")
+        problems.append(f"persisted RDDs leaked: {leaked_rdds}")
     if problems:
         pytest.fail(
             "session state leaked by this test (restored): "

@@ -310,17 +310,20 @@ def test_csv_roundtrip_with_malformed_quarantine(spark, tmp_path):
         ]
     )
     df = read_csv(spark, str(raw), schema)
-    clean, bad = split_malformed(df)
+    clean, bad, src = split_malformed(df)
     assert sorted(r.symbol for r in clean.collect()) == ["AAPL", "IBM"]
     assert bad.count() == 1 and "not_a_number" in bad.collect()[0]._corrupt_record
 
     out = tmp_path / "out_csv"
     write_table(clean, str(out), fmt="csv")
+    src.unpersist()
     back = read_csv(spark, str(out), schema)
-    assert sorted((r.symbol, r.price, r.volume) for r in split_malformed(back)[0].collect()) == [
+    clean2, _bad2, src2 = split_malformed(back)
+    assert sorted((r.symbol, r.price, r.volume) for r in clean2.collect()) == [
         ("AAPL", 101.5, 1000),
         ("IBM", 99.0, 500),
     ]
+    src2.unpersist()
 
 
 def test_jsonl_rescue_and_orc_roundtrip(spark, tmp_path):
@@ -345,12 +348,13 @@ def test_jsonl_rescue_and_orc_roundtrip(spark, tmp_path):
             T.StructField("price", T.DoubleType()),
         ]
     )
-    clean, bad = split_malformed(read_jsonl(spark, str(raw), schema))
+    clean, bad, src = split_malformed(read_jsonl(spark, str(raw), schema))
     assert sorted(r.symbol for r in clean.collect()) == ["AAPL", "IBM"]
     assert bad.count() == 1
 
     out = tmp_path / "out_orc"
     write_table(clean, str(out), fmt="orc")
+    src.unpersist()
     assert sorted((r.symbol, r.price) for r in read_orc(spark, str(out)).collect()) == [
         ("AAPL", 101.5),
         ("IBM", 99.0),

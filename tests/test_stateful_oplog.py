@@ -68,6 +68,7 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
         assert out2["view"].running_count == 1
     finally:
         q.stop()
+        spark.catalog.dropTempView("running_stats")
 
 
 def test_pipeline_logs_append_and_queries(spark, tmp_path):

@@ -128,11 +128,14 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    out = spark.sql("SELECT symbol, ts FROM dedup_out").collect()
-    assert sorted((r.symbol, r.ts) for r in out) == [
-        ("AAPL", t("2024-01-05 15:00:00")),
-        ("MSFT", t("2024-01-05 15:01:00")),
-    ]
+    try:
+        out = spark.sql("SELECT symbol, ts FROM dedup_out").collect()
+        assert sorted((r.symbol, r.ts) for r in out) == [
+            ("AAPL", t("2024-01-05 15:00:00")),
+            ("MSFT", t("2024-01-05 15:01:00")),
+        ]
+    finally:
+        spark.catalog.dropTempView("dedup_out")
 
 
 def test_windowed_counts_batch_equivalence(spark, sf_dir):
@@ -177,9 +180,12 @@ def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    out = {r.symbol: r.exchange for r in spark.sql("SELECT * FROM enrich_out").collect()}
-    # left join: unmatched stream rows survive with NULL exchange
-    assert out == {"AAPL": "NASDAQ", "MSFT": "NASDAQ", "NOPE": None}
+    try:
+        out = {r.symbol: r.exchange for r in spark.sql("SELECT * FROM enrich_out").collect()}
+        # left join: unmatched stream rows survive with NULL exchange
+        assert out == {"AAPL": "NASDAQ", "MSFT": "NASDAQ", "NOPE": None}
+    finally:
+        spark.catalog.dropTempView("enrich_out")
 
 
 def test_stream_stream_join_time_bounded(spark, tmp_path):
@@ -239,11 +245,14 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    out = [
-        (r.user_id, r.page, r.amount)
-        for r in spark.sql("SELECT * FROM ss_join_out").collect()
-    ]
-    assert out == [(1, "home", 9.99)]
+    try:
+        out = [
+            (r.user_id, r.page, r.amount)
+            for r in spark.sql("SELECT * FROM ss_join_out").collect()
+        ]
+        assert out == [(1, "home", 9.99)]
+    finally:
+        spark.catalog.dropTempView("ss_join_out")
 
 
 def test_rollup_stream_equals_batch_rollup(spark, sf_dir, tmp_path):

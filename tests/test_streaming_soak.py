@@ -32,22 +32,25 @@ TEMPLATES = [
 ]
 
 
-def _active_queries():
-    from dockerized_data_pipeline_spark.session import get_session
-
-    return get_session().streams.active
-
-
 def _run_stream_to_completion(make_query):
     """Start an availableNow query, wait for self-termination, then wait
     for the checkpoint's active-query registration to clear: it
     deregisters asynchronously, and a rapid restart loop would otherwise
-    hit SparkConcurrentModificationException on the commits dir."""
+    hit SparkConcurrentModificationException on the commits dir.
+
+    The active-query poll reads the QUERY'S OWN session -- calling
+    get_session() here would re-apply the default builder confs
+    (app name, 32 shuffle partitions) onto the shared 8-partition test
+    session via getOrCreate, which is exactly the cross-test conf drift
+    the conftest leak detector exists to catch."""
+    from pyspark.sql import SparkSession
+
     q = make_query()
     assert q.awaitTermination(300)
     q.stop()
+    streams = SparkSession.getActiveSession().streams
     deadline = time.monotonic() + 30
-    while any(aq.id == q.id for aq in _active_queries()):
+    while any(aq.id == q.id for aq in streams.active):
         if time.monotonic() > deadline:
             raise TimeoutError("query did not deregister")
         time.sleep(0.05)
