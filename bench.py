@@ -159,27 +159,75 @@ def main() -> None:
     # a single measurement makes ambient load indistinguishable from a
     # plan regression (the r4 +39% incremental-neardup drift).
     calibration_probe(spark)  # throwaway: pay the op's one-time codegen
-    cal = {"start": round(calibration_probe(spark), 3)}
 
-    timings: dict[str, float] = {}
-    total = 0.0
+    def time_queries(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = plans.QUERIES[name]
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(sorted(runs)[1], 3)
+        return out
+
+    def drift_pct(a: float, b: float) -> float:
+        lo, hi = sorted((a, b))
+        return round(100.0 * (hi - lo) / lo, 1)
+
+    # Self-defending segments (VERDICT r6 item 3): the r6 driver run proved
+    # calibration DETECTS contamination (138% drift) but the contaminated
+    # numbers were still the only numbers. Now each half of the query list
+    # is bracketed by its own probe pair; a segment whose bounding probes
+    # disagree by >20% was measured under shifting load, so it is re-run
+    # ONCE (fresh probes around the retry) and the better-calibrated
+    # attempt is kept. Both attempts are emitted so readers can audit the
+    # substitution.
+    RETRY_DRIFT_PCT = 20.0
     midpoint = len(HEADLINE) // 2
-    for i, name in enumerate(HEADLINE):
-        if i == midpoint:
-            cal["middle"] = round(calibration_probe(spark), 3)
-        fn = plans.QUERIES[name]
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        med = sorted(runs)[1]
-        timings[name] = round(med, 3)
-        total += med
+    segments = [HEADLINE[:midpoint], HEADLINE[midpoint:]]
 
-    cal["end"] = round(calibration_probe(spark), 3)
-    cal_lo, cal_hi = min(cal.values()), max(cal.values())
-    cal["drift_pct"] = round(100.0 * (cal_hi - cal_lo) / cal_lo, 1)
+    probes = [round(calibration_probe(spark), 3)]
+    seg_timings: list[dict[str, float]] = []
+    for seg in segments:
+        seg_timings.append(time_queries(seg))
+        probes.append(round(calibration_probe(spark), 3))
+
+    retries = []
+    for i, seg in enumerate(segments):
+        raw_drift = drift_pct(probes[i], probes[i + 1])
+        if raw_drift <= RETRY_DRIFT_PCT:
+            continue
+        before = round(calibration_probe(spark), 3)
+        retry = time_queries(seg)
+        after = round(calibration_probe(spark), 3)
+        retry_drift = drift_pct(before, after)
+        adopted = "retry" if retry_drift < raw_drift else "raw"
+        # the adopted attempt lands in "queries"; the discarded one is
+        # kept here so the substitution stays auditable
+        retries.append({
+            "segment": i,
+            "raw_drift_pct": raw_drift,
+            "retry_drift_pct": retry_drift,
+            "retry_probes": [before, after],
+            "adopted": adopted,
+            "discarded_queries": seg_timings[i] if adopted == "retry" else retry,
+        })
+        if adopted == "retry":
+            seg_timings[i] = retry
+            probes[i], probes[i + 1] = before, after
+
+    timings = {k: v for seg in seg_timings for k, v in seg.items()}
+    total = sum(timings.values())
+    # probes bracketing the ADOPTED measurements (raw probes live in
+    # segment_retries when a retry replaced them)
+    cal = {
+        "start": probes[0],
+        "middle": probes[1],
+        "end": probes[2],
+        "drift_pct": drift_pct(min(probes), max(probes)),
+    }
 
     result = {
         "metric": "headline_queries_total",
@@ -189,6 +237,8 @@ def main() -> None:
         "sf": float(sf),
         "calibration": cal,
     }
+    if retries:
+        result["segment_retries"] = retries
     if n_files > 0:
         result["layout_files"] = n_files
     print(json.dumps(result))

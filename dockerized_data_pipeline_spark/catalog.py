@@ -148,8 +148,26 @@ def scoped_views(spark: SparkSession, **views: DataFrame):
     ``createOrReplaceTempView``: a view that outlives its query leaks
     session state (name collisions across queries, stale sf_dir bindings
     when the same query runs against another scale factor).
+
+    A pre-existing session-local temp view shadowed by one of these names
+    (queries use common names like ``lineitem``/``orders``, which a user's
+    ``register_views`` call may already hold) is captured before the
+    replace and re-registered on exit, so running a query is transparent
+    to the caller's catalog. Shadowed persistent tables and global temp
+    views need no restore -- dropping the session-local name un-shadows
+    them.
     """
     registered = []
+    shadowed: dict[str, DataFrame] = {}
+    for name in views:
+        try:
+            t = spark.catalog.getTable(name)
+        except Exception:
+            continue
+        if t.tableType == "TEMPORARY" and not t.namespace:
+            # spark.table resolves to the analyzed plan, which stays valid
+            # after the name is dropped -- enough to re-bind on exit
+            shadowed[name] = spark.table(name)
     try:
         for name, df in views.items():
             df.createOrReplaceTempView(name)
@@ -158,6 +176,9 @@ def scoped_views(spark: SparkSession, **views: DataFrame):
     finally:
         for name in registered:
             spark.catalog.dropTempView(name)
+            prev = shadowed.get(name)
+            if prev is not None:
+                prev.createOrReplaceTempView(name)
 
 
 def create_table_if_not_exists(

@@ -41,8 +41,21 @@ def dedup_keep_newest(
 
     This is the window-dedup the reference gets implicitly from upserting
     rows one at a time in arrival order (scripts/fetch_stock_data.py:104-115).
+
+    The tie-break is real, not just documented (r7): ordering by
+    ``order_by`` alone leaves rows with equal order values in
+    row_number()'s arbitrary partition order -- a nondeterministic pick
+    that can differ across retries and partition layouts. Every remaining
+    non-key column (in schema order, desc, nulls last) completes the
+    total order; two rows that still tie are full-content duplicates, for
+    which either pick is the same row.
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
+    tiebreak = [
+        c for c in df.columns if c not in keys and c not in order_by
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.desc_nulls_last(c) for c in [*order_by, *tiebreak]]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -132,9 +145,17 @@ def merge_upsert_partitioned(
         return {"partitions_rewritten": batch.select(partition_col).distinct().count()}
 
     touched = [r[0] for r in batch.select(partition_col).distinct().collect()]
-    target_slice = spark.read.parquet(target_path).filter(
-        F.col(partition_col).isin(touched)
+    # NULL partition values are legal merge keys (eqNullSafe join): isin()
+    # follows SQL three-valued logic and never matches NULL, which would
+    # exclude the target's NULL-partition rows from the merge and then
+    # REPLACE that partition with batch-only rows (silent data loss).
+    non_null = [v for v in touched if v is not None]
+    pred = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
     )
+    if len(non_null) != len(touched):
+        pred = pred | F.col(partition_col).isNull()
+    target_slice = spark.read.parquet(target_path).filter(pred)
     merged = merge_upsert(target_slice, batch, keys, update_cols, preserve_cols)
 
     # dynamic mode replaces only the partitions present in `merged`; the
@@ -209,4 +230,11 @@ def apply_cdc(
     deletes = changes.filter(F.col(op_col) == "D").select(*keys)
     upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
     merged = merge_upsert(target, upserts, keys)
-    return merged.join(deletes, on=keys, how="left_anti")
+    # eqNullSafe, matching the upsert join: NULL key values are legal, and
+    # a plain equality anti-join would leave NULL-key rows undeletable
+    m, d = merged.alias("m"), deletes.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"m.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else (cond & c)
+    return m.join(d, on=cond, how="left_anti")

@@ -22,21 +22,54 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns xxhash64 accepts: Spark rejects MapType (at any nesting
+    depth) because map iteration order makes the hash non-deterministic
+    (spark.sql.legacy.allowHashOnMapType gates it off)."""
+    return [f.name for f in df.schema.fields if not _contains_map(f.dataType)]
+
+
+def _free_name(base: str, *dfs: DataFrame) -> str:
+    """``base`` or the first numbered variant colliding with no input
+    column, so internal working columns never clobber user data."""
+    taken = {c for df in dfs for c in df.columns}
+    name, i = base, 0
+    while name in taken:
+        i += 1
+        name = f"{base}{i}"
+    return name
 
 
 def salt_expr(df: DataFrame, salt_buckets: int, seed: int = 42) -> Column:
     """Deterministic per-row salt in [0, salt_buckets): a content hash of
-    every column plus the seed.
+    every hashable column plus the seed (MapType columns are skipped --
+    xxhash64 rejects them since map iteration order is undefined).
 
     Unlike ``F.rand`` this is stable under task retry (a re-executed task
     re-derives the same salts, so the (key, salt) join keys a downstream
     stage already consumed cannot change) and independent of partition
     layout. Rows that are full-content duplicates share a salt, which only
     narrows the spread when one (key, payload) pair dominates -- not a skew
-    shape salting can help with anyway.
+    shape salting can help with anyway. A frame whose every column is
+    map-typed degrades to a constant salt: the join stays correct, the
+    spread is lost -- project a hashable discriminator column first.
     """
+    cols = _hashable_cols(df)
     return F.pmod(
-        F.xxhash64(F.lit(seed), *df.columns), F.lit(salt_buckets)
+        F.xxhash64(F.lit(seed), *cols), F.lit(salt_buckets)
     ).cast("int")
 
 
@@ -60,12 +93,13 @@ def salted_join(
     partition counts); size assertions belong on bucket counts, not
     ``spark_partition_id()``.
     """
-    salted_large = large.withColumn("__salt", salt_expr(large, salt_buckets, seed))
+    salt = _free_name("__salt", large, small)
+    salted_large = large.withColumn(salt, salt_expr(large, salt_buckets, seed))
     replicated_small = small.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        salt, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    out = salted_large.join(replicated_small, [on, "__salt"], how)
-    return out.drop("__salt")
+    out = salted_large.join(replicated_small, [on, salt], how)
+    return out.drop(salt)
 
 
 def bucketed_topk(
@@ -86,12 +120,16 @@ def bucketed_topk(
     is necessarily in the top-k of its own bucket. ``order_by`` must be a
     deterministic total order (include a unique tiebreak column).
     """
-    d = df.withColumn("__bkt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets)))
-    w_local = Window.partitionBy(*partition_cols, "__bkt").orderBy(*order_by)
+    bkt = _free_name("__bkt", df)
+    lrk = _free_name("__lrk", df)
+    d = df.withColumn(
+        bkt, F.pmod(F.xxhash64(*_hashable_cols(df)), F.lit(buckets))
+    )
+    w_local = Window.partitionBy(*partition_cols, bkt).orderBy(*order_by)
     survivors = (
-        d.withColumn("__lrk", F.row_number().over(w_local))
-        .filter(F.col("__lrk") <= k)
-        .drop("__lrk", "__bkt")
+        d.withColumn(lrk, F.row_number().over(w_local))
+        .filter(F.col(lrk) <= k)
+        .drop(lrk, bkt)
     )
     w_final = Window.partitionBy(*partition_cols).orderBy(*order_by)
     return survivors.withColumn(rank_col, F.row_number().over(w_final)).filter(
@@ -117,27 +155,30 @@ def bucketed_running_sum(
     bucket) and broadcast-joins the offsets back. Use DECIMAL values: the
     merge re-associates additions, which is exact for decimals only.
     """
-    d = df.withColumn("__bkt", bucket)
+    bkt = _free_name("__bkt", df)
+    loc = _free_name("__local", df)
+    off = _free_name("__off", df)
+    d = df.withColumn(bkt, bucket)
     w_local = (
-        Window.partitionBy(*partition_cols, "__bkt")
+        Window.partitionBy(*partition_cols, bkt)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = d.withColumn("__local", F.sum(value).over(w_local))
-    totals = d.groupBy(*partition_cols, "__bkt").agg(F.sum(value).alias("__tot"))
+    local = d.withColumn(loc, F.sum(value).over(w_local))
+    totals = d.groupBy(*partition_cols, bkt).agg(F.sum(value).alias("__tot"))
     w_off = (
         Window.partitionBy(*partition_cols)
-        .orderBy("__bkt")
+        .orderBy(bkt)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.withColumn("__off", F.sum("__tot").over(w_off)).select(
-        *partition_cols, "__bkt", "__off"
+    offsets = totals.withColumn(off, F.sum("__tot").over(w_off)).select(
+        *partition_cols, bkt, off
     )
-    joined = local.join(F.broadcast(offsets), [*partition_cols, "__bkt"], "left")
-    zero = F.lit(0).cast(dict(offsets.dtypes)["__off"])  # exact type match
+    joined = local.join(F.broadcast(offsets), [*partition_cols, bkt], "left")
+    zero = F.lit(0).cast(dict(offsets.dtypes)[off])  # exact type match
     return (
-        joined.withColumn(out_col, F.coalesce(F.col("__off"), zero) + F.col("__local"))
-        .drop("__bkt", "__local", "__off")
+        joined.withColumn(out_col, F.coalesce(F.col(off), zero) + F.col(loc))
+        .drop(bkt, loc, off)
     )
 
 

@@ -471,17 +471,19 @@ def semantic_dedup_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # localCheckpoint: b feeds the clusters collect, the corpus join,
-        # both sides of the self join, and the index write -- without it
-        # the assignment subtree recomputes four more times per batch
-        b = unit_assigned(batch_df, centroids, id_col, vec_col).localCheckpoint(
-            eager=True
-        )
+        # persist (NOT localCheckpoint): b feeds the clusters collect, the
+        # corpus join, both sides of the self join, and the index write --
+        # without it the assignment subtree recomputes four more times per
+        # batch. persist is chosen because Dataset.unpersist only releases
+        # CacheManager entries; a localCheckpoint'd RDD is persisted
+        # underneath the CacheManager and stays pinned until JVM GC, which
+        # on a long-running stream accumulates one dead RDD per micro-batch.
+        # b is fully consumed inside this batch, so lineage truncation (the
+        # other thing localCheckpoint buys) is not needed.
+        b = unit_assigned(batch_df, centroids, id_col, vec_col).persist()
         try:
             _fold_body(spark, b, epoch_id)
         finally:
-            # a long-running stream would otherwise pin one checkpoint
-            # RDD per micro-batch until the JVM's periodic GC
             b.unpersist()
 
     def _fold_body(spark, b: DataFrame, epoch_id: int) -> None:

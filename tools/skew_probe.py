@@ -165,7 +165,8 @@ def run_variant(spark, name: str, build, conf: dict):
     return {"variant": name, "wall_sec": round(wall, 2), "rows": n,
             "task_max_ms": mx, "task_median_ms": med,
             "straggler_factor": round(factor, 2),
-            "shuffle_median_bytes": shuffle_med}
+            "shuffle_median_bytes": shuffle_med,
+            "stage_watermark": next_stage}
 
 
 def main():
@@ -209,10 +210,15 @@ def main():
     # join read, the same stat the hand-fed path below is given -- so the
     # two profiles must be identical and their runs equivalent. Derived
     # HERE, before the AQE variant runs, because AQE's coalesced stages
-    # would otherwise compete for "heaviest shuffle stage".
+    # would otherwise compete for "heaviest shuffle stage". Measured from
+    # the PLAIN RUN'S stage watermark (not 0) so both paths see the
+    # identical stage set -- the pre-run top-key aggregate and data-gen
+    # stages must not compete for "heaviest" (ADVICE r6).
     from dockerized_data_pipeline_spark.session import auto_skew_profile
 
-    auto_profile = auto_skew_profile(spark)
+    auto_profile = auto_skew_profile(
+        spark, first_stage_after=results[0]["stage_watermark"]
+    )
     results += [
         run_variant(
             spark, "aqe", lambda: fact.join(dim, "k"),
@@ -233,15 +239,37 @@ def main():
     if results[0]["shuffle_median_bytes"]:
         assert auto_profile == hand_profile, (auto_profile, hand_profile)
         print("auto_skew_profile == hand-tuned profile: PASS")
+    # tuned and auto apply IDENTICAL confs (asserted above when measurable),
+    # so their walls can differ only by ambient load. Re-run the pair once
+    # if they diverge >30%, then require agreement within 1.5x -- the
+    # assertion VERDICT r6 item 5 asked for instead of a footnote.
+    tuned_run = run_variant(
+        spark, "aqe (tuned)", lambda: fact.join(dim, "k"), hand_profile
+    )
+    auto_run = run_variant(
+        spark, "aqe (auto)", lambda: fact.join(dim, "k"), auto_profile
+    )
+    walls = sorted((tuned_run["wall_sec"], auto_run["wall_sec"]))
+    if walls[1] > 1.3 * walls[0]:
+        print("tuned/auto walls diverged >30% (ambient load) -- re-running pair")
+        tuned_run = run_variant(
+            spark, "aqe (tuned)", lambda: fact.join(dim, "k"), hand_profile
+        )
+        auto_run = run_variant(
+            spark, "aqe (auto)", lambda: fact.join(dim, "k"), auto_profile
+        )
+        walls = sorted((tuned_run["wall_sec"], auto_run["wall_sec"]))
+    assert walls[1] <= 1.5 * max(walls[0], 0.1), (
+        "identical-conf variants disagree beyond noise even after a re-run: "
+        f"tuned {tuned_run['wall_sec']}s vs auto {auto_run['wall_sec']}s"
+    )
+    print(
+        f"tuned/auto wall agreement: PASS "
+        f"({tuned_run['wall_sec']}s vs {auto_run['wall_sec']}s)"
+    )
     results += [
-        run_variant(
-            spark, "aqe (tuned)", lambda: fact.join(dim, "k"),
-            hand_profile,
-        ),
-        run_variant(
-            spark, "aqe (auto)", lambda: fact.join(dim, "k"),
-            auto_profile,
-        ),
+        tuned_run,
+        auto_run,
         run_variant(
             spark, "salted",
             lambda: hot_key_salted_join(
