@@ -1,0 +1,771 @@
+"""Differential query fuzzer vs the DuckDB oracle (VERDICT r6 item 1).
+
+The 199 hand-written oracled queries cover the corners someone thought to
+write; this generates the ones nobody did -- null-ordering interactions,
+outer-join + filter placement, three-valued IN/NOT IN with injected
+NULLs, set-op duplicate semantics, empty-group aggregates -- as random
+but WELL-TYPED queries over the fixture schemas, runs each on Spark and
+DuckDB, and compares with the exact check_oracle normalization (row
+count, sorted column names, order-insensitive value multiset). Any
+mismatch is shrunk clause-by-clause to a minimal repro and written to
+tools/fuzz_corpus/.
+
+Portability rules baked into the grammar (documented divergences the
+fuzzer must not trip over, mirroring the engine's own query rules):
+  * no DECIMAL/HUGEINT output: SUM(int) is cast to BIGINT, double sums
+    go through FLOOR(x*100) cents (exact same IEEE double ops per row on
+    both engines), so value compare is exact -- never float-roundoff.
+  * every ORDER BY carries explicit ASC/DESC + NULLS FIRST/LAST (Spark
+    defaults asc=NULLS FIRST, DuckDB defaults NULLS LAST).
+  * LIMIT only under an ORDER BY that is a total order of the output
+    (all group columns), otherwise top-k at a tie boundary is legal
+    nondeterminism, not a bug.
+  * no division (integral divide-by-zero raises on one engine, returns
+    NULL on none), no string->number casts (ANSI).
+
+Usage: python tools/fuzz_oracle.py [N] [seed] [sf_dir]
+       (defaults 500, 42, /root/testdata/sf0.001)
+Exit 0 when all generated queries pass (both-engines-error counts as a
+recorded category, not a failure -- the grammar should keep it rare).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+
+from check_oracle import rows_multiset
+
+# ---------------------------------------------------------------- schema
+
+TABLES: dict[str, dict] = {
+    "region": {"key": ["r_regionkey"], "cols": {
+        "r_regionkey": "int", "r_name": "str"}},
+    "nation": {"key": ["n_nationkey"], "cols": {
+        "n_nationkey": "int", "n_name": "str", "n_regionkey": "int"}},
+    "customer": {"key": ["c_custkey"], "cols": {
+        "c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "str"}},
+    "supplier": {"key": ["s_suppkey"], "cols": {
+        "s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+        "s_acctbal": "double"}},
+    "part": {"key": ["p_partkey"], "cols": {
+        "p_partkey": "int", "p_name": "str", "p_brand": "str",
+        "p_type": "str", "p_size": "int", "p_retailprice": "double"}},
+    "orders": {"key": ["o_orderkey"], "cols": {
+        "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+        "o_totalprice": "double", "o_orderdate": "ts",
+        "o_orderpriority": "str"}},
+    "lineitem": {"key": ["l_orderkey", "l_linenumber"], "cols": {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "str", "l_linestatus": "str",
+        "l_shipdate": "ts"}},
+    # documents.text excluded from the pool: megabyte select lists tell
+    # us nothing new; LENGTH/SUBSTRING shapes are covered via str cols
+    "documents": {"key": ["doc_id"], "cols": {
+        "doc_id": "int", "lang": "str", "source": "str",
+        "n_chars": "int"}},
+    "events": {"key": ["event_id"], "cols": {
+        "event_id": "int", "ts": "ts", "user_id": "int",
+        "event_type": "str", "value": "double", "props": "str"}},
+}
+
+# (child, child_col, parent, parent_col); the last edge is a semantic
+# (non-FK) equi-join -- customers and suppliers of the same nation
+FK = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "supplier", "s_nationkey"),
+]
+
+JOIN_TYPES = ["JOIN", "JOIN", "JOIN", "LEFT JOIN", "LEFT JOIN",
+              "RIGHT JOIN", "FULL JOIN"]
+
+
+def sample_literals(sf_dir: str) -> dict[tuple[str, str], list]:
+    """Deterministic per-column literal pool: ~8 evenly spaced distinct
+    values straight from the data, so predicates are selective-but-
+    matching instead of always-empty."""
+    con = duckdb.connect()
+    pool: dict[tuple[str, str], list] = {}
+    for t, spec in TABLES.items():
+        for c in spec["cols"]:
+            vals = [r[0] for r in con.execute(
+                f"SELECT DISTINCT {c} FROM '{sf_dir}/{t}.parquet' "
+                f"ORDER BY {c} LIMIT 401"
+            ).fetchall()]
+            step = max(1, len(vals) // 8)
+            pool[(t, c)] = vals[::step][:8] or vals
+    con.close()
+    return pool
+
+
+def lit_sql(v, typ: str) -> str:
+    if v is None:
+        return "NULL"
+    if typ == "str":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "ts":
+        return f"TIMESTAMP '{v}'"
+    if typ == "double":
+        # Spark parses a bare fractional literal as DECIMAL(p,s) while
+        # DuckDB parses DECIMAL too but coerces to float on fetch -- any
+        # decimal reaching the OUTPUT hash-fails by the driver's own
+        # normalization rule. CAST keeps every literal a true DOUBLE.
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    return str(int(v))
+
+
+# ------------------------------------------------------------ generation
+#
+# Exprs are {"sql": str, "deps": frozenset[alias], "type": str,
+# "col": (table, col) | None} -- col remembers the dominant source column
+# so literals in predicates come from that column's pool.
+
+
+def _leaf(sql, deps, typ, col=None):
+    return {"sql": sql, "deps": frozenset(deps), "type": typ, "col": col}
+
+
+class Gen:
+    def __init__(self, rng: random.Random, pool, lits):
+        self.rng = rng
+        self.pool = pool          # [(alias, table, col, typ)]
+        self.lits = lits          # (table, col) -> [values]
+
+    def col_of(self, typ=None):
+        cands = [p for p in self.pool if typ is None or p[3] == typ]
+        if not cands:
+            return None
+        a, t, c, ty = self.rng.choice(cands)
+        return _leaf(f"{a}.{c}", {a}, ty, (t, c))
+
+    def literal_for(self, e):
+        if e["col"] and self.lits.get(e["col"]):
+            return self.rng.choice(self.lits[e["col"]])
+        return {"int": 3, "double": 10.0, "str": "a",
+                "ts": "1997-01-01 00:00:00"}[e["type"]]
+
+    # -- scalar expressions ------------------------------------------
+    def expr(self, typ, depth=0):
+        r = self.rng.random()
+        base = self.col_of(typ)
+        if base is None or depth >= 2 or r < 0.45:
+            return base or self.const(typ)
+        if typ == "int":
+            return self.int_expr(depth)
+        if typ == "str":
+            return self.str_expr(depth)
+        if typ == "double":
+            return self.double_expr(depth)
+        return base  # ts: plain column only
+
+    def const(self, typ):
+        v = {"int": self.rng.randint(0, 20),
+             "double": round(self.rng.uniform(0, 100), 2),
+             "str": self.rng.choice(["a", "Z", ""]),
+             "ts": "1997-06-01 00:00:00"}[typ]
+        return _leaf(lit_sql(v, typ), set(), typ)
+
+    def int_expr(self, depth):
+        e = self.col_of("int") or self.const("int")
+        kind = self.rng.randrange(7)
+        if kind == 0:
+            return _leaf(f"({e['sql']} + {self.rng.randint(1, 9)})",
+                         e["deps"], "int", e["col"])
+        if kind == 1:
+            return _leaf(f"({e['sql']} % {self.rng.randint(2, 13)})",
+                         e["deps"], "int")
+        if kind == 2:
+            s = self.col_of("str")
+            if s is not None:
+                return _leaf(f"LENGTH({s['sql']})", s["deps"], "int")
+        if kind == 3:
+            t = self.col_of("ts")
+            if t is not None:
+                part = self.rng.choice(["YEAR", "MONTH", "DAY"])
+                return _leaf(f"EXTRACT({part} FROM {t['sql']})",
+                             t["deps"], "int")
+        if kind == 4:
+            lit = self.literal_for(e)
+            return _leaf(f"NULLIF({e['sql']}, {lit_sql(lit, 'int')})",
+                         e["deps"], "int", e["col"])
+        if kind == 5 and depth < 2:
+            p = self.pred(depth + 1)
+            a, b = self.expr("int", 2), self.expr("int", 2)
+            return _leaf(
+                f"CASE WHEN {p['sql']} THEN {a['sql']} ELSE {b['sql']} END",
+                p["deps"] | a["deps"] | b["deps"], "int")
+        return e
+
+    def str_expr(self, depth):
+        e = self.col_of("str") or self.const("str")
+        kind = self.rng.randrange(5)
+        if kind == 0:
+            fn = self.rng.choice(["UPPER", "LOWER", "TRIM"])
+            return _leaf(f"{fn}({e['sql']})", e["deps"], "str", e["col"])
+        if kind == 1:
+            k = self.rng.randint(1, 6)
+            return _leaf(f"SUBSTRING({e['sql']}, 1, {k})", e["deps"], "str")
+        if kind == 2:
+            o = self.col_of("str") or self.const("str")
+            return _leaf(f"({e['sql']} || {o['sql']})",
+                         e["deps"] | o["deps"], "str")
+        if kind == 3:
+            lit = self.literal_for(e)
+            return _leaf(f"NULLIF({e['sql']}, {lit_sql(lit, 'str')})",
+                         e["deps"], "str", e["col"])
+        return e
+
+    def double_expr(self, depth):
+        e = self.col_of("double") or self.const("double")
+        kind = self.rng.randrange(4)
+        if kind == 0:
+            return _leaf(f"({e['sql']} * {self.rng.randint(2, 9)})",
+                         e["deps"], "double", e["col"])
+        if kind == 1:
+            o = self.col_of("double")
+            if o is not None:
+                return _leaf(f"({e['sql']} + {o['sql']})",
+                             e["deps"] | o["deps"], "double")
+        if kind == 2:
+            lit = lit_sql(self.literal_for(e), "double")
+            return _leaf(f"ABS({e['sql']} - {lit})",
+                         e["deps"], "double", e["col"])
+        return e
+
+    # -- predicates (AST nodes: leaf | not | and | or) ----------------
+    def pred(self, depth=0):
+        r = self.rng.random()
+        if depth < 2 and r < 0.30:
+            op = self.rng.choice(["AND", "OR"])
+            a, b = self.pred(depth + 1), self.pred(depth + 1)
+            return {"op": op, "a": a, "b": b,
+                    "sql": f"({a['sql']} {op} {b['sql']})",
+                    "deps": a["deps"] | b["deps"]}
+        if depth < 2 and r < 0.38:
+            a = self.pred(depth + 1)
+            return {"op": "NOT", "a": a, "sql": f"(NOT {a['sql']})",
+                    "deps": a["deps"]}
+        return self.leaf_pred(depth)
+
+    def leaf_pred(self, depth):
+        typ = self.rng.choice(["int", "int", "str", "str", "double", "ts"])
+        e = self.expr(typ, depth + 1)
+        kind = self.rng.randrange(8)
+        if kind == 0:
+            return {"op": "leaf",
+                    "sql": f"{e['sql']} IS "
+                           f"{self.rng.choice(['NULL', 'NOT NULL'])}",
+                    "deps": e["deps"]}
+        if kind == 1 and e["col"]:
+            vals = [self.literal_for(e) for _ in range(self.rng.randint(2, 4))]
+            lits = ", ".join(lit_sql(v, e["type"]) for v in vals)
+            neg = self.rng.choice(["", "NOT "])
+            return {"op": "leaf", "sql": f"{e['sql']} {neg}IN ({lits})",
+                    "deps": e["deps"]}
+        if kind == 2 and e["type"] in ("int", "double", "ts"):
+            lo, hi = sorted(
+                [self.literal_for(e), self.literal_for(e)],
+                key=lambda v: (v is None, v),
+            )
+            return {"op": "leaf",
+                    "sql": f"{e['sql']} BETWEEN {lit_sql(lo, e['type'])} "
+                           f"AND {lit_sql(hi, e['type'])}",
+                    "deps": e["deps"]}
+        if kind == 3 and e["type"] == "str" and e["col"]:
+            v = str(self.literal_for(e))
+            frag = v[: self.rng.randint(1, max(1, min(4, len(v))))] if v else "a"
+            frag = frag.replace("'", "''").replace("%", "").replace("_", "")
+            pat = self.rng.choice([f"{frag}%", f"%{frag}%", f"%{frag}"])
+            neg = self.rng.choice(["", "NOT "])
+            return {"op": "leaf", "sql": f"{e['sql']} {neg}LIKE '{pat}'",
+                    "deps": e["deps"]}
+        op = self.rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        if self.rng.random() < 0.6:
+            rhs = lit_sql(self.literal_for(e), e["type"])
+            deps = e["deps"]
+        else:
+            o = self.expr(e["type"], depth + 1)
+            rhs, deps = o["sql"], e["deps"] | o["deps"]
+        return {"op": "leaf", "sql": f"{e['sql']} {op} {rhs}", "deps": deps}
+
+    def subquery_pred(self):
+        """IN / NOT IN / EXISTS with a one-table subquery -- the
+        three-valued NOT IN trap and correlated EXISTS decorrelation."""
+        kind = self.rng.randrange(3)
+        if kind < 2:
+            # (alias.intcol) [NOT] IN (SELECT intcol2 FROM t2 WHERE p)
+            e = self.col_of("int")
+            if e is None:
+                return None
+            t2 = self.rng.choice(list(TABLES))
+            int_cols = [c for c, ty in TABLES[t2]["cols"].items()
+                        if ty == "int"]
+            c2 = self.rng.choice(int_cols)
+            sub_gen = Gen(self.rng, [("s0", t2, c, ty)
+                                     for c, ty in TABLES[t2]["cols"].items()],
+                          self.lits)
+            p = sub_gen.leaf_pred(1)
+            # NULLIF injects NULLs into the subquery output: NOT IN over
+            # a NULL-bearing list is the classic three-valued corner
+            inner = f"s0.{c2}"
+            if self.rng.random() < 0.4:
+                lv = self.lits.get((t2, c2), [0])
+                inner = f"NULLIF(s0.{c2}, {lit_sql(self.rng.choice(lv), 'int')})"
+            neg = "NOT " if kind == 1 else ""
+            sql = (f"{e['sql']} {neg}IN (SELECT {inner} FROM {t2} s0 "
+                   f"WHERE {p['sql']})")
+            return {"op": "leaf", "sql": sql, "deps": e["deps"]}
+        # correlated EXISTS over an FK edge touching a pooled alias
+        edges = []
+        for a, t, _c, _ty in self.pool:
+            for (ch, cc, pa, pc) in FK:
+                if t == pa:
+                    edges.append((a, pc, ch, cc))
+                if t == ch:
+                    edges.append((a, cc, pa, pc))
+        if not edges:
+            return None
+        a, acol, t2, c2 = self.rng.choice(edges)
+        neg = self.rng.choice(["", "NOT "])
+        sql = f"{neg}EXISTS (SELECT 1 FROM {t2} s0 WHERE s0.{c2} = {a}.{acol})"
+        return {"op": "leaf", "sql": sql, "deps": frozenset({a})}
+
+    # -- aggregates ----------------------------------------------------
+    def agg(self, idx):
+        kind = self.rng.randrange(6)
+        alias = f"agg{idx}"
+        if kind == 0:
+            return {"sql": "COUNT(*)", "deps": frozenset(), "alias": alias,
+                    "type": "int"}
+        if kind == 1:
+            e = self.expr(self.rng.choice(["int", "str"]), 1)
+            d = "DISTINCT " if self.rng.random() < 0.4 else ""
+            return {"sql": f"COUNT({d}{e['sql']})", "deps": e["deps"],
+                    "alias": alias, "type": "int"}
+        if kind == 2:
+            e = self.expr("int", 1)
+            return {"sql": f"CAST(SUM({e['sql']}) AS BIGINT)",
+                    "deps": e["deps"], "alias": alias, "type": "int"}
+        if kind == 3:
+            e = self.col_of("double")
+            if e is not None:
+                # exact cents: FLOOR(x*100) is the same IEEE double op on
+                # both engines; the BIGINT sum is then exact
+                return {"sql": f"CAST(SUM(CAST(FLOOR({e['sql']} * 100) "
+                               f"AS BIGINT)) AS BIGINT)",
+                        "deps": e["deps"], "alias": alias, "type": "int"}
+        fn = self.rng.choice(["MIN", "MAX"])
+        e = self.expr(self.rng.choice(["int", "str", "double", "ts"]), 1)
+        return {"sql": f"{fn}({e['sql']})", "deps": e["deps"],
+                "alias": alias, "type": e["type"]}
+
+    def group_expr(self):
+        kind = self.rng.randrange(5)
+        if kind == 0:
+            e = self.col_of("str")
+            if e is not None:
+                return e
+        if kind == 1:
+            e = self.col_of("int")
+            if e is not None:
+                return _leaf(f"({e['sql']} % {self.rng.randint(2, 7)})",
+                             e["deps"], "int")
+        if kind == 2:
+            t = self.col_of("ts")
+            if t is not None:
+                return _leaf(f"EXTRACT(YEAR FROM {t['sql']})",
+                             t["deps"], "int")
+        if kind == 3:
+            e = self.col_of(self.rng.choice(["int", "str"]))
+            if e is not None and e["col"]:
+                lit = self.literal_for(e)
+                return _leaf(
+                    f"NULLIF({e['sql']}, {lit_sql(lit, e['type'])})",
+                    e["deps"], e["type"], e["col"])
+        return self.col_of(self.rng.choice(["int", "str"])) or self.const("int")
+
+
+def gen_query(rng: random.Random, lits) -> dict:
+    """One random well-typed query AST."""
+    # FROM clause: random FK walk, 1-3 tables
+    n_tables = rng.choice([1, 1, 2, 2, 2, 3, 3])
+    base = rng.choice(list(TABLES))
+    tables = [(base, "t0")]
+    joins = []
+    for i in range(1, n_tables):
+        edges = []
+        for (ch, cc, pa, pc) in FK:
+            for (tname, alias) in tables:
+                if tname == ch and pa not in [t for t, _ in tables]:
+                    edges.append((alias, cc, pa, pc))
+                if tname == pa and ch not in [t for t, _ in tables]:
+                    edges.append((alias, pc, ch, cc))
+        if not edges:
+            break
+        a, acol, t2, c2 = rng.choice(edges)
+        alias = f"t{i}"
+        joins.append({
+            "type": rng.choice(JOIN_TYPES), "table": t2, "alias": alias,
+            "on": f"{a}.{acol} = {alias}.{c2}",
+            "deps": frozenset({a, alias}),
+        })
+        tables.append((t2, alias))
+
+    pool = [(alias, t, c, ty)
+            for (t, alias) in tables
+            for c, ty in TABLES[t]["cols"].items()]
+    g = Gen(rng, pool, lits)
+
+    q = {"tables": tables, "joins": joins, "where": None, "group": [],
+         "aggs": [], "select": [], "distinct": False, "having": None,
+         "order_limit": None, "setop": None, "where2": None}
+
+    if rng.random() < 0.75:
+        q["where"] = g.pred()
+        if rng.random() < 0.15:
+            sp = g.subquery_pred()
+            if sp is not None:
+                w = q["where"]
+                q["where"] = {"op": "AND", "a": w, "b": sp,
+                              "sql": f"({w['sql']} AND {sp['sql']})",
+                              "deps": w["deps"] | sp["deps"]}
+
+    mode = rng.random()
+    if mode < 0.55:  # aggregate mode
+        q["group"] = [g.group_expr() for _ in range(rng.randint(0, 3))]
+        q["aggs"] = [g.agg(i) for i in range(rng.randint(1, 3))]
+        int_aggs = [a for a in q["aggs"] if a["type"] == "int"]
+        if q["group"] and int_aggs and rng.random() < 0.3:
+            a = rng.choice(int_aggs)
+            q["having"] = {"op": "leaf",
+                           "sql": f"{a['sql']} > {rng.randint(0, 5)}",
+                           "deps": a["deps"]}
+        if q["group"] and rng.random() < 0.35:
+            dirs = [
+                f"{i + 1} {rng.choice(['ASC', 'DESC'])} "
+                f"NULLS {rng.choice(['FIRST', 'LAST'])}"
+                for i in range(len(q["group"]))
+            ]
+            q["order_limit"] = {"by": dirs, "limit": rng.randint(1, 20)}
+    elif mode < 0.85:  # plain projection mode
+        q["select"] = [
+            {"expr": g.expr(rng.choice(["int", "str", "double", "ts"])),
+             "alias": f"c{i}"}
+            for i in range(rng.randint(1, 4))
+        ]
+        q["distinct"] = rng.random() < 0.45
+        if rng.random() < 0.35 and not q["distinct"]:
+            # window item: RANK / DENSE_RANK / SUM(int) over a partition
+            p = g.group_expr()
+            o = g.col_of()
+            if o is not None:
+                fn = rng.choice(["RANK()", "DENSE_RANK()"])
+                deps = p["deps"] | o["deps"]
+                sum_window = False
+                if rng.random() < 0.33:
+                    ie = g.col_of("int")
+                    if ie is not None:
+                        fn = f"SUM({ie['sql']})"
+                        deps = deps | ie["deps"]
+                        sum_window = True
+                nf = rng.choice(["FIRST", "LAST"])
+                w = (f"{fn} OVER (PARTITION BY {p['sql']} ORDER BY "
+                     f"{o['sql']} {rng.choice(['ASC', 'DESC'])} NULLS {nf})")
+                if sum_window:
+                    # duck window SUM(int) yields HUGEINT -> float64 on
+                    # fetch; BIGINT keeps both engines' output integral
+                    w = f"CAST({w} AS BIGINT)"
+                q["select"].append(
+                    {"expr": _leaf(w, deps, "int"),
+                     "alias": f"c{len(q['select'])}"})
+    else:  # set-op mode: one select list, two WHEREs
+        q["select"] = [
+            {"expr": g.col_of() or g.const("int"), "alias": f"c{i}"}
+            for i in range(rng.randint(1, 3))
+        ]
+        q["setop"] = rng.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        q["where"] = g.pred()
+        q["where2"] = g.pred()
+    return q
+
+
+# -------------------------------------------------------------- render
+
+def render(q: dict) -> str:
+    def one_select(where):
+        if q["aggs"] or q["group"]:
+            items = [f"{e['sql']} AS g{i}" for i, e in enumerate(q["group"])]
+            items += [f"{a['sql']} AS {a['alias']}" for a in q["aggs"]]
+        else:
+            items = [f"{s['expr']['sql']} AS {s['alias']}"
+                     for s in q["select"]]
+        head = "SELECT DISTINCT" if q["distinct"] else "SELECT"
+        sql = [head, ", ".join(items), f"FROM {q['tables'][0][0]} t0"]
+        for j in q["joins"]:
+            sql.append(f"{j['type']} {j['table']} {j['alias']} ON {j['on']}")
+        if where is not None:
+            sql.append(f"WHERE {where['sql']}")
+        if q["group"]:
+            sql.append("GROUP BY " + ", ".join(e["sql"] for e in q["group"]))
+        if q["having"] is not None:
+            sql.append(f"HAVING {q['having']['sql']}")
+        return " ".join(sql[0:1] + sql[1:])
+
+    if q["setop"]:
+        body = (f"{one_select(q['where'])} {q['setop']} "
+                f"{one_select(q['where2'])}")
+    else:
+        body = one_select(q["where"])
+    if q["order_limit"]:
+        body += (" ORDER BY " + ", ".join(q["order_limit"]["by"])
+                 + f" LIMIT {q['order_limit']['limit']}")
+    return body
+
+
+# ------------------------------------------------------------- running
+
+ROW_CAP = 400_000  # safety valve; sf0.001/0.01 stay far below
+
+
+def run_spark(spark, sql: str):
+    df = spark.sql(sql)
+    rows = [tuple(r) for r in df.limit(ROW_CAP + 1).collect()]
+    return [c.lower() for c in df.columns], rows
+
+
+def run_duck(con, sql: str):
+    rel = con.sql(sql)
+    cols = [c.lower() for c in rel.columns]
+    types = [str(t).upper() for t in rel.types]
+    float_cols = frozenset(
+        i for i, t in enumerate(types) if "DECIMAL" in t or "HUGEINT" in t)
+    return cols, rel.fetchall(), float_cols
+
+
+def compare(spark, con, sql: str):
+    """None when both engines agree (or both error); otherwise a dict
+    describing the mismatch -- the shrinker preserves the mismatch KIND."""
+    s_err = d_err = None
+    try:
+        s_cols, s_rows = run_spark(spark, sql)
+    except Exception as e:
+        s_err = f"{type(e).__name__}: {str(e)[:300]}"
+    try:
+        d_cols, d_rows, d_float = run_duck(con, sql)
+    except Exception as e:
+        d_err = f"{type(e).__name__}: {str(e)[:300]}"
+    if s_err and d_err:
+        return {"kind": "both_error", "spark": s_err, "duck": d_err}
+    if s_err or d_err:
+        return {"kind": "one_error", "spark": s_err, "duck": d_err}
+    if len(s_rows) > ROW_CAP or len(d_rows) > ROW_CAP:
+        return {"kind": "too_big"}
+    if len(s_rows) != len(d_rows):
+        return {"kind": "rowcount", "spark": len(s_rows), "duck": len(d_rows)}
+    s_ms, s_sorted = rows_multiset(s_cols, s_rows)
+    d_ms, d_sorted = rows_multiset(d_cols, d_rows, duck=True,
+                                   float_cols=d_float)
+    if s_sorted != d_sorted:
+        return {"kind": "cols", "spark": s_sorted, "duck": d_sorted}
+    if s_ms != d_ms:
+        only_s = list((s_ms - d_ms).items())[:3]
+        only_d = list((d_ms - s_ms).items())[:3]
+        return {"kind": "values", "spark_only": only_s, "duck_only": only_d}
+    return None
+
+
+MISMATCH_KINDS = {"one_error", "rowcount", "cols", "values"}
+
+
+# ------------------------------------------------------------- shrinker
+
+def _used_aliases(q) -> set[str]:
+    used = set()
+    for e in q["group"]:
+        used |= e["deps"]
+    for a in q["aggs"]:
+        used |= a["deps"]
+    for s in q["select"]:
+        used |= s["expr"]["deps"]
+    for w in (q["where"], q["where2"], q["having"]):
+        if w is not None:
+            used |= w["deps"]
+    return used
+
+
+def _variants(q):
+    """Yield reduced copies of q, most aggressive first."""
+    import copy
+
+    def cp():
+        return copy.deepcopy(q)
+
+    if q["setop"]:
+        for side in ("where", "where2"):
+            v = cp()
+            v["setop"] = None
+            v["where"] = v[side]
+            v["where2"] = None
+            yield v
+        v = cp()
+        if v["setop"] != "UNION ALL":
+            v["setop"] = "UNION ALL"
+            yield v
+    if q["order_limit"]:
+        v = cp(); v["order_limit"] = None; yield v
+    if q["having"]:
+        v = cp(); v["having"] = None; yield v
+    for w_key in ("where", "where2"):
+        w = q[w_key]
+        if w is None:
+            continue
+        v = cp(); v[w_key] = None; yield v
+        if w["op"] in ("AND", "OR"):
+            for branch in ("a", "b"):
+                v = cp(); v[w_key] = w[branch]; yield v
+        if w["op"] == "NOT":
+            v = cp(); v[w_key] = w["a"]; yield v
+    if q["distinct"]:
+        v = cp(); v["distinct"] = False; yield v
+    if len(q["aggs"]) > 1 or (q["aggs"] and (q["group"] or q["select"])):
+        for i in range(len(q["aggs"])):
+            v = cp(); del v["aggs"][i]
+            if v["aggs"] or v["group"] or v["select"]:
+                yield v
+    for i in range(len(q["group"])):
+        v = cp(); del v["group"][i]
+        v["order_limit"] = None
+        if v["aggs"] or v["group"]:
+            yield v
+    if len(q["select"]) > 1:
+        for i in range(len(q["select"])):
+            v = cp(); del v["select"][i]; yield v
+    # joins: drop the last join when its alias is referenced nowhere
+    if q["joins"]:
+        last = q["joins"][-1]
+        v = cp(); v["joins"] = v["joins"][:-1]
+        if last["alias"] not in _used_aliases(v) and not any(
+                last["alias"] in j["deps"] for j in v["joins"]):
+            yield v
+        for i, j in enumerate(q["joins"]):
+            if j["type"] != "JOIN":
+                v = cp(); v["joins"][i]["type"] = "JOIN"; yield v
+
+
+def shrink(spark, con, q, kind):
+    """Greedy fixpoint: apply the first reduction that preserves the
+    mismatch kind, repeat."""
+    changed = True
+    rounds = 0
+    while changed and rounds < 40:
+        changed = False
+        rounds += 1
+        for v in _variants(q):
+            m = compare(spark, con, render(v))
+            if m is not None and m["kind"] == kind:
+                q = v
+                changed = True
+                break
+    return q
+
+
+# ----------------------------------------------------------------- main
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+    from dockerized_data_pipeline_spark.catalog import load_table
+    from dockerized_data_pipeline_spark.session import get_session
+
+    spark = get_session("fuzz-oracle")
+    # analysis errors are expected fuzz outcomes, captured in Python --
+    # keep the JVM from dumping a full stack per generated type error
+    spark.sparkContext.setLogLevel("OFF")
+    con = duckdb.connect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    lits = sample_literals(sf_dir)
+    corpus_dir = os.path.join(REPO, "tools", "fuzz_corpus")
+    os.makedirs(corpus_dir, exist_ok=True)
+    corpus_path = os.path.join(corpus_dir, f"corpus_seed{seed}_n{n}.jsonl")
+
+    counts = {"pass": 0, "both_error": 0, "too_big": 0, "mismatch": 0}
+    fails = []
+    t0 = time.time()
+    with open(corpus_path, "w") as corpus:
+        for i in range(n):
+            rng = random.Random((seed << 20) + i)
+            try:
+                q = gen_query(rng, lits)
+                sql = render(q)
+            except Exception:
+                traceback.print_exc(limit=2)
+                continue
+            m = compare(spark, con, sql)
+            rec = {"i": i, "sql": sql}
+            if m is None:
+                counts["pass"] += 1
+                rec["result"] = "pass"
+            elif m["kind"] in ("both_error", "too_big"):
+                counts[m["kind"]] += 1
+                rec["result"] = m["kind"]
+                rec["detail"] = {k: v for k, v in m.items() if k != "kind"}
+            else:
+                counts["mismatch"] += 1
+                small = shrink(spark, con, q, m["kind"])
+                small_sql = render(small)
+                small_m = compare(spark, con, small_sql)
+                rec["result"] = "MISMATCH"
+                rec["kind"] = m["kind"]
+                rec["detail"] = m
+                rec["minimal"] = small_sql
+                rec["minimal_detail"] = small_m
+                fails.append(rec)
+                path = os.path.join(corpus_dir, f"fail_seed{seed}_{i}.json")
+                with open(path, "w") as f:
+                    json.dump(rec, f, indent=2, default=str)
+                print(f"MISMATCH #{i} [{m['kind']}]\n  full:    {sql}\n"
+                      f"  minimal: {small_sql}\n  detail:  {small_m}")
+            corpus.write(json.dumps(rec, default=str) + "\n")
+            if (i + 1) % 50 == 0:
+                print(f"... {i + 1}/{n} "
+                      f"(pass {counts['pass']}, mism {counts['mismatch']}, "
+                      f"both_err {counts['both_error']}) "
+                      f"[{time.time() - t0:.0f}s]")
+
+    summary = {"n": n, "seed": seed, "sf_dir": sf_dir, **counts,
+               "elapsed_sec": round(time.time() - t0, 1)}
+    with open(os.path.join(corpus_dir, f"summary_seed{seed}_n{n}.json"),
+              "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 1 if counts["mismatch"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,6 +26,80 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def planted_docs(spark, n_fams: int, tokens: int = 60, vocab: int = 1_000_000):
+    """Constant-multiplicity near-dup corpus (VERDICT r6 item 2): every
+    family is 3 documents -- a base text of ``tokens`` random hash-derived
+    words plus two variants each differing in exactly ONE token position.
+
+    Planted pair output is therefore 3 * n_fams: LINEAR in corpus size at
+    every multiplier, unlike the old N-fold fixture union where every doc
+    had (mult-1) exact twins and candidate pairs grew quadratically in the
+    multiplier -- so wall time measured output size, not operator scaling.
+    Cross-family shingle overlap is ~0 (random tokens from a 1M vocab).
+    Pure-expression generation: no driver-side data, no Python workers.
+
+    doc_id = fam * 3 + variant."""
+    from pyspark.sql import functions as F
+
+    d = spark.range(n_fams).select(
+        F.col("id").alias("fam"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+    )
+    pos = F.pmod(F.col("v") * 17 + F.col("fam"), F.lit(tokens))
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(tokens - 1)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(
+                        F.col("fam"),
+                        i,
+                        F.when((F.col("v") > 0) & (i == pos), F.col("v"))
+                        .otherwise(F.lit(0)),
+                    ),
+                    F.lit(vocab),
+                ).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return d.select(
+        (F.col("fam") * 3 + F.col("v")).alias("doc_id"), text.alias("text")
+    )
+
+
+def planted_vecs(spark, n_fams: int, dim: int = 32):
+    """Constant-multiplicity embedding corpus: per family one base vector
+    (components uniform in [-1, 1] from xxhash64) and two variants with
+    <=0.02 per-component perturbations -- within-family cosine >= 0.999,
+    cross-family cosine ~ N(0, 1/sqrt(dim)). Planted pairs = 3 * n_fams.
+    vec_id = fam * 3 + variant."""
+    from pyspark.sql import functions as F
+
+    d = spark.range(n_fams).select(
+        F.col("id").alias("fam"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (F.pmod(F.xxhash64(F.col("fam"), j), F.lit(2001)) - 1000)
+            / F.lit(1000.0)
+            + F.when(
+                F.col("v") > 0,
+                F.pmod(F.xxhash64(F.col("fam"), j, F.col("v")), F.lit(1000))
+                / F.lit(50_000.0),
+            ).otherwise(F.lit(0.0))
+        ).cast("double"),
+    )
+    return d.select(
+        (F.col("fam") * 3 + F.col("v")).alias("vec_id"),
+        emb.alias("embedding"),
+        F.pmod(F.col("fam"), F.lit(10)).cast("int").alias("label"),
+    )
+
+
 def _llm_stages(spark, results: dict, mult: int) -> int:
     from pyspark.sql import functions as F
 
@@ -42,9 +116,23 @@ def _llm_stages(spark, results: dict, mult: int) -> int:
     big = big.repartition(32).localCheckpoint()
     n_docs = big.count()
 
+    # pair-producing stages run on the PLANTED corpus (3 docs per family,
+    # exactly 3 near-dup pairs per family at any scale)
+    planted = planted_docs(spark, n_docs // 3).repartition(32).localCheckpoint()
+    n_planted = planted.count()
+    planted_pairs = 3 * (n_planted // 3)
+
     t0 = time.time()
-    DD.minhash_neardup_pairs_native(big, "doc_id", "text").count()
-    results["minhash_pairs"] = round(time.time() - t0, 2)
+    found = DD.minhash_neardup_pairs_native(planted, "doc_id", "text").count()
+    dt = time.time() - t0
+    results["minhash_pairs"] = round(dt, 2)
+    results["minhash_pairs_found"] = found
+    results["minhash_recall_pct"] = round(100.0 * found / planted_pairs, 1)
+    results["minhash_ms_per_doc"] = round(dt * 1000.0 / n_planted, 3)
+    results["minhash_ms_per_pair"] = round(dt * 1000.0 / max(found, 1), 3)
+    assert found >= 0.8 * planted_pairs, (
+        f"minhash recall collapsed: {found}/{planted_pairs}"
+    )
 
     t0 = time.time()
     TX.winnow_exploded(big, "doc_id", "text").count()
@@ -66,17 +154,25 @@ def _llm_stages(spark, results: dict, mult: int) -> int:
     SIM.cosine_topk(bige, probe, k=10).count()
     results["cosine_topk"] = round(time.time() - t0, 2)
 
-    # Incremental dedup: 10% of the big corpus arrives as today's batch and
-    # probes the signature index of the other 90% -- must cost O(batch).
-    corpus = big.filter(F.col("doc_id") % 10 != 0)
-    batch = big.filter(F.col("doc_id") % 10 == 0)
+    # Incremental dedup on the planted corpus: each family's v2 doc
+    # arrives as the batch and has exactly 2 partners (v0, v1) in the
+    # index -- batch-vs-corpus pair output is 2 per family, linear.
+    p_corpus = planted.filter(F.col("doc_id") % 3 != 2)
+    p_batch = planted.filter(F.col("doc_id") % 3 == 2)
     corpus_sig = DD.minhash_signatures(
-        corpus, "doc_id", "text", n=3, num_hashes=16
+        p_corpus, "doc_id", "text", n=3, num_hashes=16
     ).localCheckpoint()
     _ = corpus_sig.count()  # index build excluded: it is the persisted state
     t0 = time.time()
-    DD.incremental_neardup_pairs(corpus_sig, batch, "doc_id", "text").count()
-    results["incremental_neardup"] = round(time.time() - t0, 2)
+    inc_found = DD.incremental_neardup_pairs(
+        corpus_sig, p_batch, "doc_id", "text"
+    ).count()
+    dt = time.time() - t0
+    results["incremental_neardup"] = round(dt, 2)
+    results["incremental_neardup_found"] = inc_found
+    results["incremental_neardup_ms_per_batch_doc"] = round(
+        dt * 1000.0 / max(p_batch.count(), 1), 3
+    )
 
     # Centroid purity: component explode + broadcast dot join at 10x vectors
     # (same plan as the registered x3_centroid_purity, driven off the union).
@@ -84,39 +180,59 @@ def _llm_stages(spark, results: dict, mult: int) -> int:
     SIM.centroid_purity(bige).count()
     results["centroid_purity"] = round(time.time() - t0, 2)
 
-    # SemDeDup pairs at Nx vectors: must track sum(c_i^2) over clusters,
+    # SemDeDup pairs at Nx vectors on the PLANTED embeddings (3 planted
+    # pairs per family, linear in n): must track sum(c_i^2) over clusters,
     # never n^2. The documented 100 TB posture scales k WITH the corpus so
     # per-list sizes stay bounded (sum c_i^2 ~ n^2/k: linear-in-n cost
     # needs k ~ n) -- the probe does the same.
+    pvecs = planted_vecs(spark, n_docs // 3).repartition(32).localCheckpoint()
+    n_pvecs = pvecs.count()
+    pv_pairs = 3 * (n_pvecs // 3)
     n_lists = max(32, 32 * mult // 10)
     cents = [
         list(r[0])
-        for r in emb.filter(F.col("vec_id") < n_lists).orderBy("vec_id")
-        .select("embedding").collect()
+        for r in pvecs.filter(F.col("vec_id") % 3 == 0)
+        .orderBy("vec_id").limit(n_lists).select("embedding").collect()
     ]
     t0 = time.time()
-    SIM.semantic_dedup_pairs(bige, cents, threshold=0.35).count()
-    results["semantic_pairs"] = round(time.time() - t0, 2)
+    sem_found = SIM.semantic_dedup_pairs(pvecs, cents, threshold=0.95).count()
+    dt = time.time() - t0
+    results["semantic_pairs"] = round(dt, 2)
+    results["semantic_pairs_found"] = sem_found
+    results["semantic_recall_pct"] = round(100.0 * sem_found / pv_pairs, 1)
+    results["semantic_ms_per_vec"] = round(dt * 1000.0 / n_pvecs, 3)
+    results["semantic_ms_per_pair"] = round(dt * 1000.0 / max(sem_found, 1), 3)
 
-    # Incremental semantic dedup: 10% arriving batch probes the persisted
-    # disk IVF index of the other 90% (index build excluded: persisted
-    # state) -- partition-pruned corpus read + batch-touching pairs only.
+    # Incremental semantic dedup: each family's v2 vector arrives as the
+    # batch and probes the persisted disk IVF index of v0+v1 (index build
+    # excluded: persisted state) -- partition-pruned corpus read +
+    # batch-touching pairs only; 2 planted pairs per family, linear.
     import tempfile
 
-    ecorpus = bige.filter(F.col("vec_id") % 10 != 0)
-    ebatch = bige.filter(F.col("vec_id") % 10 == 0)
+    ecorpus = pvecs.filter(F.col("vec_id") % 3 != 2)
+    ebatch = pvecs.filter(F.col("vec_id") % 3 == 2)
     idx = tempfile.mkdtemp(prefix="scale_probe_") + "/ivf"
     SIM.build_ivf_index(ecorpus, cents, idx)
     t0 = time.time()
-    SIM.semantic_dedup_incremental(spark, idx, ebatch, threshold=0.35).count()
-    results["incremental_semantic"] = round(time.time() - t0, 2)
+    inc_sem = SIM.semantic_dedup_incremental(
+        spark, idx, ebatch, threshold=0.95
+    ).count()
+    dt = time.time() - t0
+    results["incremental_semantic"] = round(dt, 2)
+    results["incremental_semantic_found"] = inc_sem
+    results["incremental_semantic_ms_per_batch_vec"] = round(
+        dt * 1000.0 / max(n_pvecs // 3, 1), 3
+    )
 
-    # n-gram LM (r5 operator): count-table build over the 90% corpus, then
-    # stupid-backoff scoring of the 10% batch against the persisted model
-    # -- the vocab-keyed-join shape whose Python-side constants (if any)
-    # would surface at this tier.
+    # n-gram LM (r5 operator): count-table build over 90% of the UNION
+    # corpus (real text, where vocabulary saturates -- the sublinearity
+    # claim is about realistic token distributions, so the planted
+    # random-token corpus would be the wrong fixture here), then
+    # stupid-backoff scoring of the 10% batch against the persisted model.
     from dockerized_data_pipeline_spark.operators import ngramlm as LM
 
+    corpus = big.filter(F.col("doc_id") % 10 != 0)
+    batch = big.filter(F.col("doc_id") % 10 == 0)
     t0 = time.time()
     uni, bi, total = LM.train_bigram_lm(corpus)
     uni = uni.localCheckpoint()
