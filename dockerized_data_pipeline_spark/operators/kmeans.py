@@ -116,9 +116,16 @@ def kmeans_cluster_sizes(
     k: int = 8,
     iterations: int = 5,
 ) -> DataFrame:
-    """Final assignment counts + mean within-cluster squared distance
-    (ppm floor) under the trained codebook -- the convergence summary a
-    codebook-training job reports."""
+    """Final assignment counts + within-cluster squared-distance SUM
+    (fixed-point, 4 decimal digits) under the trained codebook -- the
+    convergence summary a codebook-training job reports.
+
+    The sum is reported rather than the mean (r7): a decimal SUM followed
+    by FLOOR(x * 10^4) is exact integer arithmetic on both Spark and
+    DuckDB, which makes the whole k-means run SQL-oracle-able -- a mean
+    would introduce decimal DIVISION, whose result scale and rounding
+    rules differ between engines at the last digit. Inertia comparisons
+    just sum the per-cluster values."""
     centroids = kmeans_fit(df, id_col, vec_col, k, iterations)
     assigned = _with_assignment(
         df.select(F.col(vec_col).alias("v")), "v", centroids
@@ -129,10 +136,8 @@ def kmeans_cluster_sizes(
             F.count("*").alias("n_members"),
             # decimal-sum the (deterministic per-row) distances so the
             # reported inertia is order-independent too
-            F.floor(
-                F.sum(F.col("sq_dist").cast(_ACC)) / F.count("*") * 1000000
-            )
+            F.floor(F.sum(F.col("sq_dist").cast(_ACC)) * 10000)
             .cast("bigint")
-            .alias("mean_sq_dist_ppm"),
+            .alias("sum_sq_dist_fp4"),
         )
     )

@@ -304,6 +304,115 @@ def _probe_vector(spark: SparkSession, sf_dir: str):
     return list(row[0])
 
 
+# --- DuckDB oracle fragments for the vector-index queries (r7) ------------
+#
+# These mirror the engine's vector arithmetic EXACTLY so formerly rows-only
+# queries hash-match: list_dot_product is the same left-to-right fold as
+# F.aggregate(zip_with(...)) (functions/vectors.py), ROW_NUMBER over
+# (score DESC|dist ASC, cid) reproduces array_position(array_max/min)'s
+# first-occurrence tie-break, and the float->DECIMAL(28,10) cast goes
+# through VARCHAR because Spark casts via the double's shortest decimal
+# representation while DuckDB's direct float->decimal cast rounds in float
+# arithmetic (1.25f -> 1.2499999744; verified divergent, the VARCHAR
+# round-trip matches Spark on every fixture value at all three sfs).
+
+_EMB_DIM = 64  # fixture embedding dimensionality (all sfs)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """Cosine(a, b) in DuckDB, same expression tree as vectors.cosine."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _duck_sq_dist(a: str, b: str) -> str:
+    """Elementwise (a-b)^2 fold, same order as kmeans._sq_dist (Spark's
+    0.0 seed vs list_reduce's first-element seed agree: 0.0 + d == d for
+    the non-negative squares)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (s, x) -> s + x)"
+    )
+
+
+def _duck_kmeans_ctes(k: int, iterations: int, dim: int = _EMB_DIM):
+    """CTE chain replaying operators/kmeans.kmeans_fit in SQL: seeds = k
+    smallest md5(vec_id) (cluster id = md5 rank), per-iteration argmin
+    assignment by squared distance (ties -> lower cid), DECIMAL(28,10)
+    per-dimension sums, mean = correctly-rounded decimal->double (via
+    VARCHAR) over exact count; empty clusters keep the previous centroid.
+    Returns (ctes_sql, final_centroid_cte_name)."""
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+              AS INTEGER) AS cid, v AS cv
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})""",
+    ]
+    for it in range(iterations):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT a.vec_id, a.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_sq_dist('a.v', 'c.cv')} ASC, c.cid) AS rn
+    FROM v a CROSS JOIN c{it} c
+  ) WHERE rn = 1)""")
+        sums = ", ".join(
+            f"SUM(CAST(CAST(v[{j + 1}] AS VARCHAR) AS DECIMAL(28,10))) AS s{j}"
+            for j in range(dim)
+        )
+        parts.append(
+            f"s{it} AS (SELECT cluster_id, COUNT(*) AS n, {sums} "
+            f"FROM a{it} GROUP BY cluster_id)"
+        )
+        means = ", ".join(
+            f"CAST(CAST(s.s{j} AS VARCHAR) AS DOUBLE) / s.n" for j in range(dim)
+        )
+        parts.append(f"""c{it + 1} AS (
+  SELECT p.cid, CASE WHEN s.n IS NULL THEN p.cv ELSE list_value({means}) END AS cv
+  FROM c{it} p LEFT JOIN s{it} s ON p.cid = s.cluster_id)""")
+    return ",\n".join(parts), f"c{iterations}"
+
+
+def _duck_ivf_topk_sql(cents_cte: str, final_c: str, k: int, n_probe: int) -> str:
+    """Probe-ranking + cosine-argmax assignment + pruned top-k, shared by
+    the fixed-codebook and kmeans-trained IVF oracles."""
+    return f"""
+WITH {cents_cte},
+q AS (
+  SELECT v AS qv FROM v WHERE vec_id = {_PROBE_VEC_ID}
+), probe AS (
+  SELECT cid FROM {final_c} CROSS JOIN q
+  ORDER BY {_duck_cos('cv', 'qv')} DESC, cid LIMIT {n_probe}
+), assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM v a CROSS JOIN {final_c} c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id,
+       CAST(CAST(ROUND({_duck_cos('a.v', 'qv')}, 4) AS DECIMAL(18,4)) AS DOUBLE)
+         AS cos_sim
+FROM v a JOIN assigned s ON a.vec_id = s.vec_id CROSS JOIN q
+WHERE s.cluster_id IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, a.vec_id LIMIT {k}
+"""
+
+
+_IVF_FIXED_CENTS = """v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv
+  FROM v WHERE vec_id < 8
+)"""
+
+_IVF_FIXED_ORACLE = _duck_ivf_topk_sql(_IVF_FIXED_CENTS, "cents", k=10, n_probe=3)
+
+
 @query(
     "x3_cosine_topk",
     oracle=f"""
@@ -436,24 +545,46 @@ def x8_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine-hash-based ops: deterministic but not SQL-portable -> rows-only.
 
 
-@query("x3_kmeans_codebook")
+def _kmeans_codebook_oracle() -> str:
+    ctes, final_c = _duck_kmeans_ctes(k=8, iterations=3)
+    return f"""
+WITH {ctes},
+final_assign AS (
+  SELECT vec_id, sqd, cid AS cluster_id FROM (
+    SELECT a.vec_id, c.cid, {_duck_sq_dist('a.v', 'c.cv')} AS sqd,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_sq_dist('a.v', 'c.cv')} ASC, c.cid) AS rn
+    FROM v a CROSS JOIN {final_c} c
+  ) WHERE rn = 1)
+SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(FLOOR(SUM(CAST(CAST(sqd AS VARCHAR) AS DECIMAL(28,10))) * 10000)
+            AS BIGINT) AS sum_sq_dist_fp4
+FROM final_assign GROUP BY cluster_id
+"""
+
+
+@query("x3_kmeans_codebook", oracle=_kmeans_codebook_oracle())
 def x3_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF centroid codebook from the data with deterministic
     distributed k-means (operators/kmeans.py: content-addressed init,
     decimal-sum means -> identical centroids on any partitioning) and
-    report per-cluster sizes + inertia. Rows-only: iterative float
-    algorithm, no SQL equivalent."""
+    report per-cluster sizes + exact fixed-point inertia. Oracled (r7):
+    the iterations unroll into a DuckDB CTE chain replaying the same
+    md5-rank seeds, argmin tie-breaks, and decimal sums, so even the
+    trained-float path hash-matches across engines."""
     from ..operators import kmeans as KM
 
     emb = load_table(spark, sf_dir, "embeddings")
     return KM.kmeans_cluster_sizes(emb, "vec_id", "embedding", k=8, iterations=3)
 
 
-@query("x3_ivf_topk")
+@query("x3_ivf_topk", oracle=_IVF_FIXED_ORACLE)
 def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-k (rows-only: cluster pruning is engine-side).
-    Codebook = first 8 vectors by id (deterministic stand-in for trained
-    centroids), probing the 3 nearest lists."""
+    """IVF-bucketed ANN top-k. Codebook = first 8 vectors by id
+    (deterministic stand-in for trained centroids), probing the 3 nearest
+    lists. Oracled (r7): probe ranking, cosine-argmax assignment, and the
+    pruned top-k all replay in DuckDB with identical fold arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = [
         list(r[0])
@@ -462,12 +593,19 @@ def x3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, _probe_vector(spark, sf_dir), cents, k=10, n_probe=3)
 
 
-@query("x3_ivf_topk_trained")
+def _ivf_trained_oracle() -> str:
+    ctes, final_c = _duck_kmeans_ctes(k=8, iterations=2)
+    return _duck_ivf_topk_sql(ctes, final_c, k=10, n_probe=3)
+
+
+@query("x3_ivf_topk_trained", oracle=_ivf_trained_oracle())
 def x3_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over a codebook TRAINED by the deterministic k-means
     (the production pairing: kmeans_fit centroids spread over the data,
     so each list is balanced and n_probe/n_lists prunes evenly --
-    arbitrary seed vectors make no such promise). Rows-only."""
+    arbitrary seed vectors make no such promise). Oracled (r7): the
+    k-means CTE chain feeds the same probe/assign/top-k SQL as
+    x3_ivf_topk."""
     from ..operators import kmeans as KM
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2049,16 +2187,52 @@ def x5_feature_hash_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"), "weight")
 
 
-@query("x3_hash_embed_topk")
+_HASH_EMBED_TOPK_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents
+), hx AS (
+  SELECT doc, md5(tok) AS h FROM tk
+), b AS (
+  SELECT doc,
+         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % {_FH_DIM}
+           AS bucket,
+         CASE WHEN (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM hx
+), w AS (
+  SELECT doc, bucket, SUM(s) AS weight
+  FROM b GROUP BY doc, bucket HAVING SUM(s) != 0
+), ids AS (
+  SELECT DISTINCT doc_id AS doc FROM documents
+), grid AS (
+  SELECT i.doc, g.k FROM ids i CROSS JOIN (SELECT unnest(range({_FH_DIM})) AS k) g
+), dense AS (
+  SELECT g.doc AS vec_id,
+         list(CAST(COALESCE(w.weight, 0) AS DOUBLE) ORDER BY g.k) AS v
+  FROM grid g LEFT JOIN w ON w.doc = g.doc AND w.bucket = g.k
+  GROUP BY g.doc
+), q AS (
+  SELECT v AS qv FROM dense WHERE vec_id = 0
+)
+SELECT d.vec_id,
+       CAST(CAST(ROUND({_duck_cos('d.v', 'qv')}, 4) AS DECIMAL(18,4)) AS DOUBLE)
+         AS cos_sim
+FROM dense d CROSS JOIN q
+ORDER BY cos_sim DESC, d.vec_id LIMIT 10
+"""
+
+
+@query("x3_hash_embed_topk", oracle=_HASH_EMBED_TOPK_ORACLE)
 def x3_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end text -> vector -> retrieval with zero external models
-    (rows-only: md5-derived buckets have no SQL-oracle-able cosine):
+    """End-to-end text -> vector -> retrieval with zero external models:
     feature-hash every document into a dense 64-dim vector, then exact
     cosine top-10 against doc 0's vector -- the full similarity-search
     pipeline shape (embed -> index -> probe) running on in-engine
     embeddings. Deterministic: md5 buckets, exact integer weights, one
     single-row driver fetch for the probe (same discipline as
-    x3_cosine_topk)."""
+    x3_cosine_topk). Oracled (r7): md5 is engine-portable, so the whole
+    embed + densify + cosine pipeline replays in DuckDB."""
     from ..operators.hashembed import feature_hash_embed
 
     d = load_table(spark, sf_dir, "documents")
@@ -2687,7 +2861,7 @@ def _persisted_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-@query("x3_ivf_indexed_topk")
+@query("x3_ivf_indexed_topk", oracle=_IVF_FIXED_ORACLE)
 def x3_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k against the PERSISTED disk IVF index: rank the stored
     codebook driver-side, then scan ONLY the ``cluster_id IN probe``
@@ -2695,8 +2869,8 @@ def x3_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe/n_lists of the index bytes before any compute -- the shape
     that makes a 100 TB ANN probe an O(corpus/n_lists) operation).
     Results identical to the inline x3_ivf_topk for the same codebook
-    (tests/test_ivf_index.py asserts equality and the pruned scan).
-    Rows-only: cluster pruning is engine-side."""
+    (tests/test_ivf_index.py asserts equality and the pruned scan), so
+    the two share one oracle (r7)."""
     idx = _persisted_ivf_index(spark, sf_dir)
     return SIM.ivf_topk_indexed(
         spark, idx, _probe_vector(spark, sf_dir), k=10, n_probe=3
@@ -2727,18 +2901,53 @@ def _persisted_semantic_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-@query("x3_semantic_dedup_incremental")
+_SEM_INC_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv
+  FROM v WHERE vec_id % 10 != 0 AND vec_id < 9
+), asg AS (
+  SELECT vec_id, is_batch, u, cid AS cluster_id FROM (
+    SELECT a.vec_id, a.vec_id % 10 = 0 AS is_batch,
+           list_transform(a.v, x -> x / sqrt(list_dot_product(a.v, a.v))) AS u,
+           c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM v a CROSS JOIN cents c
+  ) WHERE rn = 1
+), pr AS (
+  SELECT b.vec_id AS ia, c.vec_id AS ib, b.cluster_id, 'corpus' AS origin,
+         CAST(FLOOR(ROUND(list_dot_product(b.u, c.u), 4) * 10000) AS BIGINT)
+           AS cos_fp
+  FROM asg b JOIN asg c ON b.cluster_id = c.cluster_id
+  WHERE b.is_batch AND NOT c.is_batch
+  UNION ALL
+  SELECT b.vec_id, c.vec_id, b.cluster_id, 'batch',
+         CAST(FLOOR(ROUND(list_dot_product(b.u, c.u), 4) * 10000) AS BIGINT)
+  FROM asg b JOIN asg c ON b.cluster_id = c.cluster_id AND b.vec_id < c.vec_id
+  WHERE b.is_batch AND c.is_batch
+)
+SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b, cluster_id, origin, cos_fp
+FROM pr WHERE cos_fp >= 3500
+"""
+
+
+@query("x3_semantic_dedup_incremental", oracle=_SEM_INC_ORACLE)
 def x3_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental SemDeDup (rows-only): treat vec_id % 10 == 0 as today's
+    """Incremental SemDeDup: treat vec_id % 10 == 0 as today's
     arriving embeddings and probe the corpus's PERSISTED disk IVF index --
     the batch assigns to the STORED codebook, the corpus read partition-
     prunes to the batch's clusters, and only batch-touching pairs are
     scored. O(batch) like x2_incremental_neardup, at the semantic level;
     equals the full-recompute restriction by construction
-    (tests/test_ivf_index.py). Threshold 0.35 is fixture-calibrated: the
-    synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51,
-    p99.9 ~0.38), so a production 0.9+ cut matches nothing here; the
-    planted-duplicate tests exercise the high-threshold regime."""
+    (tests/test_ivf_index.py). Oracled (r7): the stored codebook is the
+    fixed first-8 corpus vectors, so assignment + unit-vector dots +
+    fixed-point scores replay exactly in DuckDB. Threshold 0.35 is
+    fixture-calibrated: the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ~0.51, p99.9 ~0.38), so a production 0.9+ cut
+    matches nothing here; the planted-duplicate tests exercise the
+    high-threshold regime."""
     emb = load_table(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % 10 == 0)
     idx = _persisted_semantic_index(spark, sf_dir)

@@ -129,7 +129,7 @@ def test_kmeans_deterministic_and_converging(spark, sf_dir):
     assert c1 == c2
 
     sizes = {
-        r.cluster_id: (r.n_members, r.mean_sq_dist_ppm)
+        r.cluster_id: (r.n_members, r.sum_sq_dist_fp4)
         for r in KM.kmeans_cluster_sizes(
             emb, "vec_id", "embedding", k=4, iterations=2
         ).collect()
@@ -140,7 +140,7 @@ def test_kmeans_deterministic_and_converging(spark, sf_dir):
         rows = KM.kmeans_cluster_sizes(
             emb, "vec_id", "embedding", k=4, iterations=iters
         ).collect()
-        return sum(r.n_members * r.mean_sq_dist_ppm for r in rows)
+        return sum(r.sum_sq_dist_fp4 for r in rows)
 
     assert inertia(3) <= inertia(1)
 

@@ -310,7 +310,14 @@ def main() -> int:
             {
                 "metric": "scale_probe_total",
                 "value": round(
-                    sum(v for k, v in results.items() if not k.endswith("_ms")),
+                    sum(
+                        v
+                        for k, v in results.items()
+                        if not (
+                            k.endswith(("_ms", "_found", "_pct"))
+                            or "_ms_per_" in k
+                        )
+                    ),
                     2,
                 ),
                 "unit": "sec",
