@@ -337,43 +337,59 @@ def _duck_sq_dist(a: str, b: str) -> str:
     )
 
 
-def _duck_kmeans_ctes(k: int, iterations: int, dim: int = _EMB_DIM):
+_DUCK_EMB_V = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+
+def _duck_kmeans_ctes(
+    k: int,
+    iterations: int,
+    dim: int = _EMB_DIM,
+    vec_sql: str = "{v}",
+    prefix: str = "",
+    include_v: bool = True,
+):
     """CTE chain replaying operators/kmeans.kmeans_fit in SQL: seeds = k
     smallest md5(vec_id) (cluster id = md5 rank), per-iteration argmin
     assignment by squared distance (ties -> lower cid), DECIMAL(28,10)
     per-dimension sums, mean = correctly-rounded decimal->double (via
     VARCHAR) over exact count; empty clusters keep the previous centroid.
+
+    ``vec_sql`` is the trained vector as a format template over the
+    ``v`` CTE's vector column (``{v}`` is the column reference; e.g.
+    ``{v}[1:16]`` trains a PQ subspace slice); ``prefix`` namespaces the
+    chain's CTEs so several codebooks compose in one statement;
+    ``include_v=False`` lets the caller supply its own ``v(vec_id, v)``
+    source (e.g. feature-hash embeddings).
     Returns (ctes_sql, final_centroid_cte_name)."""
-    parts = [
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"""c0 AS (
+    parts = [_DUCK_EMB_V] if include_v else []
+    parts.append(f"""{prefix}c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
-              AS INTEGER) AS cid, v AS cv
-  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})""",
-    ]
+              AS INTEGER) AS cid, {vec_sql.format(v="v")} AS cv
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})""")
     for it in range(iterations):
-        parts.append(f"""a{it} AS (
-  SELECT vec_id, v, cid AS cluster_id FROM (
-    SELECT a.vec_id, a.v, c.cid,
+        av = vec_sql.format(v="a.v")
+        parts.append(f"""{prefix}a{it} AS (
+  SELECT vec_id, sv, cid AS cluster_id FROM (
+    SELECT a.vec_id, {av} AS sv, c.cid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
-             ORDER BY {_duck_sq_dist('a.v', 'c.cv')} ASC, c.cid) AS rn
-    FROM v a CROSS JOIN c{it} c
+             ORDER BY {_duck_sq_dist(av, 'c.cv')} ASC, c.cid) AS rn
+    FROM v a CROSS JOIN {prefix}c{it} c
   ) WHERE rn = 1)""")
         sums = ", ".join(
-            f"SUM(CAST(CAST(v[{j + 1}] AS VARCHAR) AS DECIMAL(28,10))) AS s{j}"
+            f"SUM(CAST(CAST(sv[{j + 1}] AS VARCHAR) AS DECIMAL(28,10))) AS s{j}"
             for j in range(dim)
         )
         parts.append(
-            f"s{it} AS (SELECT cluster_id, COUNT(*) AS n, {sums} "
-            f"FROM a{it} GROUP BY cluster_id)"
+            f"{prefix}s{it} AS (SELECT cluster_id, COUNT(*) AS n, {sums} "
+            f"FROM {prefix}a{it} GROUP BY cluster_id)"
         )
         means = ", ".join(
             f"CAST(CAST(s.s{j} AS VARCHAR) AS DOUBLE) / s.n" for j in range(dim)
         )
-        parts.append(f"""c{it + 1} AS (
+        parts.append(f"""{prefix}c{it + 1} AS (
   SELECT p.cid, CASE WHEN s.n IS NULL THEN p.cv ELSE list_value({means}) END AS cv
-  FROM c{it} p LEFT JOIN s{it} s ON p.cid = s.cluster_id)""")
-    return ",\n".join(parts), f"c{iterations}"
+  FROM {prefix}c{it} p LEFT JOIN {prefix}s{it} s ON p.cid = s.cluster_id)""")
+    return ",\n".join(parts), f"{prefix}c{iterations}"
 
 
 def _duck_ivf_topk_sql(cents_cte: str, final_c: str, k: int, n_probe: int) -> str:
@@ -1272,13 +1288,48 @@ def x7_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("x3_pq_codes")
+def _pq_codes_oracle() -> str:
+    d_sub = _EMB_DIM // 4
+    chains, kcs = [], []
+    for j in range(4):
+        lo, hi = j * d_sub + 1, (j + 1) * d_sub
+        ctes_j, cj = _duck_kmeans_ctes(
+            8, 3, dim=d_sub, vec_sql=f"{{v}}[{lo}:{hi}]", prefix=f"pq{j}_",
+            include_v=(j == 0),
+        )
+        chains.append(ctes_j)
+        kcs.append(f"""k{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_sq_dist(f'a.v[{lo}:{hi}]', 'c.cv')} ASC, c.cid) AS rn
+    FROM v a CROSS JOIN {cj} c
+  ) WHERE rn = 1)""")
+    chains_sql = ",\n".join(chains)
+    kcs_sql = ",\n".join(kcs)
+    return f"""
+WITH {chains_sql},
+{kcs_sql}
+SELECT a.vec_id,
+       list_value(CAST(k0.cid AS INTEGER), CAST(k1.cid AS INTEGER),
+                  CAST(k2.cid AS INTEGER), CAST(k3.cid AS INTEGER)) AS codes
+FROM v a
+JOIN k0 ON a.vec_id = k0.vec_id
+JOIN k1 ON a.vec_id = k1.vec_id
+JOIN k2 ON a.vec_id = k2.vec_id
+JOIN k3 ON a.vec_id = k3.vec_id
+"""
+
+
+@query("x3_pq_codes", oracle=_pq_codes_oracle())
 def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes for every embedding (operators/pq.py):
     4 subspaces x 8 centroids trained with the deterministic k-means, so
-    codebooks and codes are bit-identical on any partitioning (rows-only;
-    invariants in tests/test_pq.py). At scale this is the memory half of
-    an IVF-PQ index: the 16-float vector stores as 4 small ints."""
+    codebooks and codes are bit-identical on any partitioning (invariants
+    in tests/test_pq.py). At scale this is the memory half of an IVF-PQ
+    index: the 16-float vector stores as 4 small ints. Oracled (r7):
+    four slice-parameterized k-means CTE chains compose in one statement
+    (the generator's vec_sql/prefix parameters exist for exactly this)."""
     from ..operators.pq import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1725,14 +1776,62 @@ def x5_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x3_ivf_recall_eval")
+def _ivf_recall_oracle() -> str:
+    ctes, final_c = _duck_kmeans_ctes(8, 2)
+    probe_rows = " UNION ALL ".join(
+        f"""
+  SELECT CAST({p} AS BIGINT) AS n_probe,
+         (SELECT COUNT(*) FROM exact_top) AS k,
+         (SELECT COUNT(*) FROM exact_top e JOIN (
+            SELECT vec_id FROM scored WHERE prank <= {p}
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+          ) a ON e.vec_id = a.vec_id) AS hits"""
+        for p in (1, 2, 3, 4, 8)
+    )
+    return f"""
+WITH {ctes},
+q AS (SELECT v AS qv FROM v WHERE vec_id = {_PROBE_VEC_ID}),
+exact_top AS (
+  SELECT e.vec_id,
+         CAST(ROUND({_duck_cos('e.v', 'qv')}, 4) AS DECIMAL(18,4)) AS cs
+  FROM v e CROSS JOIN q
+  ORDER BY cs DESC, e.vec_id LIMIT 10
+),
+ranked AS (
+  SELECT cid, ROW_NUMBER() OVER (
+    ORDER BY {_duck_cos('cv', 'qv')} DESC, cid) AS prank
+  FROM {final_c} CROSS JOIN q
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM v a CROSS JOIN {final_c} c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, r.prank,
+         CAST(ROUND({_duck_cos('a.v', 'qv')}, 4) AS DECIMAL(18,4)) AS cos_sim
+  FROM v a JOIN assigned s ON a.vec_id = s.vec_id
+  JOIN ranked r ON s.cluster_id = r.cid CROSS JOIN q
+),
+rowsx AS ({probe_rows})
+SELECT n_probe, k, hits, CAST(hits * 1000000 // k AS BIGINT) AS recall_ppm
+FROM rowsx
+"""
+
+
+@query("x3_ivf_recall_eval", oracle=_ivf_recall_oracle())
 def x3_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN self-evaluation: the recall@10-vs-n_probe curve of the
     trained-codebook IVF search against the exact cosine top-10 -- the
     measurement a pipeline runs before choosing its n_probe/n_lists
     operating point (n_probe = 8 of 8 lists scans everything, so its row
     must show recall 1.0; fewer probes trade recall for scan fraction).
-    Rows-only (IVF pruning is engine-side) but fully deterministic."""
+    Oracled (r7): the per-n_probe prefix filters replay in SQL as rank
+    predicates over one scored table -- the same prefix-consistency
+    argument the Spark plan uses."""
     from ..operators import kmeans as KM
 
     from ..functions.vectors import cosine, literal_vector
@@ -2187,8 +2286,10 @@ def x5_feature_hash_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"), "weight")
 
 
-_HASH_EMBED_TOPK_ORACLE = f"""
-WITH tk AS (
+# Feature-hash dense embeddings as a DuckDB CTE block ending in
+# v(vec_id, v) -- the same shape _duck_kmeans_ctes(include_v=False)
+# trains over, shared by the hash-embed top-k and clusters oracles.
+_DUCK_HASH_DENSE_V = f"""tk AS (
   SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok FROM documents
 ), hx AS (
   SELECT doc, md5(tok) AS h FROM tk
@@ -2207,18 +2308,22 @@ WITH tk AS (
   SELECT DISTINCT doc_id AS doc FROM documents
 ), grid AS (
   SELECT i.doc, g.k FROM ids i CROSS JOIN (SELECT unnest(range({_FH_DIM})) AS k) g
-), dense AS (
+), v AS (
   SELECT g.doc AS vec_id,
          list(CAST(COALESCE(w.weight, 0) AS DOUBLE) ORDER BY g.k) AS v
   FROM grid g LEFT JOIN w ON w.doc = g.doc AND w.bucket = g.k
   GROUP BY g.doc
-), q AS (
-  SELECT v AS qv FROM dense WHERE vec_id = 0
+)"""
+
+_HASH_EMBED_TOPK_ORACLE = f"""
+WITH {_DUCK_HASH_DENSE_V},
+q AS (
+  SELECT v AS qv FROM v WHERE vec_id = 0
 )
 SELECT d.vec_id,
        CAST(CAST(ROUND({_duck_cos('d.v', 'qv')}, 4) AS DECIMAL(18,4)) AS DOUBLE)
          AS cos_sim
-FROM dense d CROSS JOIN q
+FROM v d CROSS JOIN q
 ORDER BY cos_sim DESC, d.vec_id LIMIT 10
 """
 
@@ -2293,18 +2398,40 @@ def x7_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x3_hash_embed_clusters")
+def _hash_embed_clusters_oracle() -> str:
+    ctes, final_c = _duck_kmeans_ctes(8, 2, include_v=False)
+    return f"""
+WITH {_DUCK_HASH_DENSE_V},
+{ctes},
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM v a CROSS JOIN {final_c} c
+  ) WHERE rn = 1
+)
+SELECT CAST(s.cluster_id AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(MIN(s.vec_id) AS BIGINT) AS first_doc
+FROM assigned s JOIN documents d ON d.doc_id = s.vec_id
+GROUP BY s.cluster_id
+"""
+
+
+@query("x3_hash_embed_clusters", oracle=_hash_embed_clusters_oracle())
 def x3_hash_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsupervised corpus organization with zero external models
-    (rows-only: md5 buckets + iterative k-means have no SQL oracle, but
-    every stage is deterministic and separately tested): feature-hash each
-    doc into a 64-dim vector, train a k=8 codebook with the deterministic
-    distributed k-means (content-addressed init, decimal-exact means),
-    assign every doc to its nearest centroid as a pure per-row projection
-    (codebook is a plan literal -- no join, no shuffle), and report
-    per-cluster corpus stats. The "what is in my 100 TB corpus" topic
-    census: one embed shuffle + k-means's bounded iterations + one stats
-    agg."""
+    """Unsupervised corpus organization with zero external models:
+    feature-hash each doc into a 64-dim vector, train a k=8 codebook with
+    the deterministic distributed k-means (content-addressed init,
+    decimal-exact means), assign every doc to its nearest centroid as a
+    pure per-row projection (codebook is a plan literal -- no join, no
+    shuffle), and report per-cluster corpus stats. The "what is in my
+    100 TB corpus" topic census: one embed shuffle + k-means's bounded
+    iterations + one stats agg. Oracled (r7): the hash-embed dense CTE
+    feeds the k-means CTE chain, so the whole census replays in DuckDB."""
     from ..operators.hashembed import feature_hash_embed
     from ..operators.kmeans import kmeans_fit
 
@@ -2548,16 +2675,54 @@ def x6_json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x3_semantic_dedup")
+def _semantic_dedup_oracle() -> str:
+    ctes, final_c = _duck_kmeans_ctes(32, 3)
+    return f"""
+WITH RECURSIVE {ctes},
+asg AS (
+  SELECT vec_id, u, cid AS cluster_id FROM (
+    SELECT a.vec_id,
+           list_transform(a.v, x -> x / sqrt(list_dot_product(a.v, a.v))) AS u,
+           c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM v a CROSS JOIN {final_c} c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE CAST(FLOOR(ROUND(list_dot_product(a.u, b.u), 4) * 10000) AS BIGINT)
+        >= 9500
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.n, e.t FROM reach JOIN edges e ON reach.r = e.s
+),
+labels AS (SELECT n AS vec_id, MIN(r) AS root FROM reach GROUP BY n)
+SELECT vec_id FROM labels WHERE root = vec_id
+"""
+
+
+@query("x3_semantic_dedup", oracle=_semantic_dedup_oracle())
 def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup over the embedding corpus (rows-only:
-    the k-means codebook is iterative, not SQL-expressible): cluster the
-    space, score cosine only within clusters, collapse connected near-dup
-    groups keeping the minimum id. Returns the surviving vector ids --
-    the corpus filter a pretraining pipeline applies after exact/fuzzy
-    text dedup to remove SEMANTIC duplicates (same content, different
-    words). Deterministic: content-addressed init, decimal centroid sums,
-    fixed-point scores (asserted by the registry determinism test)."""
+    """SemDeDup-style semantic dedup over the embedding corpus: cluster
+    the space, score cosine only within clusters, collapse connected
+    near-dup groups keeping the minimum id. Returns the surviving vector
+    ids -- the corpus filter a pretraining pipeline applies after
+    exact/fuzzy text dedup to remove SEMANTIC duplicates (same content,
+    different words). Deterministic: content-addressed init, decimal
+    centroid sums, fixed-point scores. Oracled (r7): the k-means CTE
+    chain + within-cluster fixed-point pairs + a RECURSIVE transitive
+    closure (min reachable id per component) replay the collapse in SQL;
+    the fixture's near-orthogonal embeddings produce zero pairs at 0.95,
+    and the planted-duplicate tests exercise the collapsing regime."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         SIM.semantic_dedup(emb, k=32, iterations=3, threshold=0.95)
