@@ -1349,14 +1349,77 @@ def x3_pq_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_reconstruction_mse_ppm(emb, cbs)
 
 
-@query("x3_ivfpq_topk")
+def _ivfpq_oracle() -> str:
+    d_sub = _EMB_DIM // 4
+    co_ctes, co_c = _duck_kmeans_ctes(8, 2, prefix="co_")
+    chains, kparts = [co_ctes], []
+    for j in range(4):
+        lo, hi = j * d_sub + 1, (j + 1) * d_sub
+        ctes_j, cj = _duck_kmeans_ctes(
+            8, 2, dim=d_sub, vec_sql=f"{{v}}[{lo}:{hi}]", prefix=f"pq{j}_",
+            include_v=False,
+        )
+        chains.append(ctes_j)
+        # chosen sub-centroid per vector (argmin sq-dist, ties lower cid)
+        # carrying the PQ table value = dist(query subvector, chosen
+        # centroid) -- arithmetically identical to the Spark plan's
+        # element_at lookup into the driver-computed literal table
+        kparts.append(f"""k{j} AS (
+  SELECT vec_id,
+         {_duck_sq_dist(f'(SELECT qv FROM q)[{lo}:{hi}]', 'cv')} AS t
+  FROM (
+    SELECT a.vec_id, c.cv,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_sq_dist(f'a.v[{lo}:{hi}]', 'c.cv')} ASC, c.cid) AS rn
+    FROM v a CROSS JOIN {cj} c
+  ) WHERE rn = 1)""")
+    chains_sql = ",\n".join(chains)
+    kparts_sql = ",\n".join(kparts)
+    return f"""
+WITH {chains_sql},
+q AS (SELECT v AS qv FROM v WHERE vec_id = {_PROBE_VEC_ID}),
+probe AS (
+  SELECT cid FROM {co_c} CROSS JOIN q
+  ORDER BY {_duck_cos('cv', 'qv')} DESC, cid LIMIT 3
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT a.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM v a CROSS JOIN {co_c} c
+  ) WHERE rn = 1
+),
+{kparts_sql},
+candidates AS (
+  SELECT s.vec_id
+  FROM assigned s
+  JOIN k0 ON s.vec_id = k0.vec_id JOIN k1 ON s.vec_id = k1.vec_id
+  JOIN k2 ON s.vec_id = k2.vec_id JOIN k3 ON s.vec_id = k3.vec_id
+  WHERE s.cluster_id IN (SELECT cid FROM probe)
+  ORDER BY 0.0 + k0.t + k1.t + k2.t + k3.t ASC, s.vec_id ASC
+  LIMIT 50
+)
+SELECT a.vec_id,
+       CAST(CAST(ROUND({_duck_cos('a.v', 'qv')}, 4) AS DECIMAL(18,4)) AS DOUBLE)
+         AS cos_sim
+FROM v a JOIN candidates c ON a.vec_id = c.vec_id CROSS JOIN q
+ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
+"""
+
+
+@query("x3_ivfpq_topk", oracle=_ivfpq_oracle())
 def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete billion-vector index read path in one plan
     (operators/pq.py ivfpq_topk): trained coarse quantizer prunes to
     n_probe lists, PQ table-lookup distances rank candidates without
     per-row vector math (the query's m x k distance table enters the plan
     as literals), exact cosine reranks only the bounded survivor set.
-    Rows-only; recall-vs-exact asserted in tests/test_pq.py."""
+    Oracled (r7): FIVE composed k-means CTE chains (coarse + 4 PQ
+    subspaces) feed the same prune -> approx-rank -> bounded-rerank flow;
+    the literal distance table is replayed as sq-dist(query slice,
+    chosen sub-centroid), the identical arithmetic. Recall-vs-exact
+    asserted in tests/test_pq.py."""
     from ..operators import kmeans as KM
     from ..operators.pq import ivfpq_topk, pq_train
 
@@ -3122,18 +3185,88 @@ def x3_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("x7_corpus_prep_semantic")
+def _x7_semantic_oracle() -> str:
+    ctes, final_c = _duck_kmeans_ctes(16, 2, include_v=False)
+    return f"""
+WITH RECURSIVE filtered AS (
+  SELECT doc_id, lang, text,
+         LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE LEN(string_split(text, ' ')) BETWEEN 20 AND 1000
+    AND LEN(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) * 50
+        >= LEN(string_split(text, ' '))
+    AND lang IN ('en', 'de', 'fr', 'es')
+),
+deduped AS (
+  SELECT lang, text, MIN(doc_id) AS doc_id, MAX(n_tokens) AS n_tokens
+  FROM filtered GROUP BY lang, text
+),
+v AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e
+  WHERE e.vec_id IN (SELECT doc_id FROM deduped)
+),
+{ctes},
+asg AS (
+  SELECT vec_id, u, cid AS cluster_id FROM (
+    SELECT a.vec_id,
+           list_transform(a.v, x -> x / sqrt(list_dot_product(a.v, a.v))) AS u,
+           c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM v a CROSS JOIN {final_c} c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE CAST(FLOOR(ROUND(list_dot_product(a.u, b.u), 4) * 10000) AS BIGINT)
+        >= 3500
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(n, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.n, e.t FROM reach JOIN edges e ON reach.r = e.s
+),
+kept AS (
+  SELECT d.lang, d.n_tokens, d.doc_id
+  FROM deduped d
+  JOIN (SELECT n AS vec_id, MIN(r) AS root FROM reach GROUP BY n) l
+    ON d.doc_id = l.vec_id
+  WHERE l.root = l.vec_id
+),
+split_assigned AS (
+  SELECT lang, n_tokens, doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM split_assigned GROUP BY lang, split
+"""
+
+
+@query("x7_corpus_prep_semantic", oracle=_x7_semantic_oracle())
 def x7_corpus_prep_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone corpus pipeline with SEMANTIC dedup (rows-only:
-    iterative k-means; every stage individually oracled/tested): quality
-    gates -> language allowlist -> exact dedup -> SemDeDup over the
-    survivors' embeddings (k-means partition, within-cluster cosine,
-    component collapse keeping min id) -> deterministic md5 split ->
-    per-(lang, split) stats. This is x7_corpus_prep_neardup with the
-    fuzzy-TEXT stage swapped for embedding-space dedup -- the variant
-    that also removes paraphrases sharing no n-grams. Threshold 0.35 is
-    fixture-calibrated (synthetic embeddings are near-orthogonal); the
-    planted tests cover the production 0.9+ regime."""
+    """The capstone corpus pipeline with SEMANTIC dedup: quality gates ->
+    language allowlist -> exact dedup -> SemDeDup over the survivors'
+    embeddings (k-means partition, within-cluster cosine, component
+    collapse keeping min id) -> deterministic md5 split -> per-(lang,
+    split) stats. This is x7_corpus_prep_neardup with the fuzzy-TEXT
+    stage swapped for embedding-space dedup -- the variant that also
+    removes paraphrases sharing no n-grams. Oracled (r7): the entire
+    capstone -- including the trained k-means stage and the component
+    collapse (RECURSIVE closure) -- replays in one DuckDB statement.
+    Threshold 0.35 is fixture-calibrated (synthetic embeddings are
+    near-orthogonal); the planted tests cover the production 0.9+
+    regime."""
     d = load_table(spark, sf_dir, "documents")
     n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
     filtered = (
