@@ -349,6 +349,29 @@ class Gen:
         sql = f"{neg}EXISTS (SELECT 1 FROM {t2} s0 WHERE s0.{c2} = {a}.{acol})"
         return {"op": "leaf", "sql": sql, "deps": frozenset({a})}
 
+    def subquery_scalar(self):
+        """Correlated scalar subquery over an FK edge: per-row COUNT or
+        MAX of the related table -- the decorrelation shape."""
+        edges = []
+        for a, t, _c, _ty in self.pool:
+            for (ch, cc, pa, pc) in FK:
+                if t == pa:
+                    edges.append((a, pc, ch, cc))
+                if t == ch:
+                    edges.append((a, cc, pa, pc))
+        if not edges:
+            return None
+        a, acol, t2, c2 = self.rng.choice(edges)
+        if self.rng.random() < 0.6:
+            inner = "CAST(COUNT(*) AS BIGINT)"
+        else:
+            int_cols = [c for c, ty in TABLES[t2]["cols"].items()
+                        if ty == "int"]
+            inner = f"MAX(s0.{self.rng.choice(int_cols)})"
+        sql = (f"(SELECT {inner} FROM {t2} s0 "
+               f"WHERE s0.{c2} = {a}.{acol})")
+        return _leaf(sql, {a}, "int")
+
     # -- aggregates ----------------------------------------------------
     def agg(self, idx):
         kind = self.rng.randrange(6)
@@ -412,12 +435,20 @@ def gen_query(rng: random.Random, lits) -> dict:
     tables = [(base, "t0")]
     joins = []
     for i in range(1, n_tables):
+        # allow_revisit: a quarter of walks may re-join an already-present
+        # table under a fresh alias -- self-join shapes (orders o1 ->
+        # customer -> orders o2) have their own planner paths
+        allow_revisit = rng.random() < 0.25
         edges = []
         for (ch, cc, pa, pc) in FK:
             for (tname, alias) in tables:
-                if tname == ch and pa not in [t for t, _ in tables]:
+                if tname == ch and (
+                    allow_revisit or pa not in [t for t, _ in tables]
+                ):
                     edges.append((alias, cc, pa, pc))
-                if tname == pa and ch not in [t for t, _ in tables]:
+                if tname == pa and (
+                    allow_revisit or ch not in [t for t, _ in tables]
+                ):
                     edges.append((alias, pc, ch, cc))
         if not edges:
             break
@@ -437,7 +468,8 @@ def gen_query(rng: random.Random, lits) -> dict:
 
     q = {"tables": tables, "joins": joins, "where": None, "group": [],
          "aggs": [], "select": [], "distinct": False, "having": None,
-         "order_limit": None, "setop": None, "where2": None}
+         "order_limit": None, "setop": None, "where2": None,
+         "rollup": False}
 
     if rng.random() < 0.75:
         q["where"] = g.pred()
@@ -453,13 +485,20 @@ def gen_query(rng: random.Random, lits) -> dict:
     if mode < 0.55:  # aggregate mode
         q["group"] = [g.group_expr() for _ in range(rng.randint(0, 3))]
         q["aggs"] = [g.agg(i) for i in range(rng.randint(1, 3))]
+        # ROLLUP subtotal rows mix rollup-NULLs with data-NULLs from
+        # NULLIF group exprs -- a grouping-sets corner both engines must
+        # agree on. No ORDER BY+LIMIT here: subtotal keys can collide
+        # with data keys, making top-k at the boundary legal
+        # nondeterminism.
+        if len(q["group"]) >= 2 and rng.random() < 0.25:
+            q["rollup"] = True
         int_aggs = [a for a in q["aggs"] if a["type"] == "int"]
         if q["group"] and int_aggs and rng.random() < 0.3:
             a = rng.choice(int_aggs)
             q["having"] = {"op": "leaf",
                            "sql": f"{a['sql']} > {rng.randint(0, 5)}",
                            "deps": a["deps"]}
-        if q["group"] and rng.random() < 0.35:
+        if q["group"] and not q["rollup"] and rng.random() < 0.35:
             dirs = [
                 f"{i + 1} {rng.choice(['ASC', 'DESC'])} "
                 f"NULLS {rng.choice(['FIRST', 'LAST'])}"
@@ -472,6 +511,13 @@ def gen_query(rng: random.Random, lits) -> dict:
              "alias": f"c{i}"}
             for i in range(rng.randint(1, 4))
         ]
+        if rng.random() < 0.15:
+            # correlated scalar subquery in the SELECT list over an FK
+            # edge (decorrelation path): COUNT of children per row
+            sub = g.subquery_scalar()
+            if sub is not None:
+                q["select"].append(
+                    {"expr": sub, "alias": f"c{len(q['select'])}"})
         q["distinct"] = rng.random() < 0.45
         if rng.random() < 0.35 and not q["distinct"]:
             # window item: RANK / DENSE_RANK / SUM(int) over a partition
@@ -526,7 +572,11 @@ def render(q: dict) -> str:
         if where is not None:
             sql.append(f"WHERE {where['sql']}")
         if q["group"]:
-            sql.append("GROUP BY " + ", ".join(e["sql"] for e in q["group"]))
+            exprs = ", ".join(e["sql"] for e in q["group"])
+            if q.get("rollup"):
+                sql.append(f"GROUP BY ROLLUP ({exprs})")
+            else:
+                sql.append(f"GROUP BY {exprs}")
         if q["having"] is not None:
             sql.append(f"HAVING {q['having']['sql']}")
         return " ".join(sql[0:1] + sql[1:])
@@ -597,6 +647,34 @@ def compare(spark, con, sql: str):
 MISMATCH_KINDS = {"one_error", "rowcount", "cols", "values"}
 
 
+def classify_divergence(spark, con, q, m):
+    """Return a tag when a mismatch is a KNOWN, documented engine
+    divergence rather than a bug; None otherwise.
+
+    rollup_empty_input: GROUP BY ROLLUP/GROUPING SETS over an EMPTY input
+    -- the SQL standard (and DuckDB/PostgreSQL) emit one grand-total row
+    for the () grouping set, exactly like a global aggregate; Spark's
+    Expand-based implementation produces zero rows (verified on Spark
+    4.1: `SELECT x, COUNT(*) FROM t WHERE false GROUP BY ROLLUP(x)` ->
+    [] while the plain global `SELECT COUNT(*)` correctly returns 0).
+    Pinned by tests/test_fuzz_oracle.py so a Spark version that fixes it
+    gets flagged for re-classification."""
+    import copy
+
+    if q.get("rollup") and m["kind"] in ("rowcount", "values"):
+        plain = copy.deepcopy(q)
+        plain["rollup"] = False
+        plain_sql = render(plain)
+        if compare(spark, con, plain_sql) is None:
+            try:
+                _, s_rows = run_spark(spark, plain_sql)
+            except Exception:
+                return None
+            if not s_rows:
+                return "rollup_empty_input"
+    return None
+
+
 # ------------------------------------------------------------- shrinker
 
 def _used_aliases(q) -> set[str]:
@@ -633,6 +711,8 @@ def _variants(q):
             yield v
     if q["order_limit"]:
         v = cp(); v["order_limit"] = None; yield v
+    if q.get("rollup"):
+        v = cp(); v["rollup"] = False; yield v
     if q["having"]:
         v = cp(); v["having"] = None; yield v
     for w_key in ("where", "where2"):
@@ -714,7 +794,8 @@ def main() -> int:
     os.makedirs(corpus_dir, exist_ok=True)
     corpus_path = os.path.join(corpus_dir, f"corpus_seed{seed}_n{n}.jsonl")
 
-    counts = {"pass": 0, "both_error": 0, "too_big": 0, "mismatch": 0}
+    counts = {"pass": 0, "both_error": 0, "too_big": 0,
+              "documented_divergence": 0, "mismatch": 0}
     fails = []
     t0 = time.time()
     with open(corpus_path, "w") as corpus:
@@ -735,6 +816,12 @@ def main() -> int:
                 counts[m["kind"]] += 1
                 rec["result"] = m["kind"]
                 rec["detail"] = {k: v for k, v in m.items() if k != "kind"}
+            elif (tag := classify_divergence(spark, con, q, m)) is not None:
+                counts["documented_divergence"] += 1
+                rec["result"] = "documented_divergence"
+                rec["tag"] = tag
+                rec["detail"] = m
+                print(f"documented divergence #{i} [{tag}]: {sql}")
             else:
                 counts["mismatch"] += 1
                 small = shrink(spark, con, q, m["kind"])
