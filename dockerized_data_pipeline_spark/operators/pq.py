@@ -79,9 +79,16 @@ def pq_reconstruction_mse_ppm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """1-row summary: mean squared reconstruction error (ppm floor) of the
-    PQ approximation over the corpus -- the quality metric a codebook
-    training job gates on before swapping the index."""
+    """1-row summary: TOTAL squared reconstruction error of the PQ
+    approximation over the corpus (fixed-point, 6 decimal digits) plus
+    the row count -- the quality metric a codebook training job gates on
+    before swapping the index (mse = total_err_fp6 / 1e6 / n_vectors).
+
+    A sum is reported rather than the mean (r7, same reasoning as
+    kmeans_cluster_sizes): decimal SUM + FLOOR(x * 10^6) is exact integer
+    arithmetic identical on Spark and DuckDB, so the query is
+    SQL-oracle-able; a decimal AVG divides, and the two engines round
+    division results at different scales in the last digit."""
     from ..functions.vectors import literal_vector
 
     m = len(codebooks)
@@ -94,11 +101,11 @@ def pq_reconstruction_mse_ppm(
     total_err = per_sub_err[0]
     for e in per_sub_err[1:]:
         total_err = total_err + e
-    # decimal before the mean: float summation order is partition-dependent,
+    # decimal before the sum: float summation order is partition-dependent,
     # decimal sums are exact -- same discipline as the k-means means
     return df.select(total_err.cast("decimal(28,10)").alias("err")).agg(
         F.count("*").alias("n_vectors"),
-        F.floor(F.avg("err") * 1_000_000).cast("bigint").alias("mse_ppm"),
+        F.floor(F.sum("err") * 1_000_000).cast("bigint").alias("total_err_fp6"),
     )
 
 

@@ -1337,11 +1337,45 @@ def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, cbs)
 
 
-@query("x3_pq_mse")
+def _pq_mse_oracle() -> str:
+    d_sub = _EMB_DIM // 4
+    chains, mparts = [], []
+    for j in range(4):
+        lo, hi = j * d_sub + 1, (j + 1) * d_sub
+        ctes_j, cj = _duck_kmeans_ctes(
+            8, 3, dim=d_sub, vec_sql=f"{{v}}[{lo}:{hi}]", prefix=f"pq{j}_",
+            include_v=(j == 0),
+        )
+        chains.append(ctes_j)
+        mparts.append(f"""m{j} AS (
+  SELECT a.vec_id, MIN({_duck_sq_dist(f'a.v[{lo}:{hi}]', 'c.cv')}) AS e
+  FROM v a CROSS JOIN {cj} c GROUP BY a.vec_id)""")
+    chains_sql = ",\n".join(chains)
+    mparts_sql = ",\n".join(mparts)
+    return f"""
+WITH {chains_sql},
+{mparts_sql},
+err AS (
+  SELECT CAST(CAST(m0.e + m1.e + m2.e + m3.e AS VARCHAR) AS DECIMAL(28,10))
+           AS err
+  FROM m0 JOIN m1 ON m0.vec_id = m1.vec_id
+  JOIN m2 ON m0.vec_id = m2.vec_id JOIN m3 ON m0.vec_id = m3.vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(FLOOR(SUM(err) * 1000000) AS BIGINT) AS total_err_fp6
+FROM err
+"""
+
+
+@query("x3_pq_mse", oracle=_pq_mse_oracle())
 def x3_pq_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-validating PQ summary: corpus mean squared reconstruction
-    error (decimal-sum mean -> partition-invariant ppm integer) -- the
-    gate a codebook-training job checks before swapping the ANN index."""
+    """Self-validating PQ summary: corpus TOTAL squared reconstruction
+    error (decimal sum -> partition-invariant fixed-point integer) -- the
+    gate a codebook-training job checks before swapping the ANN index.
+    Oracled (r7): four trained sub-codebook CTE chains + per-row min
+    distances; the sum stays exact integer arithmetic on both engines
+    (a ppm MEAN would divide, and decimal division rounds differently
+    across engines at the last digit)."""
     from ..operators.pq import pq_reconstruction_mse_ppm, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")

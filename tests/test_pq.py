@@ -24,11 +24,11 @@ def test_pq_roundtrip_on_fixture(spark, sf_dir):
 
 def test_pq_finer_codebook_reduces_error(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    mse = {}
+    err = {}
     for k in (1, 8):
         cbs = pq_train(emb, m=4, k=k, iterations=3)
-        mse[k] = pq_reconstruction_mse_ppm(emb, cbs).collect()[0].mse_ppm
-    assert mse[8] < mse[1]  # k=1 is just the per-subspace mean
+        err[k] = pq_reconstruction_mse_ppm(emb, cbs).collect()[0].total_err_fp6
+    assert err[8] < err[1]  # k=1 is just the per-subspace mean
 
 
 def test_pq_codes_partition_invariant(spark, sf_dir):
