@@ -38,9 +38,17 @@ def table_diff(
         ]
         return df.select(*cols)
 
-    l = tagged(left, "l")
-    r = tagged(right, "r")
-    joined = l.join(r, key_cols, "full_outer")
+    l = tagged(left, "l").alias("l")
+    r = tagged(right, "r").alias("r")
+    # eqNullSafe on the keys (r7, found by the property test): a NULL key
+    # value is legal, and a plain-equality full outer would report the
+    # same NULL-key row as BOTH 'removed' and 'added' instead of
+    # comparing it -- the same null-key discipline as merge_upsert
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = l.join(r, cond, "full_outer")
     in_l = F.col("__in_l").isNotNull()
     in_r = F.col("__in_r").isNotNull()
     change: Column = (
@@ -49,7 +57,10 @@ def table_diff(
         .when(F.col("__p_l").eqNullSafe(F.col("__p_r")), F.lit("same"))
         .otherwise(F.lit("changed"))
     )
-    return joined.select(*key_cols, change.alias("change_type"))
+    out_keys = [
+        F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in key_cols
+    ]
+    return joined.select(*out_keys, change.alias("change_type"))
 
 
 def diff_summary(
