@@ -186,7 +186,13 @@ class Gen:
 
     def int_expr(self, depth):
         e = self.col_of("int") or self.const("int")
-        kind = self.rng.randrange(7)
+        kind = self.rng.randrange(8)
+        if kind == 7:
+            o = self.col_of("int")
+            if o is not None:
+                fn = self.rng.choice(["GREATEST", "LEAST"])
+                return _leaf(f"{fn}({e['sql']}, {o['sql']})",
+                             e["deps"] | o["deps"], "int")
         if kind == 0:
             return _leaf(f"({e['sql']} + {self.rng.randint(1, 9)})",
                          e["deps"], "int", e["col"])
@@ -217,9 +223,9 @@ class Gen:
 
     def str_expr(self, depth):
         e = self.col_of("str") or self.const("str")
-        kind = self.rng.randrange(5)
+        kind = self.rng.randrange(7)
         if kind == 0:
-            fn = self.rng.choice(["UPPER", "LOWER", "TRIM"])
+            fn = self.rng.choice(["UPPER", "LOWER", "TRIM", "REVERSE"])
             return _leaf(f"{fn}({e['sql']})", e["deps"], "str", e["col"])
         if kind == 1:
             k = self.rng.randint(1, 6)
@@ -232,6 +238,18 @@ class Gen:
             lit = self.literal_for(e)
             return _leaf(f"NULLIF({e['sql']}, {lit_sql(lit, 'str')})",
                          e["deps"], "str", e["col"])
+        if kind == 4 and e["col"]:
+            frag = str(self.literal_for(e))[:3].replace("'", "''") or "a"
+            return _leaf(f"REPLACE({e['sql']}, '{frag}', 'Q')",
+                         e["deps"], "str")
+        if kind == 5:
+            # GREATEST/LEAST skip NULL arguments identically on both
+            # engines (verified: GREATEST(1, NULL, 3) = 3 on each)
+            o = self.col_of("str")
+            if o is not None:
+                fn = self.rng.choice(["GREATEST", "LEAST"])
+                return _leaf(f"{fn}({e['sql']}, {o['sql']})",
+                             e["deps"] | o["deps"], "str")
         return e
 
     def double_expr(self, depth):
@@ -374,8 +392,13 @@ class Gen:
 
     # -- aggregates ----------------------------------------------------
     def agg(self, idx):
-        kind = self.rng.randrange(6)
+        kind = self.rng.randrange(7)
         alias = f"agg{idx}"
+        if kind == 6:
+            # aggregate FILTER clause (SQL:2003; both engines support)
+            p = self.leaf_pred(1)
+            return {"sql": f"COUNT(*) FILTER (WHERE {p['sql']})",
+                    "deps": p["deps"], "alias": alias, "type": "int"}
         if kind == 0:
             return {"sql": "COUNT(*)", "deps": frozenset(), "alias": alias,
                     "type": "int"}
@@ -549,7 +572,8 @@ def gen_query(rng: random.Random, lits) -> dict:
             for i in range(rng.randint(1, 3))
         ]
         q["setop"] = rng.choice(
-            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+             "EXCEPT", "EXCEPT ALL"])
         q["where"] = g.pred()
         q["where2"] = g.pred()
     return q
