@@ -176,57 +176,75 @@ def main() -> None:
         lo, hi = sorted((a, b))
         return round(100.0 * (hi - lo) / lo, 1)
 
-    # Self-defending segments (VERDICT r6 item 3): the r6 driver run proved
-    # calibration DETECTS contamination (138% drift) but the contaminated
-    # numbers were still the only numbers. Now each half of the query list
-    # is bracketed by its own probe pair; a segment whose bounding probes
-    # disagree by >20% was measured under shifting load, so it is re-run
-    # ONCE (fresh probes around the retry) and the better-calibrated
-    # attempt is kept. Both attempts are emitted so readers can audit the
-    # substitution.
+    # Fine-grained self-defending calibration (VERDICT r7 items: the
+    # 2-segment scheme left per-query round-over-round deltas noise-
+    # dominated at 19.5% whole-run drift -- +-50% swings on untouched code
+    # paths -- and a segment retry mutated the SHARED probe list,
+    # corrupting the neighbor's bracket). Now every CHUNK of ~5 queries is
+    # bracketed by its own immutable (start, end) probe pair; a chunk whose
+    # probes disagree by >20% was measured under shifting load and is
+    # re-run ONCE with a fresh pair, adopting the better-calibrated
+    # attempt. Retries never touch another chunk's probes. Both attempts
+    # are emitted so the substitution stays auditable.
+    #
+    # Per-query NORMALIZED times: each raw time divided by the mean of its
+    # chunk's bracketing probes -- i.e. query cost in units of the fixed
+    # CPU calibration op under the SAME ambient load. Dimensionless, so
+    # round-over-round comparisons of queries_normalized cancel uniform
+    # machine-load differences that raw seconds cannot.
     RETRY_DRIFT_PCT = 20.0
-    midpoint = len(HEADLINE) // 2
-    segments = [HEADLINE[:midpoint], HEADLINE[midpoint:]]
+    CHUNK = 5
+    chunks = [HEADLINE[i : i + CHUNK] for i in range(0, len(HEADLINE), CHUNK)]
 
-    probes = [round(calibration_probe(spark), 3)]
-    seg_timings: list[dict[str, float]] = []
-    for seg in segments:
-        seg_timings.append(time_queries(seg))
-        probes.append(round(calibration_probe(spark), 3))
+    last_probe = round(calibration_probe(spark), 3)
+    measured: list[dict] = []  # per chunk: queries, probe pair, drift
+    for ch in chunks:
+        start = last_probe
+        t = time_queries(ch)
+        end = round(calibration_probe(spark), 3)
+        measured.append(
+            {"queries": t, "probes": (start, end), "drift_pct": drift_pct(start, end)}
+        )
+        last_probe = end  # chunk i's end probe doubles as chunk i+1's start
 
     retries = []
-    for i, seg in enumerate(segments):
-        raw_drift = drift_pct(probes[i], probes[i + 1])
-        if raw_drift <= RETRY_DRIFT_PCT:
+    for i, m in enumerate(measured):
+        if m["drift_pct"] <= RETRY_DRIFT_PCT:
             continue
         before = round(calibration_probe(spark), 3)
-        retry = time_queries(seg)
+        retry = time_queries(chunks[i])
         after = round(calibration_probe(spark), 3)
         retry_drift = drift_pct(before, after)
-        adopted = "retry" if retry_drift < raw_drift else "raw"
-        # the adopted attempt lands in "queries"; the discarded one is
-        # kept here so the substitution stays auditable
+        adopted = "retry" if retry_drift < m["drift_pct"] else "raw"
         retries.append({
-            "segment": i,
-            "raw_drift_pct": raw_drift,
+            "chunk": i,
+            "raw_drift_pct": m["drift_pct"],
             "retry_drift_pct": retry_drift,
+            "raw_probes": list(m["probes"]),
             "retry_probes": [before, after],
             "adopted": adopted,
-            "discarded_queries": seg_timings[i] if adopted == "retry" else retry,
+            "discarded_queries": m["queries"] if adopted == "retry" else retry,
         })
         if adopted == "retry":
-            seg_timings[i] = retry
-            probes[i], probes[i + 1] = before, after
+            # this chunk's OWN pair only -- neighbors keep their brackets
+            m.update(queries=retry, probes=(before, after), drift_pct=retry_drift)
 
-    timings = {k: v for seg in seg_timings for k, v in seg.items()}
+    timings: dict[str, float] = {}
+    normalized: dict[str, float] = {}
+    for m in measured:
+        bracket_mean = (m["probes"][0] + m["probes"][1]) / 2.0
+        for k, v in m["queries"].items():
+            timings[k] = v
+            normalized[k] = round(v / bracket_mean, 3)
     total = sum(timings.values())
-    # probes bracketing the ADOPTED measurements (raw probes live in
-    # segment_retries when a retry replaced them)
+    adopted_probes = [p for m in measured for p in m["probes"]]
     cal = {
-        "start": probes[0],
-        "middle": probes[1],
-        "end": probes[2],
-        "drift_pct": drift_pct(min(probes), max(probes)),
+        "start": adopted_probes[0],
+        "end": adopted_probes[-1],
+        "drift_pct": drift_pct(min(adopted_probes), max(adopted_probes)),
+        "chunk_probes": [list(m["probes"]) for m in measured],
+        "chunk_drift_pct": [m["drift_pct"] for m in measured],
+        "chunk_queries": [list(m["queries"]) for m in measured],
     }
 
     result = {
@@ -234,11 +252,12 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": normalized,
         "sf": float(sf),
         "calibration": cal,
     }
     if retries:
-        result["segment_retries"] = retries
+        result["chunk_retries"] = retries
     if n_files > 0:
         result["layout_files"] = n_files
     print(json.dumps(result))

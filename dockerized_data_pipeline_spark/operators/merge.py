@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .atomic import publish_table_transaction
+from .skew import _contains_map
 
 _MATCH_MARKER = "__ddp_batch_present"
 _TARGET_MARKER = "__ddp_target_present"
@@ -46,12 +47,18 @@ def dedup_keep_newest(
     ``order_by`` alone leaves rows with equal order values in
     row_number()'s arbitrary partition order -- a nondeterministic pick
     that can differ across retries and partition layouts. Every remaining
-    non-key column (in schema order, desc, nulls last) completes the
-    total order; two rows that still tie are full-content duplicates, for
-    which either pick is the same row.
+    ORDERABLE non-key column (in schema order, desc, nulls last) completes
+    the total order; two rows that still tie are full-content duplicates
+    up to unorderable (map-containing) columns, which Spark cannot sort by
+    -- for rows identical elsewhere but differing only in a map column,
+    the pick among them remains arbitrary (documented caveat).
     """
     tiebreak = [
-        c for c in df.columns if c not in keys and c not in order_by
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys
+        and f.name not in order_by
+        and not _contains_map(f.dataType)
     ]
     w = Window.partitionBy(*keys).orderBy(
         *[F.desc_nulls_last(c) for c in [*order_by, *tiebreak]]

@@ -6,23 +6,52 @@ Each iteration is one join + one aggregation over the edge list (no
 driver-side graph, no RDDs), with ``localCheckpoint`` truncating the
 lineage so 10+ rounds don't stack a 10-deep plan.
 
-Determinism discipline (matches kmeans): all rank arithmetic is DECIMAL.
-Float addition is order-dependent and shuffle partitioning is not stable
-across runs or cluster sizes; decimal sums are exact, and decimal
-division rounds deterministically (HALF_UP) -- so ranks are bit-identical
-on any partitioning, any run. Dangling nodes (no out-edges) keep the
-standard simplification: their mass leaks out of the system rather than
-being redistributed, which preserves ranking order and determinism; pass
-a strongly-connected (e.g. symmetrized) edge list when conservation
-matters.
+Determinism discipline (r8, strengthened from the r5 decimal version):
+all rank arithmetic is FIXED-POINT INTEGER over 1e-18 units. Float
+addition is order-dependent and shuffle partitioning is not stable across
+runs or cluster sizes; integer sums are exact and integer floor-division
+is a single well-defined operation, so ranks are bit-identical on any
+partitioning, any run -- AND exactly replayable by any engine with 64-bit
+integers, which is what makes the trade-graph query hash-matchable
+against the DuckDB oracle (VERDICT r7 item 2; the previous decimal
+version hit Spark-specific DECIMAL division result-scale rules that no
+other engine reproduces).
+
+Every step is floor arithmetic on non-negative BIGINTs:
+  * R0(v)      = SCALE div n
+  * contrib(u) = R(u) div deg(u)                  (per out-edge)
+  * inbound(v) = sum of contribs over in-edges    (exact, <= SCALE)
+  * R'(v)      = T + floor(num * inbound / den)   (damping = num/den)
+  * T          = floor((den - num) * SCALE / (den * n))
+The num/den multiply-divide is decomposed as
+``num * (x div den) + (num * (x mod den)) div den`` so no intermediate
+exceeds ~SCALE and everything stays in BIGINT (no HUGEINT/DECIMAL).
+
+Dangling nodes (no out-edges) keep the standard simplification: their
+mass leaks out of the system rather than being redistributed, which
+preserves ranking order and determinism; pass a strongly-connected (e.g.
+symmetrized) edge list when conservation matters. Quantization: each
+floor drops < 1e-18 of mass per term per iteration -- at most
+(edges + nodes) * 1e-18 per round, orders of magnitude below any rank
+gap of interest.
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_RANK = "decimal(38,18)"
+SCALE = 10**18  # rank units: 1.0 == 10^18, max BIGINT ~ 9.2e18
+
+
+def _mul_div_floor(x: str, num: int, den: int) -> str:
+    """SQL for floor(num * x / den) over non-negative BIGINT ``x`` without
+    overflowing: num*(x div den) + (num*(x mod den)) div den."""
+    return (
+        f"(({x}) DIV {den}) * {num} + ((({x}) % {den}) * {num}) DIV {den}"
+    )
 
 
 def pagerank(
@@ -32,11 +61,18 @@ def pagerank(
     damping: str = "0.85",
     iterations: int = 10,
 ) -> DataFrame:
-    """Ranks for every node of the directed edge list: (node, rank).
+    """Ranks for every node of the directed edge list: (node, rank_u)
+    where rank_u is the rank in 1e-18 units (BIGINT; divide by 1e18 for
+    the conventional [0, 1] value).
 
-    ``damping`` is a string so it enters the plan as an exact decimal
-    literal, not a float.
+    ``damping`` is a string parsed exactly (Fraction), so 0.85 is 17/20
+    -- never a float.
     """
+    frac = Fraction(damping).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    if not 0 < frac < 1:
+        raise ValueError(f"damping must be in (0, 1), got {damping!r}")
+
     # The loop-invariant frames (deduped edges, node set, out-degrees) are
     # materialized ONCE: un-checkpointed they re-ran their scan+distinct
     # shuffles inside every one of the 10 iteration jobs.
@@ -52,8 +88,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # scalar driver value: sizes the teleport term only
-    d = F.lit(damping).cast(_RANK)
-    teleport = ((F.lit(1).cast(_RANK) - d) / F.lit(n)).cast(_RANK)
+    # T = floor((den-num) * SCALE / (den*n)), decomposed overflow-free
+    dn = den * n
+    teleport = (den - num) * (SCALE // dn) + ((den - num) * (SCALE % dn)) // dn
     out_deg = (
         e.groupBy("src")
         .agg(F.count("*").alias("out_degree"))
@@ -61,7 +98,7 @@ def pagerank(
     )
 
     ranks = nodes.withColumn(
-        "rank", (F.lit(1).cast(_RANK) / F.lit(n)).cast(_RANK)
+        "rank_u", F.lit(SCALE // n).cast("bigint")
     ).localCheckpoint()
     for _ in range(iterations):
         contrib = (
@@ -69,18 +106,19 @@ def pagerank(
             .join(out_deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_degree")).cast(_RANK).alias("c"),
+                F.expr("rank_u DIV out_degree").alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").cast(_RANK).alias("inbound"))
+            .agg(F.sum("c").cast("bigint").alias("inbound"))
         )
+        damped = _mul_div_floor("coalesce(inbound, 0)", num, den)
         ranks = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                (teleport + d * F.coalesce(F.col("inbound"), F.lit(0).cast(_RANK)))
-                .cast(_RANK)
-                .alias("rank"),
+                F.expr(f"CAST({teleport} + ({damped}) AS BIGINT)").alias(
+                    "rank_u"
+                ),
             )
             .localCheckpoint()
         )

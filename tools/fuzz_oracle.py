@@ -20,8 +20,41 @@ fuzzer must not trip over, mirroring the engine's own query rules):
   * LIMIT only under an ORDER BY that is a total order of the output
     (all group columns), otherwise top-k at a tie boundary is legal
     nondeterminism, not a bug.
-  * no division (integral divide-by-zero raises on one engine, returns
-    NULL on none), no string->number casts (ANSI).
+
+Grammar v4 (r8) pushes into the ANSI arithmetic / cast / temporal /
+window-frame corners the v3 grammar deliberately avoided, each family
+empirically verified to agree (probe catalog in tests/test_fuzz_oracle.py
+pins; every EXCLUDED shape below is a documented divergence with a pinned
+regression test):
+  * division and MOD straddle zero but are NULLIF-guarded: Spark ANSI
+    raises DIVIDE_BY_ZERO / REMAINDER_BY_ZERO where DuckDB returns NULL
+    (pinned) -- `x / NULLIF(y, 0)` agrees exactly (same IEEE op).
+  * overflow straddling goes through BIGINT-widened products and
+    TRY_CAST back to INTEGER (NULL on overflow, both engines); bare
+    INT+INT overflow errors on BOTH engines but evaluation-order
+    differences would make one_error noise, so arithmetic stays widened.
+  * TRY_CAST string->number only over digit-safe sources (SUBSTRING of
+    non-JSON str columns): DuckDB parses '12.5'/'1e3'/'0x1A' to INT
+    (rounds) where Spark ANSI try_cast yields NULL (pinned).
+  * no double->INT casts (Spark truncates, DuckDB rounds half-even --
+    pinned); no CONCAT() and no SPLIT_PART() (NULL-propagation differs:
+    Spark propagates, DuckDB skips/returns '' -- both pinned; `||` and
+    CONCAT_WS agree and are used instead); no REGEXP_REPLACE (global vs
+    first-match -- pinned);
+    SUBSTRING start >= 1 only (start 0 differs -- pinned); LEFT/RIGHT
+    positive lengths only; SQRT only as SQRT(ABS(x)) (DuckDB errors on
+    negative where Spark returns NaN -- pinned); no EXP/LN/POWER (libm
+    results are not required to be correctly rounded, so cross-engine
+    bits may differ); EXTRACT without DOW/EPOCH (numbering/support
+    differ -- pinned); DATE_TRUNC coarse units wrapped CAST(.. AS DATE)
+    (Spark returns TIMESTAMP, DuckDB DATE -- pinned); 'hour' raw.
+  * window frames: ROWS frames and row-position functions (ROW_NUMBER /
+    NTILE / LAG / LEAD / FIRST/LAST/NTH_VALUE) always order by a TOTAL
+    order (order expr + every table's primary key, explicit direction +
+    NULLS placement per key); RANGE frames use exactly one raw order
+    column (peers share the frame, so ties are deterministic). IGNORE
+    NULLS (incompatible placement syntax), frame EXCLUDE and DISTINCT
+    window aggregates (Spark unsupported) are excluded and pinned.
 
 Usage: python tools/fuzz_oracle.py [N] [seed] [sf_dir]
        (defaults 500, 42, /root/testdata/sf0.001)
@@ -157,6 +190,19 @@ class Gen:
         a, t, c, ty = self.rng.choice(cands)
         return _leaf(f"{a}.{c}", {a}, ty, (t, c))
 
+    def digit_safe_str_col(self):
+        """A str column whose substrings can only be digit-runs or
+        non-numeric text -- never '12.5' / '1e3' / '0x1A' shapes, which
+        DuckDB TRY_CAST parses to INT (rounding) while Spark ANSI
+        try_cast yields NULL (pinned divergence). events.props is JSON
+        ('{"k": 1.5, ...}'), the one fixture column that produces them."""
+        cands = [p for p in self.pool
+                 if p[3] == "str" and (p[1], p[2]) != ("events", "props")]
+        if not cands:
+            return None
+        a, t, c, ty = self.rng.choice(cands)
+        return _leaf(f"{a}.{c}", {a}, ty, (t, c))
+
     def literal_for(self, e):
         if e["col"] and self.lits.get(e["col"]):
             return self.rng.choice(self.lits[e["col"]])
@@ -175,7 +221,7 @@ class Gen:
             return self.str_expr(depth)
         if typ == "double":
             return self.double_expr(depth)
-        return base  # ts: plain column only
+        return self.ts_expr(depth)
 
     def const(self, typ):
         v = {"int": self.rng.randint(0, 20),
@@ -186,7 +232,54 @@ class Gen:
 
     def int_expr(self, depth):
         e = self.col_of("int") or self.const("int")
-        kind = self.rng.randrange(8)
+        kind = self.rng.randrange(13)
+        if kind == 8:
+            # ANSI string->int cast straddling: digit-run substrings cast,
+            # alpha substrings yield NULL -- identically on both engines
+            # as long as the source can't produce fractional/scientific/
+            # hex shapes (digit_safe_str_col; divergence pinned)
+            s = self.digit_safe_str_col()
+            if s is not None:
+                i, k = self.rng.randint(1, 9), self.rng.randint(1, 9)
+                return _leaf(
+                    f"TRY_CAST(SUBSTRING({s['sql']}, {i}, {k}) AS INTEGER)",
+                    s["deps"], "int")
+        if kind == 9:
+            # overflow-straddling product, BIGINT-widened so neither
+            # engine errors (int x int inputs bound the product < 2^62)
+            o = self.col_of("int")
+            if o is not None:
+                return _leaf(
+                    f"(CAST({e['sql']} AS BIGINT) * "
+                    f"CAST({o['sql']} AS BIGINT))",
+                    e["deps"] | o["deps"], "int")
+        if kind == 10:
+            # ... and TRY_CAST back down: NULL exactly when the product
+            # overflows INT32 -- the cast-overflow semantics under test
+            o = self.col_of("int")
+            if o is not None:
+                return _leaf(
+                    f"TRY_CAST(CAST({e['sql']} AS BIGINT) * "
+                    f"CAST({o['sql']} AS BIGINT) AS INTEGER)",
+                    e["deps"] | o["deps"], "int")
+        if kind == 11:
+            # MOD straddling zero, NULLIF-guarded (Spark ANSI raises
+            # REMAINDER_BY_ZERO where DuckDB returns NULL -- pinned)
+            o = self.col_of("int")
+            if o is not None:
+                m = self.rng.randint(2, 5)
+                return _leaf(
+                    f"MOD({e['sql']}, NULLIF({o['sql']} % {m}, 0))",
+                    e["deps"] | o["deps"], "int")
+        if kind == 12:
+            s = self.col_of("str")
+            if s is not None:
+                if self.rng.random() < 0.5:
+                    return _leaf(f"ASCII(SUBSTRING({s['sql']}, 1, 1))",
+                                 s["deps"], "int")
+                needle = self.rng.choice(["a", "e", "r", "1"])
+                return _leaf(f"POSITION('{needle}' IN {s['sql']})",
+                             s["deps"], "int")
         if kind == 7:
             o = self.col_of("int")
             if o is not None:
@@ -206,7 +299,11 @@ class Gen:
         if kind == 3:
             t = self.col_of("ts")
             if t is not None:
-                part = self.rng.choice(["YEAR", "MONTH", "DAY"])
+                # no DOW (Spark 1..7 Sun-first vs DuckDB 0..6 Sun-first,
+                # pinned) and no EPOCH (Spark: invalid extract field)
+                part = self.rng.choice(
+                    ["YEAR", "MONTH", "DAY", "QUARTER", "DOY", "WEEK",
+                     "HOUR"])
                 return _leaf(f"EXTRACT({part} FROM {t['sql']})",
                              t["deps"], "int")
         if kind == 4:
@@ -223,7 +320,45 @@ class Gen:
 
     def str_expr(self, depth):
         e = self.col_of("str") or self.const("str")
-        kind = self.rng.randrange(7)
+        kind = self.rng.randrange(12)
+        if kind == 7:
+            fn = self.rng.choice(["LPAD", "RPAD"])
+            n = self.rng.randint(1, 12)
+            pad = self.rng.choice([".", "xy", "#"])
+            return _leaf(f"{fn}({e['sql']}, {n}, '{pad}')",
+                         e["deps"], "str")
+        if kind == 8:
+            # positive lengths only: LEFT('hello', -1) is '' on Spark,
+            # 'hell' on DuckDB (pinned)
+            fn = self.rng.choice(["LEFT", "RIGHT"])
+            return _leaf(f"{fn}({e['sql']}, {self.rng.randint(1, 5)})",
+                         e["deps"], "str")
+        if kind == 9:
+            if self.rng.random() < 0.5:
+                return _leaf(
+                    f"TRANSLATE({e['sql']}, 'AEIOUaeiou', '__________')",
+                    e["deps"], "str")
+            # no SPLIT_PART: DuckDB returns '' for a NULL input string
+            # where Spark NULL-propagates -- found by seed 424242 #342
+            # via a FULL JOIN null-extended column, pinned
+            fn = self.rng.choice(["LTRIM", "RTRIM"])
+            return _leaf(f"{fn}({e['sql']})", e["deps"], "str", e["col"])
+        if kind == 10:
+            i = self.col_of("int")
+            if i is not None:
+                # CHR needs the explicit INT cast: DuckDB has no
+                # chr(BIGINT) overload and fixture ints read as BIGINT
+                return _leaf(
+                    f"CHR(CAST(65 + (ABS({i['sql']}) % 26) AS INTEGER))",
+                    i["deps"], "str")
+        if kind == 11:
+            o = self.col_of("str")
+            if o is not None:
+                # CONCAT_WS skips NULLs identically on both engines
+                # (CONCAT itself does not -- Spark NULL-propagates,
+                # DuckDB skips; pinned, excluded)
+                return _leaf(f"CONCAT_WS('-', {e['sql']}, {o['sql']})",
+                             e["deps"] | o["deps"], "str")
         if kind == 0:
             fn = self.rng.choice(["UPPER", "LOWER", "TRIM", "REVERSE"])
             return _leaf(f"{fn}({e['sql']})", e["deps"], "str", e["col"])
@@ -254,7 +389,32 @@ class Gen:
 
     def double_expr(self, depth):
         e = self.col_of("double") or self.const("double")
-        kind = self.rng.randrange(4)
+        kind = self.rng.randrange(7)
+        if kind == 4:
+            # guarded division straddling zero: NULLIF turns the zero
+            # divisor into NULL on BOTH engines (unguarded: Spark ANSI
+            # raises DIVIDE_BY_ZERO even for doubles, DuckDB returns
+            # NULL -- pinned). The quotient itself is one IEEE op, so
+            # the bits agree exactly.
+            o = self.col_of("double")
+            if o is not None:
+                return _leaf(
+                    f"({e['sql']} / NULLIF({o['sql']}, CAST(0 AS DOUBLE)))",
+                    e["deps"] | o["deps"], "double")
+        if kind == 5:
+            i = self.col_of("int")
+            if i is not None:
+                return _leaf(
+                    f"({e['sql']} / NULLIF(CAST({i['sql']} AS DOUBLE), "
+                    f"CAST(0 AS DOUBLE)))",
+                    e["deps"] | i["deps"], "double")
+        if kind == 6:
+            # IEEE-754 requires sqrt correctly rounded, so cross-engine
+            # bits agree; ABS() because DuckDB errors on negatives where
+            # Spark returns NaN (pinned). EXP/LN/POWER stay excluded:
+            # libm transcendentals are not required to be correctly
+            # rounded, so bits may legally differ.
+            return _leaf(f"SQRT(ABS({e['sql']}))", e["deps"], "double")
         if kind == 0:
             return _leaf(f"({e['sql']} * {self.rng.randint(2, 9)})",
                          e["deps"], "double", e["col"])
@@ -268,6 +428,55 @@ class Gen:
             return _leaf(f"ABS({e['sql']} - {lit})",
                          e["deps"], "double", e["col"])
         return e
+
+    def ts_expr(self, depth):
+        """Timestamp expressions (v4): interval arithmetic, DATE_TRUNC
+        'hour' (coarser units return TIMESTAMP on Spark, DATE on DuckDB
+        -- pinned; the date-typed variants live in date_select_expr),
+        GREATEST/LEAST. All probe-verified to agree, including the
+        end-of-month clamp (Jan 31 + 1 MONTH = Feb 29 on both)."""
+        e = self.col_of("ts")
+        if e is None:
+            return self.const("ts")
+        kind = self.rng.randrange(6)
+        if kind == 0:
+            n = self.rng.randint(1, 12)
+            unit = self.rng.choice(["DAY", "MONTH", "HOUR"])
+            op = self.rng.choice(["+", "-"])
+            return _leaf(f"({e['sql']} {op} INTERVAL {n} {unit})",
+                         e["deps"], "ts", e["col"])
+        if kind == 1:
+            return _leaf(f"DATE_TRUNC('hour', {e['sql']})",
+                         e["deps"], "ts", e["col"])
+        if kind == 2:
+            o = self.col_of("ts")
+            if o is not None:
+                fn = self.rng.choice(["GREATEST", "LEAST"])
+                return _leaf(f"{fn}({e['sql']}, {o['sql']})",
+                             e["deps"] | o["deps"], "ts")
+        return e
+
+    def date_select_expr(self):
+        """Date-typed SELECT items (v4): the DATE_TRUNC coarse units /
+        LAST_DAY / DATE_ADD family, CAST-wrapped where the two engines'
+        return TYPES differ (values agree)."""
+        t = self.col_of("ts")
+        if t is None:
+            return None
+        kind = self.rng.randrange(4)
+        if kind == 0:
+            unit = self.rng.choice(["month", "year", "quarter", "week",
+                                    "day"])
+            return _leaf(f"CAST(DATE_TRUNC('{unit}', {t['sql']}) AS DATE)",
+                         t["deps"], "date")
+        if kind == 1:
+            return _leaf(f"LAST_DAY(CAST({t['sql']} AS DATE))",
+                         t["deps"], "date")
+        if kind == 2:
+            return _leaf(
+                f"DATE_ADD(CAST({t['sql']} AS DATE), {self.rng.randint(1, 90)})",
+                t["deps"], "date")
+        return _leaf(f"CAST({t['sql']} AS DATE)", t["deps"], "date")
 
     # -- predicates (AST nodes: leaf | not | and | or) ----------------
     def pred(self, depth=0):
@@ -392,8 +601,15 @@ class Gen:
 
     # -- aggregates ----------------------------------------------------
     def agg(self, idx):
-        kind = self.rng.randrange(7)
+        kind = self.rng.randrange(8)
         alias = f"agg{idx}"
+        if kind == 7:
+            # BOOL_AND/BOOL_OR (probe-verified identical incl. NULL and
+            # empty-group handling)
+            p = self.leaf_pred(1)
+            fn = self.rng.choice(["BOOL_AND", "BOOL_OR"])
+            return {"sql": f"{fn}({p['sql']})", "deps": p["deps"],
+                    "alias": alias, "type": "bool"}
         if kind == 6:
             # aggregate FILTER clause (SQL:2003; both engines support)
             p = self.leaf_pred(1)
@@ -423,6 +639,170 @@ class Gen:
         e = self.expr(self.rng.choice(["int", "str", "double", "ts"]), 1)
         return {"sql": f"{fn}({e['sql']})", "deps": e["deps"],
                 "alias": alias, "type": e["type"]}
+
+    # -- window items (v4) ---------------------------------------------
+    def _rows_frame(self):
+        """A syntactically valid ROWS/RANGE-int frame: lo never after hi
+        by construction."""
+        r = self.rng.randrange(4)
+        n, m = self.rng.randint(1, 5), self.rng.randint(1, 5)
+        if r == 0:
+            lo = self.rng.choice(["UNBOUNDED PRECEDING", f"{n} PRECEDING",
+                                  "CURRENT ROW"])
+            hi = self.rng.choice(["CURRENT ROW", f"{m} FOLLOWING",
+                                  "UNBOUNDED FOLLOWING"])
+            return f"BETWEEN {lo} AND {hi}"
+        if r == 1:
+            lo, hi = max(n, m), min(n, m)
+            return f"BETWEEN {lo} PRECEDING AND {hi} PRECEDING"
+        if r == 2:
+            lo, hi = min(n, m), max(n, m)
+            return f"BETWEEN {lo} FOLLOWING AND {hi} FOLLOWING"
+        return f"BETWEEN {self.rng.randint(1, 5)} PRECEDING AND CURRENT ROW"
+
+    def _win_agg(self, over):
+        """A window aggregate whose output type is portable: SUM/COUNT
+        cast BIGINT (DuckDB window SUM(int) is HUGEINT), AVG over
+        exactly-representable ints, MIN/MAX pass through."""
+        r = self.rng.randrange(5)
+        if r == 0:
+            i = self.col_of("int")
+            if i is not None:
+                return _leaf(f"CAST(SUM({i['sql']}) OVER {over} AS BIGINT)",
+                             i["deps"], "int")
+        if r == 1:
+            c = self.col_of()
+            if c is not None:
+                return _leaf(f"CAST(COUNT({c['sql']}) OVER {over} AS BIGINT)",
+                             c["deps"], "int")
+        if r == 2:
+            i = self.col_of("int")
+            if i is not None:
+                return _leaf(
+                    f"AVG(CAST({i['sql']} AS DOUBLE)) OVER {over}",
+                    i["deps"], "double")
+        if r == 3:
+            c = self.col_of(self.rng.choice(["int", "str", "ts"]))
+            if c is not None:
+                fn = self.rng.choice(["MIN", "MAX"])
+                return _leaf(f"{fn}({c['sql']}) OVER {over}",
+                             c["deps"], c["type"])
+        return _leaf(f"CAST(COUNT(*) OVER {over} AS BIGINT)",
+                     frozenset(), "int")
+
+    def window_item(self, tables):
+        """One portable window expression (v4 family): ranking / NTILE /
+        CUME_DIST / PERCENT_RANK, LAG/LEAD with defaults, FIRST/LAST/
+        NTH_VALUE with explicit ROWS frames, and frame aggregates over
+        ROWS, numeric-RANGE, and interval-RANGE frames.
+
+        Determinism contract: row-position functions (ROW_NUMBER, NTILE,
+        LAG/LEAD, *_VALUE, ROWS-frame aggs) order by the chosen order
+        expr PLUS every column of every table, explicit direction and
+        NULLS placement per key. ALL columns, not the declared pks: the
+        synthetic fixtures carry duplicate (l_orderkey, l_linenumber)
+        pairs, so a pk tiebreak is NOT total (found by this fuzzer's own
+        seed-8801 run as a false LEAD mismatch) -- full row content is;
+        rows that still tie are identical, and swapping identical rows
+        leaves the output MULTISET invariant even for position functions.
+        RANGE frames use exactly ONE raw order column: peers share the
+        frame, so equal order values get equal results. Excluded and
+        pinned: IGNORE NULLS (engine-incompatible placement), frame
+        EXCLUDE and DISTINCT window aggregates (Spark unsupported), and
+        RANGE '0 PRECEDING' bounds (DuckDB excludes the current row and
+        its peers where Spark/the standard treat it as CURRENT ROW --
+        found by seed 8801, pinned)."""
+        p = self.group_expr()
+        all_deps = frozenset({alias for _t, alias in tables})
+        pk = [f"{alias}.{c} ASC NULLS LAST"
+              for t, alias in tables for c in TABLES[t]["cols"]]
+        o = self.col_of()
+        if o is None:
+            return None
+        dirn = (f"{self.rng.choice(['ASC', 'DESC'])} NULLS "
+                f"{self.rng.choice(['FIRST', 'LAST'])}")
+        total = ", ".join([f"{o['sql']} {dirn}"] + pk)
+        fam = self.rng.randrange(6)
+        if fam == 0:  # ranking family
+            tie_aware = self.rng.random() < 0.5
+            if tie_aware:
+                fn = self.rng.choice(
+                    ["RANK()", "DENSE_RANK()", "PERCENT_RANK()",
+                     "CUME_DIST()"])
+                order = f"{o['sql']} {dirn}"
+            else:
+                fn = self.rng.choice(
+                    ["ROW_NUMBER()", f"NTILE({self.rng.randint(2, 7)})"])
+                order = total
+            typ = ("double" if fn in ("PERCENT_RANK()", "CUME_DIST()")
+                   else "int")
+            return _leaf(
+                f"{fn} OVER (PARTITION BY {p['sql']} ORDER BY {order})",
+                all_deps | p["deps"] | o["deps"], typ)
+        if fam == 1:  # LAG/LEAD, optionally with offset + default
+            v = self.col_of("int")
+            if v is None:
+                return None
+            fn = self.rng.choice(["LAG", "LEAD"])
+            arg = v["sql"]
+            if self.rng.random() < 0.6:
+                arg += f", {self.rng.randint(1, 3)}"
+                if self.rng.random() < 0.5:
+                    arg += f", {self.rng.randint(-1, 1)}"
+            return _leaf(
+                f"{fn}({arg}) OVER (PARTITION BY {p['sql']} "
+                f"ORDER BY {total})",
+                all_deps | p["deps"] | o["deps"] | v["deps"], "int")
+        if fam == 2:  # FIRST/LAST/NTH_VALUE with explicit ROWS frame
+            v = self.col_of(self.rng.choice(["int", "str"]))
+            if v is None:
+                return None
+            fn = self.rng.choice(["FIRST_VALUE", "LAST_VALUE"])
+            call = f"{fn}({v['sql']})"
+            if self.rng.random() < 0.3:
+                call = f"NTH_VALUE({v['sql']}, {self.rng.randint(1, 3)})"
+            frame = self._rows_frame()
+            return _leaf(
+                f"{call} OVER (PARTITION BY {p['sql']} ORDER BY {total} "
+                f"ROWS {frame})",
+                all_deps | p["deps"] | o["deps"] | v["deps"], v["type"])
+        if fam == 3:  # agg over ROWS frame (total order)
+            over = (f"(PARTITION BY {p['sql']} ORDER BY {total} "
+                    f"ROWS {self._rows_frame()})")
+            e = self._win_agg(over)
+            return _leaf(e["sql"], all_deps | p["deps"] | e["deps"],
+                         e["type"])
+        if fam == 4:  # agg over numeric RANGE frame: ONE raw int order col
+            oi = self.col_of("int")
+            if oi is None:
+                return None
+            d = self.rng.choice(["ASC", "DESC"])
+            # offsets >= 1 only: 'RANGE ... AND 0 PRECEDING' diverges
+            # (DuckDB excludes current row + peers; Spark = CURRENT ROW)
+            frame = self.rng.choice([
+                f"BETWEEN {self.rng.randint(1, 20)} PRECEDING AND CURRENT ROW",
+                "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                f"BETWEEN {self.rng.randint(2, 20)} PRECEDING AND "
+                f"1 PRECEDING",
+            ])
+            over = (f"(PARTITION BY {p['sql']} ORDER BY {oi['sql']} {d} "
+                    f"RANGE {frame})")
+            e = self._win_agg(over)
+            return _leaf(e["sql"],
+                         all_deps | p["deps"] | oi["deps"] | e["deps"],
+                         e["type"])
+        # fam == 5: agg over interval RANGE frame on a ts order col
+        ot = self.col_of("ts")
+        if ot is None:
+            return None
+        n = self.rng.randint(1, 48)
+        unit = self.rng.choice(["HOUR", "DAY", "MINUTE"])
+        over = (f"(PARTITION BY {p['sql']} ORDER BY {ot['sql']} ASC "
+                f"RANGE BETWEEN INTERVAL {n} {unit} PRECEDING "
+                f"AND CURRENT ROW)")
+        e = self._win_agg(over)
+        return _leaf(e["sql"], all_deps | p["deps"] | ot["deps"] | e["deps"],
+                     e["type"])
 
     def group_expr(self):
         kind = self.rng.randrange(5)
@@ -508,13 +888,13 @@ def gen_query(rng: random.Random, lits) -> dict:
     if mode < 0.55:  # aggregate mode
         q["group"] = [g.group_expr() for _ in range(rng.randint(0, 3))]
         q["aggs"] = [g.agg(i) for i in range(rng.randint(1, 3))]
-        # ROLLUP subtotal rows mix rollup-NULLs with data-NULLs from
-        # NULLIF group exprs -- a grouping-sets corner both engines must
-        # agree on. No ORDER BY+LIMIT here: subtotal keys can collide
-        # with data keys, making top-k at the boundary legal
+        # ROLLUP/CUBE subtotal rows mix grouping-NULLs with data-NULLs
+        # from NULLIF group exprs -- a grouping-sets corner both engines
+        # must agree on. No ORDER BY+LIMIT here: subtotal keys can
+        # collide with data keys, making top-k at the boundary legal
         # nondeterminism.
         if len(q["group"]) >= 2 and rng.random() < 0.25:
-            q["rollup"] = True
+            q["rollup"] = rng.choice(["rollup", "cube"])
         int_aggs = [a for a in q["aggs"] if a["type"] == "int"]
         if q["group"] and int_aggs and rng.random() < 0.3:
             a = rng.choice(int_aggs)
@@ -541,31 +921,20 @@ def gen_query(rng: random.Random, lits) -> dict:
             if sub is not None:
                 q["select"].append(
                     {"expr": sub, "alias": f"c{len(q['select'])}"})
-        q["distinct"] = rng.random() < 0.45
-        if rng.random() < 0.35 and not q["distinct"]:
-            # window item: RANK / DENSE_RANK / SUM(int) over a partition
-            p = g.group_expr()
-            o = g.col_of()
-            if o is not None:
-                fn = rng.choice(["RANK()", "DENSE_RANK()"])
-                deps = p["deps"] | o["deps"]
-                sum_window = False
-                if rng.random() < 0.33:
-                    ie = g.col_of("int")
-                    if ie is not None:
-                        fn = f"SUM({ie['sql']})"
-                        deps = deps | ie["deps"]
-                        sum_window = True
-                nf = rng.choice(["FIRST", "LAST"])
-                w = (f"{fn} OVER (PARTITION BY {p['sql']} ORDER BY "
-                     f"{o['sql']} {rng.choice(['ASC', 'DESC'])} NULLS {nf})")
-                if sum_window:
-                    # duck window SUM(int) yields HUGEINT -> float64 on
-                    # fetch; BIGINT keeps both engines' output integral
-                    w = f"CAST({w} AS BIGINT)"
+        if rng.random() < 0.20:
+            # date-typed item (v4): DATE_TRUNC/LAST_DAY/DATE_ADD family
+            d = g.date_select_expr()
+            if d is not None:
                 q["select"].append(
-                    {"expr": _leaf(w, deps, "int"),
-                     "alias": f"c{len(q['select'])}"})
+                    {"expr": d, "alias": f"c{len(q['select'])}"})
+        q["distinct"] = rng.random() < 0.45
+        if rng.random() < 0.45 and not q["distinct"]:
+            # window item (v4 family: ranking/NTILE/LAG/LEAD/*_VALUE/
+            # frame aggregates over ROWS + numeric/interval RANGE)
+            w = g.window_item(tables)
+            if w is not None:
+                q["select"].append(
+                    {"expr": w, "alias": f"c{len(q['select'])}"})
     else:  # set-op mode: one select list, two WHEREs
         q["select"] = [
             {"expr": g.col_of() or g.const("int"), "alias": f"c{i}"}
@@ -598,7 +967,8 @@ def render(q: dict) -> str:
         if q["group"]:
             exprs = ", ".join(e["sql"] for e in q["group"])
             if q.get("rollup"):
-                sql.append(f"GROUP BY ROLLUP ({exprs})")
+                kw = "CUBE" if q["rollup"] == "cube" else "ROLLUP"
+                sql.append(f"GROUP BY {kw} ({exprs})")
             else:
                 sql.append(f"GROUP BY {exprs}")
         if q["having"] is not None:
@@ -675,7 +1045,7 @@ def classify_divergence(spark, con, q, m):
     """Return a tag when a mismatch is a KNOWN, documented engine
     divergence rather than a bug; None otherwise.
 
-    rollup_empty_input: GROUP BY ROLLUP/GROUPING SETS over an EMPTY input
+    rollup_empty_input: GROUP BY ROLLUP/CUBE/GROUPING SETS over an EMPTY input
     -- the SQL standard (and DuckDB/PostgreSQL) emit one grand-total row
     for the () grouping set, exactly like a global aggregate; Spark's
     Expand-based implementation produces zero rows (verified on Spark
