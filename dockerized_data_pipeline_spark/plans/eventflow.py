@@ -133,11 +133,16 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the supplier co-order graph (edge = two suppliers
-    appear in the same order). Canonical ordered-edge 3-join: every edge
-    stored once as (a < b), so each triangle is counted exactly once and
-    the joins are equi-joins on node ids -- the distributed shape that
-    survives scale (per-key fanout bounded by max degree, AQE handles the
-    hub skew; no all-pairs step anywhere)."""
+    appear in the same order), oriented a < b so each triangle counts
+    once. r8: the Spark side switched from the ordered-edge 3-join to
+    bitset adjacency intersection (operators/graph.py) -- this graph is
+    DENSE (sf0.1: 1,000 nodes carrying 91% of all possible edges, 138M
+    wedges), so the 3-join materialized 138M rows for a 1-row answer
+    (13s); the mask intersection does 453k x 16 word ops (~0.5s). The
+    DuckDB oracle keeps the 3-join formulation -- same count, and it
+    documents the sparse-graph fallback plan."""
+    from ..operators.graph import triangle_count_bitset
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # per-order supplier sets + in-array pair expansion: one aggregation
     # shuffle instead of a lineitem self-join (2x faster at sf0.1, and the
@@ -156,22 +161,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.a", "p.b")
         .distinct()
-        # materialized once: the same edge table feeds all three join
-        # legs, and un-checkpointed the per-order set build + pair
-        # explode + distinct re-ran per leg (at real scale this is
+        # materialized once: the edge table feeds the node dictionary,
+        # the mask build, and the probe side (at real scale this is
         # "write the edge table", exactly like the winnow fingerprint
         # stage in x8_winnow_overlap)
         .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    return (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
-    )
+    return triangle_count_bitset(edges)
 
 
 @query(
