@@ -3557,7 +3557,79 @@ def x5_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x5_bpe_train")
+def _duck_bpe_train_sql(num_merges: int = 24, min_pair_count: int = 2) -> str:
+    """CTE chain replaying operators/bpe.bpe_train (r8; the r7 verdict's
+    stretch goal -- previously believed to defeat SQL unrolling because
+    each iteration REWRITES the segmentation, a fold not an aggregate).
+
+    The unlock: Spark's ``_merge_expr`` fold -- scan left to right,
+    fusing every non-overlapping adjacent (a, b) -- is exactly what SQL
+    REPLACE does over a string, provided symbol boundaries cannot be
+    consumed by an adjacent match. Wrapping every symbol individually as
+    ``\\x1f<sym>\\x1e`` makes occurrences of ``\\x1fa\\x1e\\x1fb\\x1e``
+    character-disjoint, so REPLACE(seg, that, ``\\x1fab\\x1e``) is
+    bit-equivalent to the fold (a freshly fused symbol can't left-match
+    again in the same pass on either engine: 'ab' != 'a'). Control-char
+    delimiters never appear in the corpus or the </w> marker.
+
+    Per unrolled iteration: symbols re-derived by regex, adjacent pairs
+    via list_zip against the shifted list, exact integer pair counts,
+    argmax by (total DESC, left, right) -- Spark and DuckDB both compare
+    strings by binary codepoint -- and a LEFT JOIN ON TRUE rewrite so an
+    early stop (best < min_pair_count -> empty argmax) leaves the
+    segmentation unchanged and emits no merge row, exactly like the
+    operator's break."""
+    d1, d2 = "\x1f", "\x1e"  # symbol open/close sentinels
+    ws = "[ \\t\\n\\x0b\\f\\r]+"  # the operator's ASCII class (bpe.py)
+    sym_pat = f"{d1}([^{d2}]*){d2}"
+    parts = [f"""w AS MATERIALIZED (
+  SELECT word, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+    SELECT UNNEST(regexp_split_to_array(text, '{ws}')) AS word,
+           1 AS cnt
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+seg0 AS MATERIALIZED (
+  SELECT n,
+         '{d1}' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)),
+           '{d2}{d1}') || '{d2}' || '{d1}</w>{d2}' AS s
+  FROM w
+)"""]
+    for i in range(num_merges):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(n) AS BIGINT) AS total FROM (
+    SELECT n, UNNEST(list_zip(syms, syms[2:len(syms)])) AS pr
+    FROM (SELECT n, regexp_extract_all(s, '{sym_pat}', 1) AS syms
+          FROM seg{i})
+  ) WHERE pr[2] IS NOT NULL GROUP BY pr[1], pr[2]
+),
+b{i} AS MATERIALIZED (
+  SELECT l, r, total FROM p{i} WHERE total >= {min_pair_count}
+  ORDER BY total DESC, l ASC, r ASC LIMIT 1
+),
+seg{i + 1} AS MATERIALIZED (
+  SELECT n,
+         CASE WHEN b.l IS NULL THEN s
+              ELSE REPLACE(s, '{d1}' || b.l || '{d2}{d1}' || b.r || '{d2}',
+                           '{d1}' || b.l || b.r || '{d2}')
+         END AS s
+  FROM seg{i} LEFT JOIN b{i} b ON TRUE
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS it, l, r, total FROM b{i}" for i in range(num_merges)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY it) - 1 AS INTEGER) AS rank,
+       l AS "left", r AS "right", total AS pair_count
+FROM ({union})"""
+    )
+
+
+@query("x5_bpe_train", oracle=_duck_bpe_train_sql(24))
 def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich 2016) over the corpus
     -- the learned merge table, rank-ordered. One corpus explode+count
@@ -3565,9 +3637,9 @@ def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge rounds is a small vocab-only pair-count aggregate plus a 1-row
     argmax (bounded control data) and a shuffle-free fold rewrite, so at
     100 TB the per-iteration cost is O(distinct words), never O(corpus).
-    Rows-only (the training loop is not SQL-expressible): exact integer
-    counts with a total-order argmax make the merge table partition-
-    invariant (twin-run harness) and the classic-corpus pytest pins it
+    Hash-matched (r8, previously rows-only): the merge fold unrolls into
+    DuckDB as sentinel-wrapped string REPLACE per iteration
+    (_duck_bpe_train_sql); the classic-corpus pytest additionally pins it
     against an independent pure-Python reference implementation."""
     from ..operators.bpe import bpe_merges_df, bpe_train
 

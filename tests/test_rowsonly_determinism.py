@@ -79,6 +79,7 @@ def test_rows_only_query_is_partition_invariant(spark, sf_dir, name):
 def test_rows_only_list_matches_expected_count():
     """The rows-only tier is intentional and bounded: every entry either
     gains an oracle eventually or stays here under twin-run coverage."""
-    # r8: graph_pagerank_trade (fixed-point integer replay) and
-    # x4_multimodal_pipeline (k-means CTE unrolling) gained oracles
-    assert len(ROWS_ONLY) == 16, ROWS_ONLY
+    # r8: graph_pagerank_trade (fixed-point integer replay),
+    # x4_multimodal_pipeline (k-means CTE unrolling), and x5_bpe_train
+    # (merge fold == sentinel-wrapped REPLACE) gained oracles
+    assert len(ROWS_ONLY) == 15, ROWS_ONLY
