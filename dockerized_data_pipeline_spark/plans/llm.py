@@ -3579,8 +3579,29 @@ def _duck_bpe_train_sql(num_merges: int = 24, min_pair_count: int = 2) -> str:
     early stop (best < min_pair_count -> empty argmax) leaves the
     segmentation unchanged and emits no merge row, exactly like the
     operator's break."""
-    d1, d2 = "\x1f", "\x1e"  # symbol open/close sentinels
-    ws = "[ \\t\\n\\x0b\\f\\r]+"  # the operator's ASCII class (bpe.py)
+    parts, _ = _duck_bpe_ctes(num_merges, min_pair_count)
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS it, l, r, total FROM b{i}" for i in range(num_merges)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY it) - 1 AS INTEGER) AS rank,
+       l AS "left", r AS "right", total AS pair_count
+FROM ({union})"""
+    )
+
+
+_BPE_D1, _BPE_D2 = "\x1f", "\x1e"  # symbol open/close sentinels
+_BPE_WS = "[ \\t\\n\\x0b\\f\\r]+"  # the operator's ASCII class (bpe.py)
+
+
+def _duck_bpe_ctes(num_merges: int, min_pair_count: int):
+    """The shared training CTE chain; returns (parts, wrap_word_sql)
+    where wrap_word_sql is a format template turning a word expression
+    into its sentinel-wrapped initial segmentation."""
+    d1, d2 = _BPE_D1, _BPE_D2
+    ws = _BPE_WS
     sym_pat = f"{d1}([^{d2}]*){d2}"
     parts = [f"""w AS MATERIALIZED (
   SELECT word, CAST(SUM(cnt) AS BIGINT) AS n FROM (
@@ -3617,15 +3638,60 @@ seg{i + 1} AS MATERIALIZED (
          END AS s
   FROM seg{i} LEFT JOIN b{i} b ON TRUE
 )""")
-    union = " UNION ALL ".join(
-        f"SELECT {i} AS it, l, r, total FROM b{i}" for i in range(num_merges)
+    wrap_word = (
+        f"'{d1}' || array_to_string("
+        f"list_transform(range(1, length({{w}}) + 1), "
+        f"i -> substring({{w}}, i, 1)), '{d2}{d1}') || '{d2}{d1}</w>{d2}'"
     )
+    return parts, wrap_word
+
+
+def _duck_bpe_tokenize_sql(num_merges: int = 24, min_pair_count: int = 2) -> str:
+    """CTE chain replaying operators/bpe.bpe_apply over the merges the
+    train chain just learned: the whole document becomes ONE
+    sentinel-wrapped symbol stream (word boundaries need no guard: a
+    learned merge's LEFT symbol can never contain '</w>' -- word-final
+    symbols have no right neighbor at train time -- so no merge matches
+    across a boundary), then the 24 merges apply IN RANK ORDER as the
+    same wrapped-REPLACE used in training.
+
+    Rank-order application equals the operator's lowest-rank-first loop:
+    a rank-r fusion can only create pairs involving its fused symbol,
+    and any merge with that symbol as a component was learned AFTER r,
+    so sweeping ranks 0..23 once never misses a lower-rank opportunity.
+    (Caveat: the argument assumes no fused STRING is derivable from two
+    different merge paths -- impossible over the fixture vocabulary; the
+    pytest additionally pins the apply loop against an independent
+    pure-Python reference.)"""
+    d1, d2 = _BPE_D1, _BPE_D2
+    parts, wrap_word = _duck_bpe_ctes(num_merges, min_pair_count)
+    parts.append(f"""t0 AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_filter(regexp_split_to_array(text, '{_BPE_WS}'),
+                       x -> x <> ''),
+           w -> {wrap_word.format(w='w')}), '') AS s
+  FROM documents
+)""")
+    for i in range(num_merges):
+        parts.append(f"""t{i + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN b.l IS NULL THEN s
+              ELSE REPLACE(s, '{d1}' || b.l || '{d2}{d1}' || b.r || '{d2}',
+                           '{d1}' || b.l || b.r || '{d2}')
+         END AS s
+  FROM t{i} LEFT JOIN b{i} b ON TRUE
+)""")
     return (
         "WITH " + ",\n".join(parts)
         + f"""
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY it) - 1 AS INTEGER) AS rank,
-       l AS "left", r AS "right", total AS pair_count
-FROM ({union})"""
+SELECT doc_id,
+       CAST(length(s) - length(REPLACE(s, '{d2}', '')) AS INTEGER)
+         AS n_tokens,
+       md5(CASE WHEN length(s) < 2 THEN ''
+                ELSE REPLACE(substring(s, 2, length(s) - 2), '{d2}{d1}', ' ')
+           END) AS tokens_md5
+FROM t{num_merges}"""
     )
 
 
@@ -3647,14 +3713,16 @@ def x5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(spark, bpe_train(docs, num_merges=24))
 
 
-@query("x5_bpe_tokenize")
+@query("x5_bpe_tokenize", oracle=_duck_bpe_tokenize_sql(24))
 def x5_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the BPE merges learned from it: per doc,
     the subword token count and the md5 of the token stream (any rank or
     fusion bug changes the hash). Ranks broadcast as a closure literal;
     the Arrow tokenizer memoizes per distinct word, so cost tracks
     vocabulary, not tokens. The end-to-end tokenizer-training shape a
-    training-data pipeline runs before packing (cf. x8_pack_sequences)."""
+    training-data pipeline runs before packing (cf. x8_pack_sequences).
+    Hash-matched (r8, was rows-only): train chain + rank-order
+    wrapped-REPLACE apply chain (_duck_bpe_tokenize_sql)."""
     from ..operators.bpe import bpe_apply, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")

@@ -79,10 +79,21 @@ def x4_resize_fit_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media_from_documents(docs))
 
 
-@query("x4_feature_extract")
+@query(
+    "x4_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           list_transform(range(0, 8), i ->
+             CAST((strlen(text) * 31 + i * 7) % 1000 AS DOUBLE) / 1000.0)
+             AS feature
+    FROM documents
+    """,
+)
 def x4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature vectors from blobs (rows-only: array output feeds the
-    similarity operators)."""
+    """Feature vectors from blobs. Hash-matched (r8, was rows-only): the
+    extractor arithmetic is integer mod + one exact double division, and
+    list-typed outputs compare fine under the multiset harness -- both
+    engines surface plain Python lists."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(media_from_documents(docs))
 

@@ -79,7 +79,12 @@ def test_rows_only_query_is_partition_invariant(spark, sf_dir, name):
 def test_rows_only_list_matches_expected_count():
     """The rows-only tier is intentional and bounded: every entry either
     gains an oracle eventually or stays here under twin-run coverage."""
-    # r8: graph_pagerank_trade (fixed-point integer replay),
-    # x4_multimodal_pipeline (k-means CTE unrolling), and x5_bpe_train
-    # (merge fold == sentinel-wrapped REPLACE) gained oracles
-    assert len(ROWS_ONLY) == 15, ROWS_ONLY
+    # r8 conversions: graph_pagerank_trade (fixed-point integer replay),
+    # x4_multimodal_pipeline (k-means CTE unrolling), x5_bpe_train +
+    # x5_bpe_tokenize (merge fold == sentinel-wrapped REPLACE), and
+    # x4_feature_extract (list outputs compare fine) gained oracles.
+    # What remains: 4 sketches (engine-specific HLL/KLL/CMS internals),
+    # 7 xxhash64-keyed near-dup paths, logreg sigmoid (libm), and the
+    # x3 cosine collapse twins of the hash paths -- each justified in
+    # its query docstring.
+    assert len(ROWS_ONLY) == 13, ROWS_ONLY
