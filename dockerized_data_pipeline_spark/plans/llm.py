@@ -643,38 +643,68 @@ def x3_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x2_neardup_collapse")
+def _neardup_collapse_oracle() -> str:
+    from .duckhash import neardup_collapse_sql
+
+    return neardup_collapse_sql()
+
+
+@query("x2_neardup_collapse", oracle=_neardup_collapse_oracle())
 def x2_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup flow: LSH candidate pairs -> EXACT n-gram
     Jaccard verification restricted to the candidate set -> connected-
-    component clusters -> keep one canonical doc per cluster (rows-only:
-    LSH is engine-side). Clustering runs on verified pairs only, so an
-    LSH false positive can never merge two genuinely-distinct documents.
-    Returns the surviving corpus ids."""
+    component clusters -> keep one canonical doc per cluster. Clustering
+    runs on verified pairs only, so an LSH false positive can never
+    merge two genuinely-distinct documents. Returns the surviving corpus
+    ids. Hash-matched (r8, was rows-only): XXH64-in-SQL candidates +
+    list_intersect Jaccard + RECURSIVE min-id closure
+    (plans/duckhash.py::neardup_collapse_sql)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = DD.verified_neardup_pairs(docs, "doc_id", "text")
     return DD.collapse_neardups(docs, pairs).select("doc_id", "lang", "source")
 
 
-@query("x2_simhash_signatures")
+def _simhash_oracles() -> tuple[str, str]:
+    from .duckhash import simhash_pairs_sql, simhash_signatures_sql
+
+    return simhash_signatures_sql(), simhash_pairs_sql(3)
+
+
+_SIMHASH_SIG_ORACLE, _SIMHASH_PAIRS_ORACLE = _simhash_oracles()
+
+
+@query("x2_simhash_signatures", oracle=_SIMHASH_SIG_ORACLE)
 def x2_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-matched (r8, was rows-only): the 64 majority bit-votes over
+    per-token XXH64 replay in DuckDB via plans/duckhash.py."""
     return DD.simhash_signatures(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("x2_simhash_neardup_pairs")
+@query("x2_simhash_neardup_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole banding (guaranteed recall at
-    hamming <= 3; rows-only: the signature hash is engine-side)."""
+    hamming <= 3). Hash-matched (r8, was rows-only): signature, banding,
+    and the bit_count(xor) hamming filter all replay in DuckDB."""
     return DD.simhash_neardup_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
 
 
-@query("x2_minhash_neardup_pairs")
+def _minhash_pairs_oracle() -> str:
+    from .duckhash import minhash_pairs_sql
+
+    return minhash_pairs_sql()
+
+
+@query("x2_minhash_neardup_pairs", oracle=_minhash_pairs_oracle())
 def x2_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native banding MinHash-LSH (deterministic xxhash64; the ml-backed
     variant operators.dedup.minhash_neardup_pairs is the API-compatible
-    alternative)."""
+    alternative). Hash-matched (r8, was rows-only as "xxhash64 has no
+    DuckDB equivalent"): plans/duckhash.py replays Spark's XXH64 in
+    generated SQL -- token hash, shingle fold, 16-way seed-mix
+    signatures, banding, and the agreement estimate all reproduce
+    bit-for-bit (pinned by tests/test_duckhash.py)."""
     return DD.minhash_neardup_pairs_native(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
@@ -2324,10 +2354,17 @@ def _persisted_corpus_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x2_incremental_neardup")
+def _incremental_pairs_oracle() -> str:
+    from .duckhash import incremental_pairs_sql
+
+    return incremental_pairs_sql()
+
+
+@query("x2_incremental_neardup", oracle=_incremental_pairs_oracle())
 def x2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup detection (rows-only; minhash has no SQL
-    oracle): treat doc_id % 10 == 0 as today's arriving batch and the rest
+    """Incremental near-dup detection (hash-matched r8 via the
+    XXH64-in-SQL replay, plans/duckhash.py::incremental_pairs_sql):
+    treat doc_id % 10 == 0 as today's arriving batch and the rest
     as the already-indexed corpus, then find every near-dup pair TOUCHING
     the batch by probing the corpus's PERSISTED MinHash signature index --
     corpus text is never re-read and corpus-corpus pairs are never
@@ -2447,18 +2484,25 @@ def x3_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, row[0], k=10)
 
 
-@query("x7_corpus_prep_neardup")
+def _corpus_prep_neardup_oracle() -> str:
+    from .duckhash import corpus_prep_neardup_sql
+
+    return corpus_prep_neardup_sql().replace("{stop_sql}", _STOP_SQL)
+
+
+@query("x7_corpus_prep_neardup", oracle=_corpus_prep_neardup_oracle())
 def x7_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone corpus pipeline with NEAR-dup collapse (rows-only:
-    minhash banding has no SQL oracle; every stage is individually
-    oracled/tested elsewhere): quality gates -> repetition gate -> language
-    allowlist -> exact dedup -> MinHash-LSH candidates -> exact-Jaccard
-    verification -> connected-component collapse (keep min id) ->
-    deterministic md5 split -> per-(lang, split) stats. This is
-    x7_corpus_prep_full upgraded from exact-only to fuzzy dedup -- the
-    pipeline a 100 TB pretraining corpus actually runs. Collapse cost
-    tracks duplicate density (banded candidates, pairwise verification),
-    never n^2."""
+    """The capstone corpus pipeline with NEAR-dup collapse: quality gates
+    -> repetition gate -> language allowlist -> exact dedup ->
+    MinHash-LSH candidates -> exact-Jaccard verification -> connected-
+    component collapse (keep min id) -> deterministic md5 split ->
+    per-(lang, split) stats. This is x7_corpus_prep_full upgraded from
+    exact-only to fuzzy dedup -- the pipeline a 100 TB pretraining
+    corpus actually runs. Collapse cost tracks duplicate density (banded
+    candidates, pairwise verification), never n^2. Hash-matched (r8, was
+    the last unverified x7 stage): the XXH64-in-SQL MinHash collapse
+    replays over the gated survivors in one DuckDB statement
+    (plans/duckhash.py::corpus_prep_neardup_sql)."""
     from ..operators.quality import repetition_metrics
 
     d = load_table(spark, sf_dir, "documents")

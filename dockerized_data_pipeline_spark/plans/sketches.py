@@ -45,13 +45,54 @@ def sketch_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_count_min_freq")
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    """Replays the CMS build + probe in DuckDB using the XXH64-in-SQL
+    machinery (plans/duckhash.py): bucket_i = xxhash64(key, i) mod width
+    -- Spark's pmod of the signed hash equals the unsigned value's mod
+    because 2^64 is a multiple of the width. Hashing runs per DISTINCT
+    key (the sketch and the probes both derive from the same 5
+    priorities), then the cell counts weight by the exact frequencies."""
+    from . import duckhash as DH
+
+    s = DH.Steps("c")
+    hh = DH.xxh64_ascii(s, "k", DH.SEED42)
+    mixed = DH.xxh64_int_batch(s, [str(i) for i in range(depth)], hh)
+    buckets = ", ".join(
+        f"({m}) % {DH._c(width)} AS b{i}" for i, m in enumerate(mixed)
+    )
+    inner = s.nest(
+        "SELECT o_orderpriority AS k, COUNT(*) AS n FROM orders GROUP BY 1"
+    )
+    cell_union = " UNION ALL ".join(
+        f"SELECT {i} AS seed, b{i} AS bucket, n FROM hk" for i in range(depth)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT k, n, {i} AS seed, b{i} AS bucket FROM hk"
+        for i in range(depth)
+    )
+    return f"""
+WITH hk AS MATERIALIZED (
+  SELECT k, n, {buckets} FROM ({inner})
+),
+sketch AS (
+  SELECT seed, bucket, SUM(n) AS cnt FROM ({cell_union}) GROUP BY 1, 2
+)
+SELECT p.k AS o_orderpriority,
+       CAST(p.n AS BIGINT) AS exact_count,
+       CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cm_estimate
+FROM ({probe_union}) p
+LEFT JOIN sketch s ON p.seed = s.seed AND p.bucket = s.bucket
+GROUP BY p.k, p.n"""
+
+
+@query("sketch_count_min_freq", oracle=_cms_oracle())
 def sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates (operators/cms.py) for each order
     priority, with the exact count riding along so the sketch is
     self-validating (test asserts estimate >= exact and the CMS
-    overcount bound). Deterministic: fixed xxhash64 seeds -- rows-only
-    (xxhash64 has no DuckDB counterpart)."""
+    overcount bound). Deterministic: fixed xxhash64 seeds. Hash-matched
+    (r8, was rows-only): the XXH64 bucket assignment replays in DuckDB
+    (plans/duckhash.py)."""
     o = load_table(spark, sf_dir, "orders")
     exact = o.groupBy("o_orderpriority").agg(F.count("*").alias("exact_count"))
     return cms.count_min_estimates(

@@ -81,10 +81,13 @@ def test_rows_only_list_matches_expected_count():
     gains an oracle eventually or stays here under twin-run coverage."""
     # r8 conversions: graph_pagerank_trade (fixed-point integer replay),
     # x4_multimodal_pipeline (k-means CTE unrolling), x5_bpe_train +
-    # x5_bpe_tokenize (merge fold == sentinel-wrapped REPLACE), and
-    # x4_feature_extract (list outputs compare fine) gained oracles.
-    # What remains: 4 sketches (engine-specific HLL/KLL/CMS internals),
-    # 7 xxhash64-keyed near-dup paths, logreg sigmoid (libm), and the
-    # x3 cosine collapse twins of the hash paths -- each justified in
-    # its query docstring.
-    assert len(ROWS_ONLY) == 13, ROWS_ONLY
+    # x5_bpe_tokenize (merge fold == sentinel-wrapped REPLACE),
+    # x4_feature_extract (list outputs compare fine), and the SEVEN
+    # xxhash64-keyed paths (minhash pairs/incremental, simhash
+    # signatures/pairs, neardup collapse, the x7 neardup capstone, CMS)
+    # via the XXH64-in-SQL replay (plans/duckhash.py). What remains, each
+    # justified in its query docstring: 3 engine-internal sketches
+    # (HLL++/GK/DataSketches binaries), 2 Spark-ML MinHashLSH consumers
+    # (seeded perm family is library-internal), and the logreg
+    # quality classifier (libm sigmoid is not correctly-rounded).
+    assert len(ROWS_ONLY) == 6, ROWS_ONLY
