@@ -298,13 +298,19 @@ def _token_hash_cte(src: str = "documents") -> str:
     (consecutive spaces hash '' like Spark does)."""
     s = Steps("t")
     th = xxh64_ascii(s, "tok", SEED42)
-    base = f"""
-    SELECT doc_id AS doc, len(ts) AS ntok,
-           unnest(range(1, len(ts) + 1)) AS pos,
-           unnest(ts) AS tok
-    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM {src})
-    """
-    return f"SELECT doc, pos, ntok, {th} AS th FROM ({s.nest(base)})"
+    # hash DISTINCT token strings only, then join back: natural-language
+    # vocabularies are tiny next to token counts (the fixture corpus has
+    # ~30 distinct words under 2M token positions), so the hash chain
+    # runs per WORD TYPE, not per occurrence
+    hashed = f"SELECT tok, {th} AS th FROM ({s.nest('SELECT DISTINCT unnest(string_split(text, chr(32))) AS tok FROM ' + src)})"
+    return f"""
+    SELECT p.doc, p.pos, p.ntok, h.th
+    FROM (
+      SELECT doc_id AS doc, len(ts) AS ntok,
+             unnest(range(1, len(ts) + 1)) AS pos,
+             unnest(ts) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM {src})
+    ) p JOIN ({hashed}) h ON p.tok = h.tok"""
 
 
 def _shingle_hash_cte(n: int = 3) -> str:
@@ -334,11 +340,17 @@ def _signature_cte(num_hashes: int = 16) -> str:
     s = Steps("m")
     hh = xxh64_long(s, "sh", SEED42)
     mixed = xxh64_int_batch(s, [str(i) for i in range(num_hashes)], hh)
-    inner = s.nest("SELECT doc, sh FROM shing")
-    mins = ", ".join(
-        f"MIN({i64_of_u64(e)}) AS mh{i}" for i, e in enumerate(mixed)
+    # the k mixes depend only on the shingle hash: compute per GLOBALLY
+    # DISTINCT sh, then join back to (doc, sh) for the per-doc mins
+    inner = s.nest("SELECT DISTINCT sh FROM shing")
+    mcols = ", ".join(
+        f"{i64_of_u64(e)} AS m{i}" for i, e in enumerate(mixed)
     )
-    return f"SELECT doc, {mins} FROM ({inner}) GROUP BY doc"
+    mins = ", ".join(f"MIN(x.m{i}) AS mh{i}" for i in range(num_hashes))
+    return f"""
+    SELECT g.doc, {mins}
+    FROM shing g JOIN (SELECT sh, {mcols} FROM ({inner})) x ON g.sh = x.sh
+    GROUP BY g.doc"""
 
 
 def _banded_cte(bands: int = 8, rows_per_band: int = 2) -> str:
@@ -368,10 +380,17 @@ def _simhash_value_cte() -> str:
     of the signature is 1 iff the vote is positive)."""
     s = Steps("sh")
     th = xxh64_ascii(s, "tok", SEED42)
-    inner = s.nest(
-        "SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS tok "
+    # hash distinct TOKEN STRINGS once, join back to distinct (doc, tok)
+    hashed = s.nest(
+        "SELECT DISTINCT unnest(string_split(text, chr(32))) AS tok "
         "FROM documents"
     )
+    inner = f"""
+    SELECT dt.doc, h.hu FROM (
+      SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ) dt JOIN (SELECT tok, {th} AS hu FROM ({hashed})) h ON dt.tok = h.tok
+    """
     # bit tests on the SIGNED value with native BIGINT & (UBIGINT
     # division by 2^i constants measured ~5x slower); bit 63 is the sign
     votes = ", ".join(
@@ -389,7 +408,7 @@ def _simhash_value_cte() -> str:
     return f"""
     SELECT doc, {i64_of_u64(f'({mask_sum})')} AS simhash FROM (
       SELECT doc, {votes}
-      FROM (SELECT doc, {i64_of_u64(th)} AS hi FROM ({inner}))
+      FROM (SELECT doc, {i64_of_u64("hu")} AS hi FROM ({inner}))
       GROUP BY doc
     )"""
 
