@@ -629,15 +629,25 @@ def x3_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, _probe_vector(spark, sf_dir), cents, k=10, n_probe=3)
 
 
-@query("x3_lsh_neardup_pairs")
+def _brp_pairs_oracle() -> str:
+    from .mllsh import brp_pairs_sql
+
+    return brp_pairs_sql(0.9)
+
+
+@query("x3_lsh_neardup_pairs", oracle=_brp_pairs_oracle())
 def x3_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE scale path for embedding near-dup pairs: random-projection LSH
     bucket join (operators/similarity.py lsh_neardup_pairs) -- candidate
-    cost tracks bucket density, not n^2. Rows-only: the hash bucketing is
-    engine-side; x3_cosine_neardup_pairs above is the exact quadratic
-    VERIFICATION BASELINE, and tests/test_llm_ops.py asserts planted-
-    neighbor recall against it. Euclidean threshold 0.9 on unit vectors
-    ~= cosine 0.60 (the baseline's threshold: cos = 1 - d^2/2)."""
+    cost tracks bucket density, not n^2. Hash-matched (r8, was rows-only
+    as "Spark-ML internals"): the model's random unit vectors are a pure
+    function of (seed, dim, numHashTables), frozen as literals in
+    plans/mllsh.py and pinned by tests/test_mllsh.py; normalization,
+    bucketing, and the strict euclidean re-distance replay in DuckDB.
+    x3_cosine_neardup_pairs above is the exact quadratic VERIFICATION
+    BASELINE, and tests/test_llm_ops.py asserts planted-neighbor recall
+    against it. Euclidean threshold 0.9 on unit vectors ~= cosine 0.60
+    (the baseline's threshold: cos = 1 - d^2/2)."""
     return SIM.lsh_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold_euclidean=0.9
     )
@@ -900,13 +910,20 @@ def x5_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("x3_neardup_collapse")
+def _brp_collapse_oracle() -> str:
+    from .mllsh import brp_collapse_sql
+
+    return brp_collapse_sql(0.9, 0.5)
+
+
+@query("x3_neardup_collapse", oracle=_brp_collapse_oracle())
 def x3_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full embedding near-dup dedup flow, mirroring x2_neardup_collapse:
     LSH candidate pairs -> EXACT cosine verification on candidates only ->
-    connected-component clusters -> keep the minimum vec_id per cluster
-    (rows-only: LSH candidate generation is engine-side; the verification
-    guarantees no false merge). Returns the surviving vectors."""
+    connected-component clusters -> keep the minimum vec_id per cluster.
+    Returns the surviving vectors. Hash-matched (r8): frozen-constant
+    BRP-LSH candidates + exact cosine + RECURSIVE closure
+    (plans/mllsh.py::brp_collapse_sql)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = SIM.verified_cosine_pairs(emb, threshold=0.9).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

@@ -85,9 +85,10 @@ def test_rows_only_list_matches_expected_count():
     # x4_feature_extract (list outputs compare fine), and the SEVEN
     # xxhash64-keyed paths (minhash pairs/incremental, simhash
     # signatures/pairs, neardup collapse, the x7 neardup capstone, CMS)
-    # via the XXH64-in-SQL replay (plans/duckhash.py). What remains, each
-    # justified in its query docstring: 3 engine-internal sketches
-    # (HLL++/GK/DataSketches binaries), 2 Spark-ML MinHashLSH consumers
-    # (seeded perm family is library-internal), and the logreg
-    # quality classifier (libm sigmoid is not correctly-rounded).
-    assert len(ROWS_ONLY) == 6, ROWS_ONLY
+    # via the XXH64-in-SQL replay (plans/duckhash.py); the two Spark-ML
+    # BRP-LSH consumers converted via frozen seed-42 model constants
+    # (plans/mllsh.py). What remains, each justified in its query
+    # docstring: 3 engine-internal sketches (HLL++/GK/DataSketches
+    # binaries carry no replayable closed form) and the logreg quality
+    # classifier (libm sigmoid is not correctly-rounded).
+    assert len(ROWS_ONLY) == 4, ROWS_ONLY
