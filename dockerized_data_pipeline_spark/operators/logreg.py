@@ -45,6 +45,20 @@ def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def _hard_sigmoid(z: Column) -> Column:
+    """Piecewise-linear link clamp(0.5 + 0.25*z, 0, 1) built ONLY from
+    exactly-rounded IEEE-754 ops (*, +, min/max) -- no libm. Every engine
+    that implements IEEE doubles produces bit-identical values for the
+    same expression tree, so a model trained with this link (and the
+    scores it emits) can be replayed hash-exactly in DuckDB SQL, unlike
+    the libm `exp` in :func:`_sigmoid` whose last-ulp rounding is
+    implementation-defined (java.lang.Math vs C libm)."""
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + F.lit(0.25) * z))
+
+
+_LINKS = {"logistic": _sigmoid, "hard": _hard_sigmoid}
+
+
 def logreg_fit(
     df: DataFrame,
     feature_cols: list[str],
@@ -53,12 +67,20 @@ def logreg_fit(
     lr: float = 1.0,
     l2: float = 0.0,
     cache: bool = True,
+    link: str = "logistic",
 ) -> list[float]:
     """Fit weights (one per feature + trailing bias) by full-batch GD.
 
     Returns ``len(feature_cols) + 1`` floats; score new rows with
     :func:`logreg_score` using the same feature list.  ``l2`` is the
     ridge penalty (bias excluded, standard practice).
+
+    ``link="hard"`` swaps the libm sigmoid for the exactly-rounded
+    piecewise-linear :func:`_hard_sigmoid`; combined with the decimal
+    gradient sums this makes the ENTIRE training trajectory a pure
+    function of the data under IEEE-754 semantics -- replayable
+    bit-exactly in any other engine (the x5_quality_classifier oracle
+    unrolls it into a DuckDB CTE chain).
     """
     cols = [f"__f{i}" for i in range(len(feature_cols))] + ["__bias"]
     feats = df.select(
@@ -75,9 +97,10 @@ def logreg_fit(
         n = feats.count()
         if n == 0:
             raise ValueError("logreg_fit: empty input")
+        sig = _LINKS[link]
         weights = [0.0] * len(cols)
         for _ in range(iterations):
-            resid = _sigmoid(_z(weights, cols)) - F.col("__y")
+            resid = sig(_z(weights, cols)) - F.col("__y")
             grad_row = feats.select(
                 *[
                     F.sum((resid * F.col(c)).cast(_ACC)).alias(f"g{i}")
@@ -104,12 +127,14 @@ def logreg_score(
     weights: list[float],
     feature_cols: list[str],
     out_col: str = "score",
+    link: str = "logistic",
 ) -> DataFrame:
     """Append the fitted probability as ``out_col`` (double in [0,1]).
     Pure per-row expression over plan-literal weights — whole-stage
-    codegen, zero shuffle, zero Python."""
+    codegen, zero shuffle, zero Python. Use the same ``link`` the model
+    was fitted with."""
     cols = [F.col(c).cast("double") for c in feature_cols] + [F.lit(1.0)]
     z = F.lit(float(weights[0])) * cols[0]
     for w, c in zip(weights[1:], cols[1:]):
         z = z + F.lit(float(w)) * c
-    return df.withColumn(out_col, _sigmoid(z))
+    return df.withColumn(out_col, _LINKS[link](z))

@@ -2952,42 +2952,126 @@ def x8_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x5_quality_classifier")
+_LOGREG_ITERS = 40
+_LOGREG_LR = 4.0
+
+
+def _duck_logreg_sql(iterations: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) -> str:
+    """Replay operators/logreg.logreg_fit(link="hard") as one DuckDB
+    statement: the hard-sigmoid link is built only from exactly-rounded
+    IEEE ops (*, +, /, min/max), the per-row gradient terms are cast
+    double->DECIMAL(30,12) through the VARCHAR round-trip (the pinned
+    portable route, see _duck_kmeans_ctes), their SUM is exact and
+    associative, and the weight update w - lr*(g/n) repeats the trainer's
+    driver-side float math step for step. Each iteration is an (r, g, w)
+    CTE triple; the final SELECT replays logreg_score + the per-source
+    agreement rollup."""
+    stop = _STOP_SQL
+    teacher = f"""FLOOR(
+      (0.5 * LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 200.0, 1.0)
+       + 0.5 * LEAST(
+           CAST(LEN(list_filter(string_split(text, ' '), t -> t IN {stop})) AS DOUBLE)
+           / GREATEST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 0.05, 1.0),
+           1.0)) * 1000000.0) >= 600000"""
+    z = "(((w0 * f0 + w1 * f1) + w2 * f2) + w3 * 1.0)"
+    score = f"GREATEST(0.0, LEAST(1.0, 0.5 + 0.25 * {z}))"
+    dec = "DECIMAL(30,12)"
+    parts = [
+        # MATERIALIZED: feats is referenced once per iteration; inlined it
+        # re-tokenizes the corpus AND re-opens the parquet 40x (EMFILE)
+        f"""feats AS MATERIALIZED (
+  SELECT source,
+         CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0 - 1.0 AS f0,
+         CAST(LEN(list_filter(string_split(text, ' '), t -> t IN {stop})) AS DOUBLE)
+           / CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 5.0 - 1.0 AS f1,
+         CAST(n_chars AS DOUBLE) / 1000.0 - 0.5 AS f2,
+         CASE WHEN {teacher} THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)""",
+        "nn AS (SELECT COUNT(*) AS n FROM feats)",
+        "w0_ AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for t in range(iterations):
+        parts.append(f"""r{t} AS (
+  SELECT f0, f1, f2, {score} - y AS resid
+  FROM feats CROSS JOIN w{t}_)""")
+        sums = ", ".join(
+            f"SUM(CAST(CAST(resid * {fj} AS VARCHAR) AS {dec})) AS g{j}"
+            for j, fj in enumerate(["f0", "f1", "f2", "1.0"])
+        )
+        parts.append(f"g{t} AS (SELECT {sums} FROM r{t})")
+        upd = ", ".join(
+            f"w{j} - {lr!r} * (CAST(CAST(g{j} AS VARCHAR) AS DOUBLE) / n) AS w{j}"
+            for j in range(4)
+        )
+        # MATERIALIZED: w{t}_ is referenced twice (r{t} and w{t+1}_);
+        # plain CTEs inline by substitution, doubling the expression tree
+        # per iteration -- 2^iterations planner blowup
+        parts.append(
+            f"w{t + 1}_ AS MATERIALIZED "
+            f"(SELECT {upd} FROM w{t}_ CROSS JOIN g{t} CROSS JOIN nn)"
+        )
+    return f"""
+WITH {','.join(parts)},
+scored AS (
+  SELECT source, y, {score} AS score FROM feats CROSS JOIN w{iterations}_
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_teacher_pos,
+       CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_model_pos,
+       CAST(SUM(CASE WHEN (score >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree
+FROM scored GROUP BY source
+"""
+
+
+@query("x5_quality_classifier", oracle=_duck_logreg_sql())
 def x5_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality gate: distill the heuristic quality score
     (`functions/text.py::quality_score_ppm`, a nonlinear least/greatest
-    composite) into a logistic-regression model over cheap per-doc
-    features (log token count, stopword ratio, scaled length) trained IN
-    the engine (`operators/logreg.py`: decimal gradient sums, zero RNG).
+    composite) into a linear classifier over cheap per-doc features
+    (scaled token count, stopword ratio, scaled length) trained IN the
+    engine (`operators/logreg.py`: decimal gradient sums, zero RNG).
     The real-world pattern: an expensive labeler (LLM judge, human
     ratings) labels once; a linear model over cheap features applies the
     gate at 100 TB for the cost of one codegen'd scan. Output: per-source
-    teacher/model agreement counts. Rows-only: iterative GD training is
-    not SQL-expressible; determinism is probed by the registry test."""
+    teacher/model agreement counts.
+
+    Oracled since r8 (was rows-only): with the exactly-rounded
+    hard-sigmoid link (link="hard") and transcendental-free features the
+    whole 40-iteration GD trajectory is pure IEEE + decimal arithmetic,
+    so `_duck_logreg_sql` unrolls it into a DuckDB CTE chain that
+    hash-matches end to end -- the same conversion `_duck_kmeans_ctes`
+    made for Lloyd iterations."""
     from ..operators.logreg import logreg_fit, logreg_score
 
     d = load_table(spark, sf_dir, "documents")
     # features are centered/scaled with FIXED literal constants (never
     # data-derived statistics) so training stays deterministic and the
-    # fitted model applies unchanged to new corpus batches
+    # fitted model applies unchanged to new corpus batches; every feature
+    # is transcendental-free so each per-row value is a correctly-rounded
+    # IEEE expression any engine reproduces bit-exactly
+    n_tok = TX.token_count(F.col("text")).cast("double")
+    n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS).cast("double")
     feats = d.select(
         "doc_id",
         "source",
-        (F.log1p(TX.token_count(F.col("text")).cast("double")) - F.lit(4.0)).alias(
-            "f_logtok"
-        ),
-        (TX.stopword_ratio(F.col("text")).cast("double") * F.lit(5.0) - F.lit(1.0)).alias(
-            "f_stop"
-        ),
+        (n_tok / F.lit(64.0) - F.lit(1.0)).alias("f_tok"),
+        (n_stop / n_tok * F.lit(5.0) - F.lit(1.0)).alias("f_stop"),
         (F.col("n_chars").cast("double") / F.lit(1000.0) - F.lit(0.5)).alias("f_len"),
         (TX.quality_score_ppm(F.col("text")) >= F.lit(600000))
         .cast("int")
         .alias("teacher"),
     )
     w = logreg_fit(
-        feats, ["f_logtok", "f_stop", "f_len"], "teacher", iterations=40, lr=4.0
+        feats,
+        ["f_tok", "f_stop", "f_len"],
+        "teacher",
+        iterations=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+        link="hard",
     )
-    scored = logreg_score(feats, w, ["f_logtok", "f_stop", "f_len"])
+    scored = logreg_score(feats, w, ["f_tok", "f_stop", "f_len"], link="hard")
     model_pos = (F.col("score") >= F.lit(0.5)).cast("int")
     return (
         scored.withColumn("model", model_pos)

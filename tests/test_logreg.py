@@ -67,3 +67,39 @@ def test_empty_input_raises(spark):
     df = _toy(spark).filter("id < 0")
     with pytest.raises(ValueError):
         logreg_fit(df, ["x1", "x2"], "y", iterations=1)
+
+
+def test_hard_link_separates_and_is_partition_invariant(spark):
+    """link='hard' (exactly-rounded piecewise-linear sigmoid, the
+    oracle-able trainer) still learns the separable toy problem and keeps
+    the exact partition-invariance guarantee."""
+    df = _toy(spark)
+    w = logreg_fit(df, ["x1", "x2"], "y", iterations=60, lr=2.0, link="hard")
+    scored = logreg_score(df, w, ["x1", "x2"], link="hard")
+    wrong = scored.filter(((scored.score >= 0.5).cast("int")) != scored.y).count()
+    assert wrong <= df.count() * 0.05
+    assert w[0] > 0 and w[1] > 0
+    w1 = logreg_fit(
+        df.repartition(1), ["x1", "x2"], "y", iterations=10, link="hard"
+    )
+    w7 = logreg_fit(
+        df.repartition(7), ["x1", "x2"], "y", iterations=10, link="hard"
+    )
+    assert w1 == w7
+
+
+def test_hard_link_score_is_clamped_pure_expression(spark):
+    """Hard-sigmoid scores are exact clamp(0.5 + 0.25*z, 0, 1) values and
+    the scoring plan stays shuffle- and Python-free."""
+    df = spark.createDataFrame(
+        [(0, -8.0, 0.0, 0), (1, 8.0, 0.0, 1), (2, 1.0, 0.0, 1)],
+        "id long, x1 double, x2 double, y int",
+    )
+    scored = logreg_score(df, [1.0, 0.0, 0.0], ["x1", "x2"], link="hard")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r.id: r.score for r in scored.collect()}
+    assert got[0] == 0.0  # saturated low
+    assert got[1] == 1.0  # saturated high
+    assert got[2] == 0.5 + 0.25 * 1.0  # exact, not approx: IEEE-only ops

@@ -87,8 +87,9 @@ def test_rows_only_list_matches_expected_count():
     # signatures/pairs, neardup collapse, the x7 neardup capstone, CMS)
     # via the XXH64-in-SQL replay (plans/duckhash.py); the two Spark-ML
     # BRP-LSH consumers converted via frozen seed-42 model constants
-    # (plans/mllsh.py). What remains, each justified in its query
-    # docstring: 3 engine-internal sketches (HLL++/GK/DataSketches
-    # binaries carry no replayable closed form) and the logreg quality
-    # classifier (libm sigmoid is not correctly-rounded).
-    assert len(ROWS_ONLY) == 4, ROWS_ONLY
+    # (plans/mllsh.py); the logreg quality classifier via the
+    # exactly-rounded hard-sigmoid link (IEEE-only training trajectory,
+    # unrolled by plans/llm._duck_logreg_sql). What remains, each
+    # justified in its query docstring: 3 engine-internal sketches
+    # (HLL++/GK/DataSketches binaries carry no replayable closed form).
+    assert len(ROWS_ONLY) == 3, ROWS_ONLY
