@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import cms
+from ..operators import cms, hll
 from .registry import query
 
 
@@ -98,6 +98,159 @@ def sketch_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms.count_min_estimates(
         o, "o_orderpriority", exact, depth=4, width=256
     ).select("o_orderpriority", "exact_count", "cm_estimate")
+
+
+def _hll_oracle() -> str:
+    """Replays operators/hll.py in DuckDB: xxhash64 of each distinct
+    (status, custkey) via the XXH64-in-SQL machinery, register index =
+    unsigned hash mod 256 (== Spark's pmod of the signed hash), rank =
+    1 + trailing zeros of hash >> 8 by the same 6-step binary search,
+    exact HUGEINT harmonic sum, one double division at the end."""
+    from . import duckhash as DH
+
+    s = DH.Steps("h")
+    u = DH.xxh64_long(s, DH.u64_of_i64("k"), DH.SEED42)
+    v = s.add(f"({u}) // {DH._c(hll.M)}")
+    r_names = []
+    for k in (32, 16, 8, 4, 2, 1):
+        m = DH._c(1 << k)
+        cond = f"({v}) % {m} = 0"
+        rk, v = s.add_level(
+            [
+                f"CASE WHEN {cond} THEN {k} ELSE 0 END",
+                f"CASE WHEN {cond} THEN ({v}) // {m} ELSE ({v}) END",
+            ]
+        )
+        r_names.append(rk)
+    rho = "1 + " + " + ".join(r_names)
+    inner = s.nest("SELECT DISTINCT o_orderstatus AS g, o_custkey AS k FROM orders")
+    pow_list = "[" + ", ".join(f"'{p}'" for p in hll.POW2) + "]"
+    lc_list = "[" + ", ".join(hll.LINEAR) + "]"
+    two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    return f"""
+WITH hk AS MATERIALIZED (
+  SELECT g, ({u}) % {DH._c(hll.M)} AS reg_idx, {rho} AS rho FROM ({inner})
+),
+regs AS (SELECT g, reg_idx, MAX(rho) AS reg FROM hk GROUP BY 1, 2),
+den AS (
+  SELECT g, SUM(CAST(list_extract({pow_list}, reg) AS HUGEINT)) AS sum_term,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY g
+),
+est AS (
+  SELECT g, {hll.M} - n_regs AS n_zero,
+         {hll.NUM!r} / CAST(CAST(
+           sum_term + ({hll.M} - n_regs) * {two64} AS VARCHAR) AS DOUBLE) AS raw
+  FROM den
+),
+ex AS (SELECT o_orderstatus AS g, COUNT(DISTINCT o_custkey) AS exact_customers
+       FROM orders GROUP BY 1)
+SELECT e.g AS o_orderstatus,
+       CASE WHEN n_zero > 0 AND raw <= {hll.LC_THRESHOLD!r}
+            THEN CAST(list_extract({lc_list}, n_zero) AS BIGINT)
+            ELSE CAST(FLOOR(raw) AS BIGINT) END AS approx_customers,
+       CAST(n_zero AS BIGINT) AS n_zero_regs,
+       CAST(exact_customers AS BIGINT) AS exact_customers
+FROM est e JOIN ex ON e.g = ex.g"""
+
+
+@query("sketch_hll_portable", oracle=_hll_oracle())
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct customers per order status via the PORTABLE
+    HyperLogLog (operators/hll.py): xxhash64 registers, exact-decimal
+    harmonic sum, no engine sketch binary -- so unlike
+    sketch_approx_distinct (HLL++, rows-only by necessity) this one
+    hash-matches a DuckDB replay end to end. Exact distinct rides along
+    as the self-validation column; tests assert the 1.04/sqrt(256)
+    error envelope and register mergeability."""
+    o = load_table(spark, sf_dir, "orders")
+    est = hll.hll_distinct(o, "o_custkey", ["o_orderstatus"])
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("approx_distinct").alias("approx_customers"),
+        "n_zero_regs",
+        F.col("exact_customers").cast("bigint").alias("exact_customers"),
+    )
+
+
+_HISTO_QS = (25, 50, 75, 99)
+_HISTO_BIN = 64.0
+
+
+def _histo_oracle() -> str:
+    """Same fixed-width histogram in DuckDB: bin = FLOOR(price / 64.0)
+    (IEEE double division + floor, portable), exact integer cumulative
+    counts, and the integer cross-multiplied threshold cum*100 >= n*q
+    (== cum >= ceil(n*q/100) without any division)."""
+    edges = ", ".join(
+        f"CAST(MIN(CASE WHEN cum * 100 >= n * {q} THEN bin END) * {int(_HISTO_BIN)} "
+        f"AS BIGINT) AS p{q}_edge"
+        for q in _HISTO_QS
+    )
+    return f"""
+WITH counts AS (
+  SELECT l_returnflag, CAST(FLOOR(l_extendedprice / {_HISTO_BIN!r}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+  FROM counts
+),
+tot AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+SELECT c.l_returnflag, {edges}, CAST(n AS BIGINT) AS n
+FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+GROUP BY c.l_returnflag, n"""
+
+
+@query("sketch_histogram_percentiles", oracle=_histo_oracle())
+def sketch_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable quantile sketch: fixed-width histogram (bin = 64 price
+    units), quantile = lower edge of the first bin whose cumulative
+    count crosses ceil(n*q/100) -- compared by integer cross-
+    multiplication, no division anywhere. Unlike percentile_approx (GK
+    sketch, engine-internal), every step is exact integer/IEEE
+    arithmetic, so it oracles cross-engine; error is bounded by the bin
+    width by construction (tested against exact percentiles). At 100 TB:
+    one map-side-combined groupBy onto a bounded bin set per group, a
+    window over that tiny set, and bins merge additively across shards
+    or days."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / F.lit(_HISTO_BIN))
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    edges = [
+        (
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("bin"))
+            )
+            * int(_HISTO_BIN)
+        )
+        .cast("bigint")
+        .alias(f"p{q}_edge")
+        for q in _HISTO_QS
+    ]
+    return (
+        cum.join(tot, "l_returnflag")
+        .groupBy("l_returnflag", "n")
+        .agg(*edges)
+        .select(
+            "l_returnflag", *[f"p{q}_edge" for q in _HISTO_QS],
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
 
 
 @query("sketch_hll_mergeable_rollup")
