@@ -231,3 +231,47 @@ def test_rollup_empty_input_divergence_is_pinned(engines):
     )
     assert spark.sql(sql).count() == 0          # Spark: no rows
     assert len(con.sql(sql).fetchall()) == 1    # standard: grand total
+
+
+def test_negzero_grouping_divergence_is_pinned(engines):
+    """Found by the v4 fuzzer (seed 990001, #598): IEEE 0.0/negative is
+    -0.0. Spark's NormalizeFloatingNumbers rule canonicalizes -0.0 to
+    +0.0 in DISTINCT/GROUP BY keys over COLUMN data (plain projections
+    keep the sign; constant-folded expressions too), while DuckDB
+    surfaces the sign bit of its group representative. Pinned so a Spark
+    release that stops normalizing (or DuckDB one that starts) fails
+    here and classify_divergence gets re-examined.
+
+    Nuance the pin also records: a pure VALUES relation does NOT show
+    the divergence -- ConvertToLocalRelation evaluates the aggregate in
+    the optimizer, skipping the physical normalization -- so the pin
+    drives a real (createDataFrame-backed) hash aggregate."""
+    import math
+
+    spark, con, _ = engines
+    df = spark.createDataFrame([(0.0, -5.0)], "a double, b double")
+    plain_s = df.selectExpr("a / b AS x").collect()[0].x
+    dist_s = df.selectExpr("a / b AS x").distinct().collect()[0].x
+    assert math.copysign(1.0, plain_s) == -1.0  # projection keeps -0.0
+    assert math.copysign(1.0, dist_s) == 1.0    # DISTINCT normalizes
+    duck_base = (
+        "SELECT DISTINCT a / b AS x "
+        "FROM (VALUES (0.0::DOUBLE, -5.0::DOUBLE)) AS t(a, b)"
+    )
+    dist_d = con.sql(duck_base).fetchone()[0]
+    assert math.copysign(1.0, dist_d) == -1.0   # DuckDB keeps the sign
+
+
+def test_scrub_zero_sign_classifier_unit():
+    """scrub_zero_sign equates multisets differing only in zero sign and
+    keeps genuinely different multisets apart."""
+    from collections import Counter
+
+    from fuzz_oracle import scrub_zero_sign
+
+    s = Counter({("a", "0.0", 3): 2, ("b", "1.5", 1): 1})
+    d = Counter({("a", "-0.0", 3): 2, ("b", "1.5", 1): 1})
+    assert s != d
+    assert scrub_zero_sign(s) == scrub_zero_sign(d)
+    d2 = Counter({("a", "-0.0", 3): 2, ("b", "1.6", 1): 1})
+    assert scrub_zero_sign(s) != scrub_zero_sign(d2)
