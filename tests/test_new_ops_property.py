@@ -309,3 +309,78 @@ def test_codec_parsers_reject_prefixed_garbage(spark, blob):
             parser(magic + blob)
         except (ValueError, struct.error, OverflowError, MemoryError):
             pass
+
+
+@given(
+    keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60),
+    split=st.integers(2, 5),
+)
+@_SETTINGS
+def test_hll_merge_equals_single_pass_property(spark, keys, split):
+    """For ANY key multiset and ANY partition of it into shards, the
+    max-merged shard registers must reproduce the single-pass registers
+    and estimate BIT-EXACTLY (commutative max + exact decimal harmonic
+    sum). This is the property that makes incremental / sharded HLL
+    maintenance sound at scale."""
+    from pyspark.sql import functions as F
+
+    from dockerized_data_pipeline_spark.operators import hll
+
+    df = spark.createDataFrame([("g", k) for k in keys], "g string, k long")
+    full = {tuple(r) for r in hll.hll_distinct(df, "k", ["g"]).collect()}
+    shards = [
+        hll.hll_registers(
+            df.filter(F.pmod(F.col("k"), F.lit(split)) == i), "k", ["g"]
+        )
+        for i in range(split)
+    ]
+    merged_regs = shards[0]
+    for s in shards[1:]:
+        merged_regs = merged_regs.unionByName(s)
+    merged_regs = merged_regs.groupBy("g", "reg_idx").agg(
+        F.max("reg").alias("reg")
+    )
+    merged = {tuple(r) for r in hll.hll_estimate(merged_regs, ["g"]).collect()}
+    assert merged == full
+
+
+@given(
+    prices=st.lists(
+        st.floats(0.01, 5000.0, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=80,
+    )
+)
+@_SETTINGS
+def test_histogram_rank_bracket_property(spark, prices):
+    """For ANY price list, each histogram-quantile edge must bracket the
+    rank-ceil(n*q/100) order statistic: fewer than rank values strictly
+    below the bin, at least rank values below its upper edge -- checked
+    against a pure-Python recount."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(p,) for p in prices], "l_extendedprice double")
+    counts = df.groupBy(
+        F.floor(F.col("l_extendedprice") / F.lit(64.0)).cast("bigint").alias("bin")
+    ).agg(F.count("*").alias("c"))
+    cum = counts.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("bin"))
+    )
+    n = len(prices)
+    edges = cum.select(
+        *[
+            (F.min(F.when(F.col("cum") * 100 >= n * q, F.col("bin"))) * 64)
+            .cast("bigint")
+            .alias(f"p{q}")
+            for q in (25, 50, 75, 99)
+        ]
+    ).collect()[0]
+    for q in (25, 50, 75, 99):
+        rank = math.ceil(n * q / 100)
+        edge = edges[f"p{q}"]
+        below = sum(1 for p in prices if p < edge)
+        upto = sum(1 for p in prices if p < edge + 64)
+        assert below < rank <= upto, (q, edge, below, rank, upto)
