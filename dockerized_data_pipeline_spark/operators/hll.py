@@ -75,8 +75,15 @@ def rho(v: Column) -> Column:
 def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
     """(group_cols..., reg_idx, reg): the max-rank register table, at most
     ``M`` rows per group (absent registers mean rank 0). Mergeable: union
-    two register tables and re-aggregate max."""
+    two register tables and re-aggregate max.
+
+    NULL keys are excluded -- COUNT(DISTINCT) semantics, and required for
+    the cross-engine oracle: Spark's xxhash64(NULL) returns the seed (a
+    real register hit) while a NULL-propagating SQL replay drops the row;
+    filtering makes both engines agree AND keeps the estimate comparable
+    to the exact countDistinct it validates against."""
     h = F.xxhash64(F.col(key_col))
+    df = df.filter(F.col(key_col).isNotNull())
     return (
         df.select(
             *group_cols,

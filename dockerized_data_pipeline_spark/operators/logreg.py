@@ -47,13 +47,20 @@ def _sigmoid(z: Column) -> Column:
 
 def _hard_sigmoid(z: Column) -> Column:
     """Piecewise-linear link clamp(0.5 + 0.25*z, 0, 1) built ONLY from
-    exactly-rounded IEEE-754 ops (*, +, min/max) -- no libm. Every engine
-    that implements IEEE doubles produces bit-identical values for the
-    same expression tree, so a model trained with this link (and the
+    exactly-rounded IEEE-754 ops (*, +, comparisons) -- no libm. Every
+    engine that implements IEEE doubles produces bit-identical values for
+    the same expression tree, so a model trained with this link (and the
     scores it emits) can be replayed hash-exactly in DuckDB SQL, unlike
     the libm `exp` in :func:`_sigmoid` whose last-ulp rounding is
-    implementation-defined (java.lang.Math vs C libm)."""
-    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(0.5) + F.lit(0.25) * z))
+    implementation-defined (java.lang.Math vs C libm).
+
+    Clamping is a CASE chain, NOT least/greatest: Spark's least/greatest
+    SKIP nulls, which would score a row with a missing feature as a
+    confident 1.0; the CASE chain NULL-propagates exactly like
+    :func:`_sigmoid` (both WHEN predicates are NULL -> falsy -> ELSE
+    returns the NULL), and DuckDB CASE matches."""
+    c = F.lit(0.5) + F.lit(0.25) * z
+    return F.when(c < 0.0, F.lit(0.0)).when(c > 1.0, F.lit(1.0)).otherwise(c)
 
 
 _LINKS = {"logistic": _sigmoid, "hard": _hard_sigmoid}

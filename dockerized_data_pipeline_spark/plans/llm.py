@@ -2974,18 +2974,30 @@ def _duck_logreg_sql(iterations: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) ->
            / GREATEST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 0.05, 1.0),
            1.0)) * 1000000.0) >= 600000"""
     z = "(((w0 * f0 + w1 * f1) + w2 * f2) + w3 * 1.0)"
-    score = f"GREATEST(0.0, LEAST(1.0, 0.5 + 0.25 * {z}))"
+    # CASE chain, not GREATEST/LEAST: NULL-propagates like the Spark
+    # _hard_sigmoid (a NULL z must yield a NULL score, not 1.0). The
+    # pre-clamp value c is computed ONCE in a nested subquery -- inlining
+    # it three times into the CASE tripled the polynomial work per row
+    # and the sf0.1 oracle time
+    score = "CASE WHEN c < 0.0 THEN 0.0 WHEN c > 1.0 THEN 1.0 ELSE c END"
+    c_from_feats = (
+        f"SELECT f0, f1, f2, y, 0.5 + 0.25 * {z} AS c "
+        f"FROM feats CROSS JOIN w{{t}}_"
+    )
     dec = "DECIMAL(30,12)"
     parts = [
         # MATERIALIZED: feats is referenced once per iteration; inlined it
         # re-tokenizes the corpus AND re-opens the parquet 40x (EMFILE)
+        # y: three-branch so a NULL teacher stays NULL (Spark's
+        # (quality_ppm >= lit).cast(int) is NULL for NULL text) instead
+        # of being silently trained as a negative label
         f"""feats AS MATERIALIZED (
   SELECT source,
          CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0 - 1.0 AS f0,
          CAST(LEN(list_filter(string_split(text, ' '), t -> t IN {stop})) AS DOUBLE)
            / CAST(LEN(string_split(text, ' ')) AS DOUBLE) * 5.0 - 1.0 AS f1,
          CAST(n_chars AS DOUBLE) / 1000.0 - 0.5 AS f2,
-         CASE WHEN {teacher} THEN 1.0 ELSE 0.0 END AS y
+         CASE WHEN {teacher} THEN 1.0 WHEN NOT ({teacher}) THEN 0.0 END AS y
   FROM documents)""",
         "nn AS (SELECT COUNT(*) AS n FROM feats)",
         "w0_ AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
@@ -2993,7 +3005,7 @@ def _duck_logreg_sql(iterations: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) ->
     for t in range(iterations):
         parts.append(f"""r{t} AS (
   SELECT f0, f1, f2, {score} - y AS resid
-  FROM feats CROSS JOIN w{t}_)""")
+  FROM ({c_from_feats.format(t=t)}))""")
         sums = ", ".join(
             f"SUM(CAST(CAST(resid * {fj} AS VARCHAR) AS {dec})) AS g{j}"
             for j, fj in enumerate(["f0", "f1", "f2", "1.0"])
@@ -3013,7 +3025,10 @@ def _duck_logreg_sql(iterations: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) ->
     return f"""
 WITH {','.join(parts)},
 scored AS (
-  SELECT source, y, {score} AS score FROM feats CROSS JOIN w{iterations}_
+  SELECT source, y, {score} AS score FROM (
+    SELECT source, y, 0.5 + 0.25 * {z} AS c
+    FROM feats CROSS JOIN w{iterations}_
+  )
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

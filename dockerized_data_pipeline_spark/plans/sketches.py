@@ -123,7 +123,13 @@ def _hll_oracle() -> str:
         )
         r_names.append(rk)
     rho = "1 + " + " + ".join(r_names)
-    inner = s.nest("SELECT DISTINCT o_orderstatus AS g, o_custkey AS k FROM orders")
+    # IS NOT NULL mirrors hll_registers' COUNT(DISTINCT)-style NULL-key
+    # exclusion (Spark xxhash64(NULL) = seed, SQL replay NULL-propagates
+    # -- the engines only agree when neither hashes NULL keys)
+    inner = s.nest(
+        "SELECT DISTINCT o_orderstatus AS g, o_custkey AS k FROM orders "
+        "WHERE o_custkey IS NOT NULL"
+    )
     pow_list = "[" + ", ".join(f"'{p}'" for p in hll.POW2) + "]"
     lc_list = "[" + ", ".join(hll.LINEAR) + "]"
     two64 = "CAST('18446744073709551616' AS HUGEINT)"

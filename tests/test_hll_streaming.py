@@ -44,7 +44,7 @@ def _drain(spark, src, regdir, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain timed out"
 
 
 def test_hll_streaming_registers_equal_batch(spark, tmp_path):

@@ -1034,7 +1034,11 @@ def compare(spark, con, sql: str):
     if s_ms != d_ms:
         only_s = list((s_ms - d_ms).items())[:3]
         only_d = list((d_ms - s_ms).items())[:3]
-        return {"kind": "values", "spark_only": only_s, "duck_only": only_d}
+        # full multisets ride along under private keys (stripped before
+        # any record is persisted) so classify_divergence can scrub the
+        # EXACT observed results instead of re-executing both engines
+        return {"kind": "values", "spark_only": only_s, "duck_only": only_d,
+                "_s_ms": s_ms, "_d_ms": d_ms}
     return None
 
 
@@ -1076,15 +1080,8 @@ def classify_divergence(spark, con, q, m):
     tests/test_fuzz_oracle.py::test_negzero_grouping_divergence_is_pinned."""
     import copy
 
-    if m["kind"] == "values":
-        sql = render(q)
-        try:
-            s_cols, s_rows = run_spark(spark, sql)
-            d_cols, d_rows, d_float = run_duck(con, sql)
-        except Exception:
-            return None
-        s_ms, _ = rows_multiset(s_cols, s_rows)
-        d_ms, _ = rows_multiset(d_cols, d_rows, duck=True, float_cols=d_float)
+    if m["kind"] == "values" and "_s_ms" in m:
+        s_ms, d_ms = m["_s_ms"], m["_d_ms"]
         if s_ms != d_ms and scrub_zero_sign(s_ms) == scrub_zero_sign(d_ms):
             return "negzero_grouping"
 
@@ -1247,7 +1244,8 @@ def main() -> int:
                 counts["documented_divergence"] += 1
                 rec["result"] = "documented_divergence"
                 rec["tag"] = tag
-                rec["detail"] = m
+                rec["detail"] = {k: v for k, v in m.items()
+                                 if not k.startswith("_")}
                 print(f"documented divergence #{i} [{tag}]: {sql}")
             else:
                 counts["mismatch"] += 1
@@ -1256,9 +1254,12 @@ def main() -> int:
                 small_m = compare(spark, con, small_sql)
                 rec["result"] = "MISMATCH"
                 rec["kind"] = m["kind"]
-                rec["detail"] = m
+                rec["detail"] = {k: v for k, v in m.items()
+                                 if not k.startswith("_")}
                 rec["minimal"] = small_sql
-                rec["minimal_detail"] = small_m
+                rec["minimal_detail"] = (
+                    {k: v for k, v in small_m.items() if not k.startswith("_")}
+                    if isinstance(small_m, dict) else small_m)
                 fails.append(rec)
                 path = os.path.join(corpus_dir, f"fail_seed{seed}_{i}.json")
                 with open(path, "w") as f:
