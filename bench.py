@@ -247,20 +247,44 @@ def main() -> None:
         "chunk_queries": [list(m["queries"]) for m in measured],
     }
 
-    result = {
+    # Driver contract (VERDICT r8 item 1): the driver tail-captures only the
+    # last ~2.2 KB of stdout, so the stdout line must stay COMPACT -- the r8
+    # line (queries_normalized + per-chunk probe metadata + retry diagnostics,
+    # 2.7 KB even retry-free) got truncated mid-line and the driver recorded
+    # "parsed": null. Split the output: a small driver-facing line on stdout
+    # (metric/value/unit/sf/queries/first15/drift -- ~1.2 KB), and the full
+    # diagnostics on stderr AND in BENCH_DETAIL.json next to this script
+    # (committed per round as BENCH_DETAIL_r{N}.json).
+    first15 = round(sum(timings[q] for q in HEADLINE[:15] if q in timings), 3)
+    compact = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
-        "queries_normalized": normalized,
         "sf": float(sf),
-        "calibration": cal,
+        "queries": timings,
+        "first15_total": first15,
+        "drift_pct": cal["drift_pct"],
     }
-    if retries:
-        result["chunk_retries"] = retries
     if n_files > 0:
-        result["layout_files"] = n_files
-    print(json.dumps(result))
+        compact["layout_files"] = n_files
+    line = json.dumps(compact)
+    if len(line) > 2000:  # belt-and-braces: never outgrow the tail window
+        compact.pop("queries")
+        line = json.dumps(compact)
+
+    detail = dict(compact)
+    detail["queries"] = timings
+    detail["queries_normalized"] = normalized
+    detail["calibration"] = cal
+    if retries:
+        detail["chunk_retries"] = retries
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

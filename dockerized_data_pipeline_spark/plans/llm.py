@@ -2988,9 +2988,14 @@ def _duck_logreg_sql(iterations: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) ->
     parts = [
         # MATERIALIZED: feats is referenced once per iteration; inlined it
         # re-tokenizes the corpus AND re-opens the parquet 40x (EMFILE)
-        # y: three-branch so a NULL teacher stays NULL (Spark's
-        # (quality_ppm >= lit).cast(int) is NULL for NULL text) instead
-        # of being silently trained as a negative label
+        # y: NOTE (ADVICE r8) -- NULL text does NOT yield a NULL teacher:
+        # LEAST/GREATEST *skip* NULL arguments in BOTH engines (Spark
+        # least/greatest, DuckDB LEAST -- verified on 1.0), so
+        # quality_score_ppm(NULL) collapses to 1000000 and teacher is 1.
+        # The two-branch CASE is kept only so that if a future edit makes
+        # the teacher expression genuinely NULL-able (e.g. NULL-strict
+        # clamps), y degrades to NULL on both sides instead of silently
+        # training such rows as negatives.
         f"""feats AS MATERIALIZED (
   SELECT source,
          CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 64.0 - 1.0 AS f0,

@@ -200,14 +200,15 @@ def _histo_oracle() -> str:
 WITH counts AS (
   SELECT l_returnflag, CAST(FLOOR(l_extendedprice / {_HISTO_BIN!r}) AS BIGINT) AS bin,
          COUNT(*) AS c
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT l_returnflag, bin,
          SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
   FROM counts
 ),
-tot AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+tot AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        WHERE l_extendedprice IS NOT NULL GROUP BY 1)
 SELECT c.l_returnflag, {edges}, CAST(n AS BIGINT) AS n
 FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
 GROUP BY c.l_returnflag, n"""
@@ -227,7 +228,13 @@ def sketch_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     or days."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL parity (ADVICE r8): Spark windows ORDER BY bin NULLS FIRST while
+    # DuckDB defaults NULLS LAST, and NULL-price rows would count toward n
+    # without ever landing in a bin -- filter them out on BOTH sides so the
+    # quantile edges agree engine-to-engine (tests/test_oracle_null_parity).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     counts = li.groupBy(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") / F.lit(_HISTO_BIN))

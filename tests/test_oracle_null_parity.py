@@ -69,6 +69,25 @@ def test_hll_portable_oracle_agrees_on_null_keys(spark, tmp_path):
     _assert_parity(spark, tmp_path, "sketch_hll_portable", ["orders"])
 
 
+def test_histogram_percentiles_oracle_agrees_on_null_prices(spark, tmp_path):
+    """NULL l_extendedprice rows are filtered on BOTH sides (ADVICE r8):
+    Spark's window orders the NULL bin FIRST (inflating every cumulative
+    count) while DuckDB orders it LAST, and unbinned NULL rows would
+    still count toward n -- so without the filter the quantile edges
+    diverge engine-to-engine."""
+    rows = [
+        (float(64 * (i % 13) + i % 7) if i % 4 else None,
+         "A" if i % 2 else "R")
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows, "l_extendedprice double, l_returnflag string"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    _assert_parity(
+        spark, tmp_path, "sketch_histogram_percentiles", ["lineitem"]
+    )
+
+
 def test_hard_sigmoid_score_null_propagates(spark):
     """A missing feature must yield a NULL score under link='hard',
     matching the logistic link -- not a confident 1.0."""

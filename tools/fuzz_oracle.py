@@ -1056,6 +1056,42 @@ def scrub_zero_sign(ms):
     return out
 
 
+def _negzero_direction_ok(s_ms, d_ms) -> bool:
+    """True iff the symmetric difference between the two multisets is
+    explained ONLY by Spark carrying \"+0.0\" where DuckDB carries
+    \"-0.0\" (the NormalizeFloatingNumbers direction). Pairs each
+    Spark-only tuple with a DuckDB-only tuple of identical scrubbed form
+    and requires every differing element to be spark==\"0.0\" vs
+    duck==\"-0.0\"; a -0.0 appearing on the SPARK side of a difference
+    is a new bug, not the documented divergence."""
+    import collections
+
+    only_s = s_ms - d_ms
+    only_d = d_ms - s_ms
+    by_scrub = collections.defaultdict(list)
+    for tup, n in only_d.items():
+        key = tuple("0.0" if v == "-0.0" else v for v in tup)
+        by_scrub[key].extend([tup] * n)
+    for tup, n in only_s.items():
+        key = tuple("0.0" if v == "-0.0" else v for v in tup)
+        pool = by_scrub.get(key, [])
+
+        def compatible(mate):
+            return all(
+                sv == dv or (sv == "0.0" and dv == "-0.0")
+                for sv, dv in zip(tup, mate)
+            )
+
+        for _ in range(n):
+            mate_i = next(
+                (i for i, mt in enumerate(pool) if compatible(mt)), None
+            )
+            if mate_i is None:
+                return False
+            pool.pop(mate_i)
+    return not any(pool for pool in by_scrub.values())
+
+
 def classify_divergence(spark, con, q, m):
     """Return a tag when a mismatch is a KNOWN, documented engine
     divergence rather than a bug; None otherwise.
@@ -1076,13 +1112,24 @@ def classify_divergence(spark, con, q, m):
     -0.0 == 0.0 but surfaces the sign bit of its representative. The
     two engines' results are identical up to the sign of floating zero;
     classified when scrubbing \"-0.0\" -> \"0.0\" in BOTH multisets
-    makes them equal (and they differ before scrubbing). Pinned by
+    makes them equal (and they differ before scrubbing), AND the
+    divergence has the documented DIRECTION (ADVICE r8: an origin-blind
+    scrub-equal check would silently file a genuinely new zero-sign bug
+    as documented): the query must have a dedup surface where
+    NormalizeFloatingNumbers fires (DISTINCT / GROUP BY / set op), and
+    every element-wise difference between paired tuples must be Spark
+    \"0.0\" vs DuckDB \"-0.0\" -- never the reverse. Pinned by
     tests/test_fuzz_oracle.py::test_negzero_grouping_divergence_is_pinned."""
     import copy
 
     if m["kind"] == "values" and "_s_ms" in m:
         s_ms, d_ms = m["_s_ms"], m["_d_ms"]
-        if s_ms != d_ms and scrub_zero_sign(s_ms) == scrub_zero_sign(d_ms):
+        if (
+            s_ms != d_ms
+            and scrub_zero_sign(s_ms) == scrub_zero_sign(d_ms)
+            and (q.get("group") or q.get("distinct") or q.get("setop"))
+            and _negzero_direction_ok(s_ms, d_ms)
+        ):
             return "negzero_grouping"
 
     if q.get("rollup") and m["kind"] in ("rowcount", "values"):
