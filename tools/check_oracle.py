@@ -21,6 +21,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 import sys
 import time
 import traceback
@@ -87,9 +88,11 @@ def main() -> int:
     spark = get_session("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # gen_scale tiers store each table as a DIRECTORY of part files;
+        # the driver fixtures are single files. Glob directories for duck.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -110,6 +113,7 @@ def main() -> int:
             traceback.print_exc(limit=3)
             n_fail += 1
             continue
+        s_sec = time.time() - t0
         if name not in oracles:
             if s_port:
                 print(f"FAIL  {name}: PORT spark decimal output {s_port}")
@@ -121,6 +125,7 @@ def main() -> int:
                 )
                 n_rowsonly += 1
             continue
+        t1 = time.time()
         try:
             rel = con.sql(oracles[name])
             d_cols = [c.lower() for c in rel.columns]
@@ -138,6 +143,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        d_sec = time.time() - t1
         s_ms, s_sorted_cols = rows_multiset([c.lower() for c in s_cols], s_rows)
         d_ms, d_sorted_cols = rows_multiset(
             d_cols, d_rows, duck=True, float_cols=d_float_cols
@@ -159,7 +165,13 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            # spark= / duck= split (VERDICT r8 item 4): attributes sweep
+            # wall time per engine so heavy entries can be trimmed on the
+            # right side.
+            print(
+                f"PASS  {name}: {len(s_rows)} rows "
+                f"[{time.time()-t0:.1f}s spark={s_sec:.1f}s duck={d_sec:.1f}s]"
+            )
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     return 1 if n_fail else 0
