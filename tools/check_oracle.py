@@ -87,6 +87,16 @@ def main() -> int:
 
     spark = get_session("oracle-check")
     con = duckdb.connect()
+    # Scale-tier safety (used by tools/scale_oracle.py): an unbounded
+    # DuckDB happily grows to ~80% of RAM on a heavy CTE replay (observed
+    # 106 GB at sf1), starving the Spark JVM on the same box. With a cap +
+    # temp_directory it spills instead.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if duck_mem:
+        spill = os.environ.get("SPARK_GRAFT_DUCK_TEMP", "/tmp/duck_spill")
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET memory_limit='{duck_mem}'")
+        con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         # gen_scale tiers store each table as a DIRECTORY of part files;
         # the driver fixtures are single files. Glob directories for duck.
