@@ -36,6 +36,21 @@ def literal_vector(values) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def literal_matrix(rows) -> Column:
+    """A codebook as ONE array<array<double>> literal.
+
+    Per-centroid expression loops (``F.array(*[fold(v, literal_vector(c))
+    for c in centroids])``) build k x dim plan nodes through py4j and
+    k x dim-term codegen -- a FIXED cost of several seconds per query at
+    k=32, dim=64 that dominated the semantic-dedup family's wall time at
+    every scale factor (sf0.001 and sf0.1 timed the same). A single
+    nested literal plus ``F.transform`` keeps the tree constant-size
+    while evaluating the identical IEEE arithmetic per row (verified
+    bit-equal), and the same per-row work ships to executors as one
+    small constant instead of a giant expression."""
+    return F.lit([[float(v) for v in r] for r in rows])
+
+
 def int8_quantize_stats(
     df, id_col: str = "vec_id", vec_col: str = "embedding"
 ):

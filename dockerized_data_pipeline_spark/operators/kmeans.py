@@ -47,10 +47,17 @@ def _with_assignment(df: DataFrame, vec_col: str, centroids: list[list[float]]) 
     array_position (first-occurrence = lowest-cluster-id tiebreak). A
     when-chain argmin would embed the running best expression twice per
     step -- a 2^k expression-tree blowup that took this operator from
-    ~2s to ~20s at k=8 before this shape."""
-    from ..functions.vectors import literal_vector
+    ~2s to ~20s at k=8 before this shape. The array is a ``transform``
+    over a single codebook literal (functions/vectors.literal_matrix),
+    not k separate fold expressions: same IEEE arithmetic per row
+    (bit-equal, oracle-safe), constant-size plan -- the k x dim
+    expression tree cost several seconds of py4j/codegen per iteration
+    at k=32 and dominated semantic-dedup wall time at every sf."""
+    from ..functions.vectors import literal_matrix
 
-    dists = F.array(*[_sq_dist(F.col(vec_col), literal_vector(c)) for c in centroids])
+    dists = F.transform(
+        literal_matrix(centroids), lambda c: _sq_dist(F.col(vec_col), c)
+    )
     return (
         df.withColumn("__dists", dists)
         .withColumn("sq_dist", F.array_min("__dists"))

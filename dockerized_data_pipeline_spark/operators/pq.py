@@ -59,14 +59,16 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>): per-subspace argmin centroid index. One
     scan, pure expressions, no shuffle."""
-    from ..functions.vectors import literal_vector
+    from ..functions.vectors import literal_matrix
 
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     code_cols = []
+    # transform over one codebook literal per subspace: constant-size
+    # plan, bit-identical arithmetic (see functions/vectors.literal_matrix)
     for j, cb in enumerate(codebooks):
         sub = _sub_vec(vec_col, j, d_sub)
-        dists = F.array(*[_sq_dist(sub, literal_vector(c)) for c in cb])
+        dists = F.transform(literal_matrix(cb), lambda c: _sq_dist(sub, c))
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
@@ -89,14 +91,14 @@ def pq_reconstruction_mse_ppm(
     arithmetic identical on Spark and DuckDB, so the query is
     SQL-oracle-able; a decimal AVG divides, and the two engines round
     division results at different scales in the last digit."""
-    from ..functions.vectors import literal_vector
+    from ..functions.vectors import literal_matrix
 
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     per_sub_err = []
     for j, cb in enumerate(codebooks):
         sub = _sub_vec(vec_col, j, d_sub)
-        dists = F.array(*[_sq_dist(sub, literal_vector(c)) for c in cb])
+        dists = F.transform(literal_matrix(cb), lambda c: _sq_dist(sub, c))
         per_sub_err.append(F.array_min(dists))
     total_err = per_sub_err[0]
     for e in per_sub_err[1:]:
@@ -133,7 +135,7 @@ def ivfpq_topk(
     element_at lookups summed, the table-lookup trick that makes PQ fast
     on real indexes. Exact rerank touches only ``rerank`` rows
     (TakeOrderedAndProject bounded twice). Deterministic end to end."""
-    from ..functions.vectors import cosine, literal_vector
+    from ..functions.vectors import cosine, literal_matrix, literal_vector
     from .similarity import ivf_assignments
 
     m = len(codebooks)
@@ -166,7 +168,7 @@ def ivfpq_topk(
     approx = F.lit(0.0)
     for j in range(m):
         sub = F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
-        dists = F.array(*[_sq_dist(sub, literal_vector(c)) for c in codebooks[j]])
+        dists = F.transform(literal_matrix(codebooks[j]), lambda c: _sq_dist(sub, c))
         code = F.array_position(dists, F.array_min(dists))  # 1-based
         table = F.array(*[F.lit(float(t)) for t in tables[j]])
         approx = approx + F.element_at(table, code.cast("int"))

@@ -97,9 +97,24 @@ def ivf_assignments(
     twice per step, a 2^k expression blowup (same fix as
     operators/kmeans.py).
     """
-    from ..functions.vectors import literal_vector
+    import math
 
-    sims = F.array(*[cosine(F.col(vec_col), literal_vector(c)) for c in centroids])
+    from ..functions.vectors import dot, literal_matrix, norm
+
+    # One transform over a single codebook literal instead of k separate
+    # cosine expressions: constant-size plan (see literal_matrix), same
+    # IEEE arithmetic. Per-centroid norms are computed driver-side with
+    # the same left-to-right double accumulation + IEEE sqrt the folded
+    # constant used, so every sim value stays bit-identical to the
+    # oracle's dot/(norm*norm) expression.
+    norms = [
+        math.sqrt(sum((float(x) * float(x) for x in c), 0.0)) for c in centroids
+    ]
+    sims = F.zip_with(
+        literal_matrix(centroids),
+        F.lit([float(n) for n in norms]),
+        lambda c, nc: dot(F.col(vec_col), c) / (norm(F.col(vec_col)) * nc),
+    )
     return (
         df.withColumn("__sims", sims)
         .select(
