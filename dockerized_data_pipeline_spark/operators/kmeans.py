@@ -91,8 +91,13 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Train a k x dim codebook; returns centroids ordered by cluster id.
     Empty clusters keep their previous centroid (deterministic, and the
-    content-addressed init makes them rare)."""
+    content-addressed init makes them rare). An EMPTY input returns an
+    empty codebook instead of crashing (S6 empty-input discipline --
+    found by the sf1 scale-oracle run, where a quality gate legitimately
+    filtered a whole corpus away upstream of the fit)."""
     centroids = seed_centroids(df, id_col, vec_col, k)
+    if not centroids:
+        return []
     dim = len(centroids[0])
     for _ in range(iterations):
         assigned = _with_assignment(

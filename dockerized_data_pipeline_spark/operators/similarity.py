@@ -399,6 +399,8 @@ def semantic_dedup(
     from .kmeans import kmeans_fit
 
     centroids = kmeans_fit(df, id_col, vec_col, k=k, iterations=iterations)
+    if not centroids:  # empty corpus -> nothing to dedup, nothing dropped
+        return df
     pairs = semantic_dedup_pairs(
         df, centroids, threshold, id_col, vec_col
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))

@@ -406,40 +406,48 @@ def _duck_pagerank_sql(iterations: int = 5) -> str:
     num*(x div den) + (num*(x mod den)) div den -- so each unrolled CTE
     reproduces the Spark iteration bit-for-bit (VERDICT r7 item 2: the
     previous decimal version was rows-only because Spark's DECIMAL
-    division result-scale rules are engine-specific)."""
+    division result-scale rules are engine-specific).
+
+    pairs/e/nodes/deg and every r{i}/c{i} are MATERIALIZED: DuckDB 1.0
+    inlines plain CTEs by substitution, so the 6M-row lineitem-orders
+    DISTINCT subtree was re-expanded once per reference (~15 copies
+    across 5 iterations) -- fine at sf0.1, but an 80 GB spill blowup on
+    the sf1 scale-oracle tier. Materialized, each intermediate is
+    computed exactly once (the module-wide rule from
+    plans/llm.py::_duck_kmeans_ctes)."""
     ctes = ["""
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT cust AS src, supp AS dst FROM pairs
     UNION ALL
     SELECT supp AS src, cust AS dst FROM pairs
   )
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
   )
 ),
-tel AS (
+tel AS MATERIALIZED (
   SELECT n, 15 * (scale // (100 * n)) + (15 * (scale % (100 * n))) // (100 * n) AS t,
          scale // n AS seed
   FROM (SELECT COUNT(*) AS n, CAST(1000000000000000000 AS BIGINT) AS scale
         FROM nodes)
 ),
-deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
-r0 AS (SELECT node, (SELECT seed FROM tel) AS r FROM nodes)"""]
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, (SELECT seed FROM tel) AS r FROM nodes)"""]
     for i in range(1, iterations + 1):
         ctes.append(f"""
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(r{i - 1}.r // deg.d) AS inb
   FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node JOIN deg ON e.src = deg.src
   GROUP BY e.dst
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT nodes.node,
          (SELECT t FROM tel)
          + (COALESCE(c{i}.inb, 0) // 100) * 85

@@ -485,3 +485,16 @@ def test_binary_file_source_feeds_multimodal_pipeline(spark, tmp_path):
     # ids are content-addressed on path: re-ingest is stable
     again = {r.media_id for r in media_from_binary_files(spark, str(media_dir), glob="*.img").collect()}
     assert again == {r.media_id for r in rows}
+
+
+def test_kmeans_and_semantic_dedup_tolerate_empty_corpus(spark):
+    """S6 empty-input discipline for the ML-ish operators: a quality gate
+    can legitimately filter a whole corpus away upstream (the sf1
+    scale-oracle run did exactly that), and the fit must degrade to an
+    empty codebook / identity dedup, not IndexError."""
+    from dockerized_data_pipeline_spark.operators.kmeans import kmeans_fit
+    from dockerized_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_fit(empty, "vec_id", "embedding", k=8, iterations=2) == []
+    assert semantic_dedup(empty, k=8, iterations=2).count() == 0

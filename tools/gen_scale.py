@@ -42,12 +42,21 @@ TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 ETYPES = ["click", "error", "purchase", "signup", "view"]
 LANGS = ["en", "en", "en", "en", "zh", "es", "fr", "de"]  # ~50% en
+# Mix of content words AND the engine's STOPWORDS list: without
+# stopwords every generated document fails the corpus-prep quality gate
+# (stopword-ratio >= 2%), which turned the x5/x7 pipelines into
+# empty-input no-ops at the scale tiers (and exposed the kmeans
+# empty-fit crash the sf1 scale-oracle run found). Roughly 1/4
+# stopwords matches a plausible prose ratio.
 WORDS = [
     "spark", "line", "column", "order", "batch", "part", "sort", "fast",
     "value", "scan", "query", "agg", "table", "hash", "key", "group",
     "stream", "filter", "customer", "slow", "vector", "small", "join",
     "index", "shuffle", "plan", "cache", "row",
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
 ]
+
+GEN_VERSION = 2  # bump when generated CONTENT changes (forces re-gen)
 
 
 def _h(col, salt: str):
