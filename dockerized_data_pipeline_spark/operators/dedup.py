@@ -385,6 +385,37 @@ def banded_signatures(
     ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
+def band_bucket_profile(banded: DataFrame) -> DataFrame:
+    """(bucket_size, n_buckets) histogram of an LSH band table -- the
+    skew diagnostic to run BEFORE an expensive bucket self-join. The
+    sf1 scale-oracle round found the failure mode this guards: a corpus
+    whose items concentrate into a handful of buckets turns the 'bounded
+    bucket join' quadratic (observed with near-orthogonal embeddings
+    under random-projection LSH, where every vector projects near 0).
+    Tiny output (one row per distinct bucket size); one map-side-combined
+    aggregation."""
+    return (
+        banded.groupBy("band", "sig")
+        .count()
+        .groupBy(F.col("count").alias("bucket_size"))
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+def _drop_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Remove band rows belonging to buckets larger than the cap. The
+    hot-bucket list is an aggregation on the SAME key the self-join
+    shuffles on, so co-partitioning makes the anti-join cheap; at scale
+    the hot list is tiny and broadcasts."""
+    hot = (
+        banded.groupBy("band", "sig")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "sig")
+    )
+    return banded.join(hot, ["band", "sig"], "left_anti")
+
+
 def minhash_neardup_pairs_native(
     df: DataFrame,
     id_col: str,
@@ -393,6 +424,7 @@ def minhash_neardup_pairs_native(
     bands: int = 8,
     rows_per_band: int = 2,
     min_est_jaccard_ppm: int = 300_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Spark-native MinHash-LSH near-duplicate pairs:
     shingle -> minhash signature -> band -> bucket self-join -> estimate.
@@ -407,10 +439,23 @@ def minhash_neardup_pairs_native(
     Fully deterministic (xxhash64, no seeds to manage) and shuffle-frugal:
     one shuffle for signatures, one for the bucket join.
     Returns (doc_a, doc_b, est_jaccard_ppm BIGINT).
+
+    ``max_bucket_size``: optional hot-bucket cap. The bucket join's cost
+    model assumes collisions track true duplicate density; a corpus
+    whose band signatures concentrate (boilerplate-heavy text, or any
+    degenerate hash distribution) turns it quadratic in the hottest
+    bucket. With a cap, buckets larger than ``max_bucket_size`` are
+    DROPPED from candidate generation -- a recall tradeoff, never a
+    precision one (surviving pairs still verify by signature agreement).
+    Dropping is never silent: run ``band_bucket_profile`` on the same
+    band table to see exactly how many buckets exceed the cap (the
+    x2_lsh_bucket_skew_profile query pairs the two).
     """
     num_hashes = bands * rows_per_band
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = banded_signatures(sig, bands, rows_per_band)
+    if max_bucket_size is not None:
+        banded = _drop_hot_buckets(banded, max_bucket_size)
 
     a = banded.alias("a")
     b_ = banded.alias("b")

@@ -494,24 +494,38 @@ def minhash_pairs_sql(
     rows_per_band: int = 2,
     min_est_jaccard_ppm: int = 300_000,
     src: str = "documents",
+    max_bucket_size: int | None = None,
 ) -> str:
     """Full DuckDB replay of minhash_neardup_pairs_native: token hash ->
     shingle fold -> 16-way seed-mix signature -> banded bucket self-join
     -> signature-agreement estimate. Every hash is the generated XXH64
-    above, so the output hash-matches Spark exactly."""
+    above, so the output hash-matches Spark exactly.
+    ``max_bucket_size`` replays the operator's hot-bucket cap (band rows
+    in buckets above the cap drop out before candidate generation)."""
     num_hashes = bands * rows_per_band
     matches = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
         for i in range(num_hashes)
     )
+    capped = ""
+    band_src = "banded"
+    if max_bucket_size is not None:
+        capped = f""",
+capped AS MATERIALIZED (
+  SELECT doc, band, sig FROM (
+    SELECT doc, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bs
+    FROM banded
+  ) WHERE bs <= {max_bucket_size}
+)"""
+        band_src = "capped"
     return f"""
 WITH tokh AS MATERIALIZED ({_token_hash_cte(src)}),
 shing AS MATERIALIZED ({_shingle_hash_cte(n)}),
 sig AS MATERIALIZED ({_signature_cte(num_hashes)}),
-banded AS MATERIALIZED ({_banded_cte(bands, rows_per_band)}),
+banded AS MATERIALIZED ({_banded_cte(bands, rows_per_band)}){capped},
 cand AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-  FROM banded a JOIN banded b
+  FROM {band_src} a JOIN {band_src} b
     ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
 )
 SELECT doc_a, doc_b, est_jaccard_ppm FROM (
@@ -521,6 +535,29 @@ SELECT doc_a, doc_b, est_jaccard_ppm FROM (
   FROM cand JOIN sig sa ON cand.doc_a = sa.doc
             JOIN sig sb ON cand.doc_b = sb.doc
 ) WHERE est_jaccard_ppm >= {min_est_jaccard_ppm}"""
+
+
+def bucket_profile_sql(
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket_size: int = 2,
+    src: str = "documents",
+) -> str:
+    """Oracle for x2_lsh_bucket_skew_profile: the (bucket_size,
+    n_buckets, dropped_at_cap) histogram of the banded signature table
+    -- the skew diagnostic paired with the hot-bucket cap."""
+    num_hashes = bands * rows_per_band
+    return f"""
+WITH tokh AS MATERIALIZED ({_token_hash_cte(src)}),
+shing AS MATERIALIZED ({_shingle_hash_cte(n)}),
+sig AS MATERIALIZED ({_signature_cte(num_hashes)}),
+banded AS MATERIALIZED ({_banded_cte(bands, rows_per_band)})
+SELECT CAST(bs AS BIGINT) AS bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       bs > {max_bucket_size} AS dropped_at_cap
+FROM (SELECT COUNT(*) AS bs FROM banded GROUP BY band, sig)
+GROUP BY bs ORDER BY bs"""
 
 
 def corpus_prep_neardup_sql(threshold_num: int = 3, threshold_den: int = 10) -> str:

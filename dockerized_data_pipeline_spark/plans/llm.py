@@ -720,6 +720,59 @@ def x2_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_CAP = 2  # fixture buckets top out at 3, so cap=2 exercises drops
+
+
+def _minhash_capped_oracle() -> str:
+    from .duckhash import minhash_pairs_sql
+
+    return minhash_pairs_sql(max_bucket_size=_BUCKET_CAP)
+
+
+@query("x2_minhash_pairs_bucket_capped", oracle=_minhash_capped_oracle())
+def x2_minhash_pairs_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-capped LSH variant (r9): buckets larger than
+    max_bucket_size are dropped from candidate generation BEFORE the
+    bucket self-join, bounding the join at bands * cap^2 rows per bucket
+    regardless of how degenerately the corpus hashes -- the guard for
+    the failure mode the sf1 scale-oracle run demonstrated (a
+    boilerplate-heavy or hash-degenerate corpus turns the 'bounded'
+    bucket join quadratic in the hottest bucket). A recall tradeoff,
+    never precision; the dropped buckets are first-class observable via
+    x2_lsh_bucket_skew_profile."""
+    return DD.minhash_neardup_pairs_native(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_bucket_size=_BUCKET_CAP,
+    )
+
+
+def _bucket_profile_oracle() -> str:
+    from .duckhash import bucket_profile_sql
+
+    return bucket_profile_sql(max_bucket_size=_BUCKET_CAP)
+
+
+@query("x2_lsh_bucket_skew_profile", oracle=_bucket_profile_oracle())
+def x2_lsh_bucket_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size histogram + which sizes the cap would drop (r9):
+    the 'no silent caps' companion to x2_minhash_pairs_bucket_capped.
+    One map-side-combined aggregation over the band table; output is one
+    row per distinct bucket size (control-plane sized at any corpus
+    scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(d, "doc_id", "text", 3, 16)
+    banded = DD.banded_signatures(sig, 8, 2)
+    return (
+        DD.band_bucket_profile(banded)
+        .select(
+            F.col("bucket_size").cast("bigint").alias("bucket_size"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            (F.col("bucket_size") > _BUCKET_CAP).alias("dropped_at_cap"),
+        )
+        .orderBy("bucket_size")
+    )
+
+
 # X8: deterministic content-addressed train/val/test splits. Hash-based
 # assignment (md5 of the doc id) is the split discipline a training
 # pipeline needs at 100 TB: stable under re-runs, re-partitioning, and

@@ -1536,3 +1536,45 @@ def test_jpeg_progressive_guards_and_routing(spark):
     )
     with _pytest.raises(ValueError, match="dimensions"):
         _jpeg_parse_progressive(huge)
+
+
+def test_hot_bucket_cap_bounds_boilerplate_without_losing_diverse_pairs(spark):
+    """r9 hot-bucket cap: 40 identical boilerplate docs share every LSH
+    bucket (the degenerate distribution that turns the bucket join
+    quadratic); a planted DIVERSE near-dup pair lives in its own small
+    buckets. With max_bucket_size=4 the boilerplate cross-product
+    vanishes from the candidate set while the diverse pair survives,
+    and band_bucket_profile reports exactly what was dropped."""
+    from dockerized_data_pipeline_spark.operators.dedup import (
+        band_bucket_profile,
+        banded_signatures,
+        minhash_signatures,
+    )
+
+    near = BASE.replace("green", "blue")
+    boiler = [(100 + i, "standard legal disclaimer text repeated verbatim")
+              for i in range(40)]
+    df = _docs(spark, [(1, BASE), (2, near)] + boiler)
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs_native(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in uncapped
+    assert sum(1 for a, b in uncapped if a >= 100 and b >= 100) == 40 * 39 // 2
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs_native(
+            df, "doc_id", "text", max_bucket_size=4
+        ).collect()
+    }
+    assert (1, 2) in capped                      # diverse pair survives
+    assert not any(a >= 100 for a, _ in capped)  # boilerplate blowup gone
+
+    sig = minhash_signatures(df, "doc_id", "text", 3, 16)
+    profile = {
+        r.bucket_size: r.n_buckets
+        for r in band_bucket_profile(banded_signatures(sig, 8, 2)).collect()
+    }
+    assert profile.get(40, 0) >= 8  # the 40-doc bucket appears per band
