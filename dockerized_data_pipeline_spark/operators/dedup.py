@@ -455,7 +455,14 @@ def minhash_neardup_pairs_native(
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = banded_signatures(sig, bands, rows_per_band)
     if max_bucket_size is not None:
-        banded = _drop_hot_buckets(banded, max_bucket_size)
+        # materialize the band table once: the hot-list aggregation is a
+        # THIRD consumer of the signature subtree (join sides a/b are the
+        # other two), and an un-materialized subtree re-derives the
+        # shingle explode per reference (the repo-wide self-join rule;
+        # at corpus scale the band table is the persisted index anyway)
+        banded = _drop_hot_buckets(
+            banded.localCheckpoint(eager=True), max_bucket_size
+        )
 
     a = banded.alias("a")
     b_ = banded.alias("b")
