@@ -73,13 +73,23 @@ def pagerank(
     if not 0 < frac < 1:
         raise ValueError(f"damping must be in (0, 1), got {damping!r}")
 
+    from pyspark.storagelevel import StorageLevel
+
     # The loop-invariant frames (deduped edges, node set, out-degrees) are
     # materialized ONCE: un-checkpointed they re-ran their scan+distinct
     # shuffles inside every one of the 10 iteration jobs.
+    # The edge list is checkpointed DISK_ONLY (r9): it is the one frame
+    # that scales with the data (120M rows at the sf10 tier), and the
+    # default MEMORY_AND_DISK level parked it in the protected storage
+    # half of the unified region, starving the per-iteration hash
+    # aggregations into AGGREGATE_OUT_OF_MEMORY on an 8g heap. Edges are
+    # scanned once per iteration -- streaming them from local disk costs
+    # one sequential read while leaving execution memory whole, which is
+    # the right trade for a loop invariant at any scale.
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     nodes = (
         e.select(F.col("src").alias("node"))

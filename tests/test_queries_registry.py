@@ -94,3 +94,53 @@ def test_rows_only_queries_are_deterministic(spark, sf_dir, name):
     second = fn(spark, sf_dir)
     b = _multiset(second.columns, [tuple(r) for r in second.collect()])
     assert a == b, name
+
+
+def test_oracle_double_casts_are_varchar_roundtripped():
+    """r9 (found by the sf10 scale oracle): DuckDB's native
+    CAST(DECIMAL AS DOUBLE) double-rounds once the unscaled value exceeds
+    2^53 (q5's scale-8 revenue sums diverged from Spark in the last ulp
+    at sf10). The registry rewrites every oracle double-cast through a
+    VARCHAR round-trip, which is correctly rounded for DECIMAL/HUGEINT
+    and the identity for double/integer expressions."""
+    import duckdb
+
+    from dockerized_data_pipeline_spark.plans.registry import (
+        ORACLES,
+        roundtrip_double_casts,
+    )
+
+    got = roundtrip_double_casts("SELECT CAST(SUM(x) AS DOUBLE) AS s FROM t")
+    assert got == "SELECT CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS s FROM t"
+    # nested and case-insensitive forms
+    assert roundtrip_double_casts("cast(a as double) + CAST(b AS BIGINT)") == (
+        "CAST(CAST(a AS VARCHAR) AS DOUBLE) + CAST(b AS BIGINT)"
+    )
+    # the registered q5 oracle carries the round-trip
+    assert "AS VARCHAR) AS DOUBLE" in ORACLES["q5_region_nation_revenue"]
+
+    # and the round-trip actually fixes the documented divergence
+    con = duckdb.connect()
+    direct, rt = con.execute(
+        "SELECT CAST(d AS DOUBLE), CAST(CAST(d AS VARCHAR) AS DOUBLE) "
+        "FROM (SELECT CAST('1504610447.51310000' AS DECIMAL(30,8)) AS d)"
+    ).fetchone()
+    con.close()
+    assert rt == 1504610447.5131  # == float(Decimal(...)), Spark's value
+    assert direct != rt  # duck's native cast really is the divergent one
+
+
+def test_double_cast_roundtrip_exempts_float32_sources():
+    """REAL -> DOUBLE must widen exactly; the VARCHAR route would parse
+    the shortest-float32 string as a double (a different value).
+    ``embedding`` is the schema's only REAL column, so bodies
+    referencing it are exempt from the rewrite."""
+    from dockerized_data_pipeline_spark.plans.registry import (
+        roundtrip_double_casts,
+    )
+
+    src = "CAST(unnest(embedding) AS DOUBLE) + CAST(SUM(rev) AS DOUBLE)"
+    assert roundtrip_double_casts(src) == (
+        "CAST(unnest(embedding) AS DOUBLE) "
+        "+ CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)"
+    )
