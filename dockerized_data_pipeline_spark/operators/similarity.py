@@ -99,24 +99,34 @@ def ivf_assignments(
     """
     import math
 
-    from ..functions.vectors import dot, literal_matrix, norm
+    from ..functions.vectors import dot, norm
 
-    # One transform over a single codebook literal instead of k separate
-    # cosine expressions: constant-size plan (see literal_matrix), same
-    # IEEE arithmetic. Per-centroid norms are computed driver-side with
-    # the same left-to-right double accumulation + IEEE sqrt the folded
-    # constant used, so every sim value stays bit-identical to the
-    # oracle's dot/(norm*norm) expression.
+    # The codebook travels as broadcast DATA (1-row frame, cross-joined),
+    # not as plan literals (r9, same rationale as kmeans._with_assignment:
+    # literal constants force a whole-stage-codegen recompile per distinct
+    # codebook; as data the generated code is codebook-invariant and the
+    # per-row IEEE arithmetic is unchanged -- verified bit-equal).
+    # Per-centroid norms are computed driver-side with the same
+    # left-to-right double accumulation + IEEE sqrt the folded constant
+    # used, so every sim value stays bit-identical to the oracle's
+    # dot/(norm*norm) expression.
     norms = [
         math.sqrt(sum((float(x) * float(x) for x in c), 0.0)) for c in centroids
     ]
+    spark = df.sparkSession
+    cb = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],
+          [float(n) for n in norms])],
+        "__cb array<array<double>>, __cn array<double>",
+    )
     sims = F.zip_with(
-        literal_matrix(centroids),
-        F.lit([float(n) for n in norms]),
+        F.col("__cb"),
+        F.col("__cn"),
         lambda c, nc: dot(F.col(vec_col), c) / (norm(F.col(vec_col)) * nc),
     )
     return (
-        df.withColumn("__sims", sims)
+        df.crossJoin(F.broadcast(cb))
+        .withColumn("__sims", sims)
         .select(
             F.col(id_col),
             F.col(vec_col),
