@@ -459,9 +459,12 @@ def minhash_neardup_pairs_native(
         # THIRD consumer of the signature subtree (join sides a/b are the
         # other two), and an un-materialized subtree re-derives the
         # shingle explode per reference (the repo-wide self-join rule;
-        # at corpus scale the band table is the persisted index anyway)
+        # at corpus scale the band table is the persisted index anyway).
+        # eager=False (r10, ADVICE): keep the registry's build-no-actions
+        # contract -- checkpointing happens at the FIRST action, after
+        # which all three consumers share the materialized partitions.
         banded = _drop_hot_buckets(
-            banded.localCheckpoint(eager=True), max_bucket_size
+            banded.localCheckpoint(eager=False), max_bucket_size
         )
 
     a = banded.alias("a")

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
@@ -8,7 +9,9 @@ sys.path.insert(0, "/root/repo")
 
 from dockerized_data_pipeline_spark.session import get_session
 
-SF_SMOKE = "/root/testdata/sf0.001"
+SF_SMOKE = os.path.join(
+    os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+)
 
 
 @pytest.fixture(scope="session")

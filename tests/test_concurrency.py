@@ -21,6 +21,7 @@ view / conf / cached-RDD cross-talk survived.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import queue
 import threading
 
@@ -28,8 +29,11 @@ from pyspark.sql import types as T
 
 from dockerized_data_pipeline_spark.plans import registry
 
-SF_A = "/root/testdata/sf0.001"
-SF_B = "/root/testdata/sf0.01"
+# Fixture roots resolve through the same env var conftest's sf_dir uses
+# (r10, ADVICE: no hardcoded absolute paths -- portable checkouts).
+_TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_A = os.path.join(_TESTDATA, "sf0.001")
+SF_B = os.path.join(_TESTDATA, "sf0.01")
 
 HEADLINE_15 = [
     "q1_pricing_summary",

@@ -144,3 +144,43 @@ def test_double_cast_roundtrip_exempts_float32_sources():
         "CAST(unnest(embedding) AS DOUBLE) "
         "+ CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)"
     )
+    # r10 (ADVICE): lambda-bound REAL elements -- the inner cast body has
+    # no 'embedding' token, but an enclosing funcall arglist does
+    lam = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    assert roundtrip_double_casts(lam) == lam
+    # nested double-cast UNDER an embedding cast stays native too
+    nested = "CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)"
+    assert roundtrip_double_casts(nested) == nested
+    # but a sibling cast OUTSIDE the embedding call is still rewritten
+    mix = "list_count(embedding) + CAST(SUM(rev) AS DOUBLE)"
+    assert roundtrip_double_casts(mix) == (
+        "list_count(embedding) + CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+def test_double_cast_roundtrip_skips_literals_and_comments():
+    """r10 (ADVICE): the outer CAST( scan must skip quoted string
+    literals and -- comments -- a literal containing the text
+    CAST(... AS DOUBLE) is DATA, not a cast, and must survive the
+    rewrite byte-for-byte."""
+    from dockerized_data_pipeline_spark.plans.registry import (
+        roundtrip_double_casts,
+    )
+
+    lit = "SELECT x FROM t WHERE s = 'CAST(z AS DOUBLE)'"
+    assert roundtrip_double_casts(lit) == lit
+    esc = "SELECT x FROM t WHERE s = 'it''s CAST(z AS DOUBLE)'"
+    assert roundtrip_double_casts(esc) == esc
+    com = "SELECT CAST(a AS DOUBLE) -- CAST(z AS DOUBLE) note\nFROM t"
+    assert roundtrip_double_casts(com) == (
+        "SELECT CAST(CAST(a AS VARCHAR) AS DOUBLE) "
+        "-- CAST(z AS DOUBLE) note\nFROM t"
+    )
+    # word boundary: BROADCAST( is not a cast
+    bc = "SELECT BROADCAST(a AS DOUBLE) FROM t"
+    assert roundtrip_double_casts(bc) == bc
+    # a literal INSIDE a cast body does not derail the paren matcher
+    body = "CAST(coalesce(s, ')(') AS DOUBLE)"
+    assert roundtrip_double_casts(body) == (
+        "CAST(CAST(coalesce(s, ')(') AS VARCHAR) AS DOUBLE)"
+    )
