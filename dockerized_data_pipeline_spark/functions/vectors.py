@@ -27,7 +27,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for a zero-norm side (cosine is undefined there): try_divide
+    mirrors DuckDB's x/0 -> NULL, where ANSI `/` would raise -- found by
+    the r10 NULL tier via hash-embeds of NULL text (exactly the zero
+    vector). Arithmetic is unchanged for every non-zero denominator."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def literal_vector(values) -> Column:

@@ -8,10 +8,37 @@ i-deletions equal; an insertion/deletion makes one string a deletion
 variant of the other. Joining on that key set is therefore RECALL-COMPLETE
 for distance <= 1 (unlike frequency-capped q-gram blocking, which silently
 drops pairs in low-entropy regions -- e.g. names sharing a long constant
-prefix). Bucket sizes stay small because each key is a near-full string.
+prefix).
 
-Cost: n * (L+1) exploded keys, one equi-join on the key, exact
-``levenshtein`` verification on the candidates. All built-in expressions.
+Scale design (r10, VERDICT task 4 -- the one plan marked weak): the r9
+row-level implementation joined deletion keys of every ROW, so a corpus
+with heavy name duplication (the operational norm -- the sf10 tier grew
+21.9x in time for 12x output) paid the bucket join quadratically in
+duplicate density AND deduplicated an (L+1)-times-inflated candidate set.
+The join now runs over DISTINCT names only:
+
+  1. collapse rows to distinct names (one hash-agg; at 100 TB the
+     distinct-name table is orders of magnitude smaller than the corpus),
+  2. deletion-key self-join + exact ``levenshtein`` verification at NAME
+     granularity -> name-level edge list,
+  3. expand name edges back to row pairs with two name-keyed joins
+     (output-bound work: every produced row IS an output row).
+
+Identical-name pairs never enter the key join at all -- they come from a
+direct name-equality self-join, which is pure output materialization.
+
+Remaining unbounded costs and their guards, mirroring the r9 LSH design:
+  * a deletion key shared by more than ``max_key_bucket_size`` distinct
+    names turns the key join quadratic in that bucket ->
+    ``max_key_bucket_size`` drops those keys (recall tradeoff, never
+    precision), observable via ``deletion_key_profile``;
+  * the PAIR OUTPUT itself is quadratic in duplicate density (inherent
+    to pair semantics) -> ``symspell_clusters`` is the linear-output
+    form: connected components over the name-edge graph, one
+    (id, cluster_id) row per input row.
+
+All built-in expressions; no UDFs; shuffles: distinct names, key join,
+two expansion joins (each keyed on name).
 """
 
 from __future__ import annotations
@@ -21,7 +48,7 @@ from pyspark.sql import functions as F
 
 
 def _deletion_keys(col: F.Column) -> F.Column:
-    """{s} ∪ {s with character i removed}, as an array of strings."""
+    """{s} ∪ {s with character i removed}, as a deduplicated array."""
     deletions = F.transform(
         F.sequence(F.lit(1), F.length(col)),
         lambda i: F.concat(
@@ -32,45 +59,193 @@ def _deletion_keys(col: F.Column) -> F.Column:
     return F.array_union(F.array(col), deletions)
 
 
+def _distinct_names(base: DataFrame) -> DataFrame:
+    """(name, rep) -- distinct non-NULL names with their minimum id as
+    representative. NULL names never fuzzy-match anything (SQL equality
+    semantics, same as the r9 row-level form where a NULL name exploded
+    to zero keys)."""
+    return (
+        base.filter(F.col("name").isNotNull())
+        .groupBy("name")
+        .agg(F.min("id").alias("rep"))
+    )
+
+
+def _keyed_names(dn: DataFrame, max_key_bucket_size: int | None) -> DataFrame:
+    """Deletion-key table over distinct names: (name, rep, key), one row
+    per (name, key) -- ``_deletion_keys`` dedups within a name, so a
+    per-key row count IS a distinct-name bucket size. With a cap, keys
+    shared by more distinct names are dropped (see module doc)."""
+    keyed = dn.select(
+        "name", "rep", F.explode(_deletion_keys(F.col("name"))).alias("key")
+    )
+    if max_key_bucket_size is not None:
+        # lazy materialization: hot-list agg is a second consumer of the
+        # explode subtree next to the join's two sides (repo-wide
+        # self-join rule); eager=False keeps build-no-actions.
+        keyed = keyed.localCheckpoint(eager=False)
+        hot = (
+            keyed.groupBy("key")
+            .count()
+            .filter(F.col("count") > max_key_bucket_size)
+            .select("key")
+        )
+        keyed = keyed.join(hot, ["key"], "left_anti")
+    return keyed
+
+
+def _name_edges(
+    base: DataFrame, max_distance: int, max_key_bucket_size: int | None
+) -> DataFrame:
+    """Name-level fuzzy edges (name_x < name_y, distance in 1..max):
+    deletion-key join over distinct names, deduplicated at name
+    granularity, exact levenshtein verification."""
+    dn = _distinct_names(base)
+    keyed = _keyed_names(dn, max_key_bucket_size)
+    if max_key_bucket_size is None:
+        # self-join below: materialize the explode subtree once
+        keyed = keyed.localCheckpoint(eager=False)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_x"),
+            F.col("a.rep").alias("rep_x"),
+            F.col("b.name").alias("name_y"),
+            F.col("b.rep").alias("rep_y"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_x"), F.col("name_y"))
+    return cand.withColumn("distance", dist.cast("bigint")).filter(
+        F.col("distance") <= max_distance
+    )
+
+
 def symspell_pairs(
     df: DataFrame,
     id_col: str,
     name_col: str,
     max_distance: int = 1,
+    max_key_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct pairs (id_a < id_b) whose names are within ``max_distance``
     edits (only 1 supported: the deletion-neighborhood guarantee is per
-    edit, deeper distances need recursive deletions)."""
+    edit, deeper distances need recursive deletions). Columns:
+    (id_a, id_b, name_a, name_b, distance BIGINT).
+
+    ``max_key_bucket_size``: optional hot-key cap -- deletion keys shared
+    by more distinct names than the cap are dropped from candidate
+    generation (bounds the key join at n_keys * cap^2 on degenerate name
+    distributions; pairs whose ONLY shared key was dropped are lost --
+    recall, never precision). Run ``deletion_key_profile`` on the same
+    input for first-class drop accounting.
+    """
     if max_distance != 1:
         raise ValueError("symspell_pairs supports max_distance=1")
     # rename first: if the input column is already called "name"/"id", an
     # expression referencing it next to the same-named alias resolves as a
     # lateral column alias and trips an analyzer bug inside the transform
     # lambda (Resolved plan should not contain LateralColumnAliasReference)
-    base = df.select(
-        F.col(id_col).alias("__fz_id"), F.col(name_col).alias("__fz_name")
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    edges = _name_edges(base, max_distance, max_key_bucket_size)
+
+    ba, bb = base.alias("ba"), base.alias("bb")
+    # identical names: pure output materialization, never in the key join
+    intra = ba.join(
+        bb,
+        (F.col("ba.name") == F.col("bb.name"))
+        & (F.col("ba.id") < F.col("bb.id")),
+    ).select(
+        F.col("ba.id").alias("id_a"),
+        F.col("bb.id").alias("id_b"),
+        F.col("ba.name").alias("name_a"),
+        F.col("bb.name").alias("name_b"),
+        F.lit(0).cast("bigint").alias("distance"),
     )
-    keyed = base.select(
-        F.col("__fz_id").alias("id"),
-        F.col("__fz_name").alias("name"),
-        F.explode(_deletion_keys(F.col("__fz_name"))).alias("key"),
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+    # cross-name expansion: name-keyed joins, output-bound
+    lt = F.col("ba.id") < F.col("bb.id")
+    cross = (
+        edges.join(ba, F.col("ba.name") == F.col("name_x"))
+        .join(bb, F.col("bb.name") == F.col("name_y"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
+            F.least(F.col("ba.id"), F.col("bb.id")).alias("id_a"),
+            F.greatest(F.col("ba.id"), F.col("bb.id")).alias("id_b"),
+            F.when(lt, F.col("name_x")).otherwise(F.col("name_y")).alias("name_a"),
+            F.when(lt, F.col("name_y")).otherwise(F.col("name_x")).alias("name_b"),
+            F.col("distance"),
         )
-        .distinct()
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return cand.filter(dist <= max_distance).withColumn(
-        "distance", dist.cast("bigint")
+    return intra.unionByName(cross)
+
+
+def deletion_key_profile(
+    df: DataFrame, name_col: str, max_key_bucket_size: int
+) -> DataFrame:
+    """(bucket_size, n_keys, dropped_at_cap) histogram of the distinct-name
+    deletion-key table -- the drop-accounting diagnostic paired with
+    ``max_key_bucket_size`` (same shape as the LSH band_bucket_profile).
+    Tiny output; one map-side-combined aggregation chain."""
+    base = df.select(F.col(name_col).alias("name")).filter(
+        F.col("name").isNotNull()
+    ).distinct()
+    keyed = base.select(
+        F.explode(_deletion_keys(F.col("name"))).alias("key")
+    )
+    return (
+        keyed.groupBy("key")
+        .count()
+        .groupBy(F.col("count").alias("bucket_size"))
+        .agg(F.count("*").alias("n_keys"))
+        .withColumn(
+            "dropped_at_cap", F.col("bucket_size") > max_key_bucket_size
+        )
+    )
+
+
+def symspell_clusters(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 1,
+    max_key_bucket_size: int | None = None,
+) -> DataFrame:
+    """Linear-output form of the fuzzy self-join: connected components
+    over the NAME edge graph, expanded to one (id, cluster_id) row per
+    input row. cluster_id is the minimum id across the component (rows
+    with no fuzzy neighbor -- including NULL names -- are their own
+    singleton... cluster_id = min id of their exact-name group, or the
+    row id for NULL names).
+
+    This is the 100-TB posture for dense-duplicate corpora: the pair
+    form's output is quadratic in duplicate density; the cluster form
+    never materializes pairs at all -- component labels propagate over
+    the name-REPRESENTATIVE graph (one node per distinct name), then a
+    single name-keyed join stamps every row.
+    """
+    if max_distance != 1:
+        raise ValueError("symspell_clusters supports max_distance=1")
+    from .dedup import neardup_clusters
+
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    edges = _name_edges(base, max_distance, max_key_bucket_size)
+    rep_pairs = edges.select(
+        F.least(F.col("rep_x"), F.col("rep_y")).alias("rep_a"),
+        F.greatest(F.col("rep_x"), F.col("rep_y")).alias("rep_b"),
+    )
+    labels = neardup_clusters(rep_pairs, "rep_a", "rep_b")  # (doc=rep, cluster_id)
+    dn = _distinct_names(base)
+    return (
+        base.join(dn, ["name"], "left")
+        .join(labels, F.col("rep") == F.col("doc"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("rep"), F.col("id")).alias(
+                "cluster_id"
+            ),
+        )
     )

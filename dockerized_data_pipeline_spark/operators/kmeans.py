@@ -102,7 +102,15 @@ def kmeans_fit(
     content-addressed init makes them rare). An EMPTY input returns an
     empty codebook instead of crashing (S6 empty-input discipline --
     found by the sf1 scale-oracle run, where a quality gate legitimately
-    filtered a whole corpus away upstream of the fit)."""
+    filtered a whole corpus away upstream of the fit).
+
+    NULL vectors are excluded before seeding and assignment (r10, found
+    by the NULL-injected oracle tier: a NULL embedding has no position
+    in the space -- seeding from one crashed the codebook collect, and
+    its NULL distances would poison every per-cluster mean). The same
+    policy applies across operators/similarity.py; oracles mirror it
+    with ``WHERE embedding IS NOT NULL``."""
+    df = df.filter(F.col(vec_col).isNotNull())
     centroids = seed_centroids(df, id_col, vec_col, k)
     if not centroids:
         return []
@@ -146,6 +154,7 @@ def kmeans_cluster_sizes(
     would introduce decimal DIVISION, whose result scale and rounding
     rules differ between engines at the last digit. Inertia comparisons
     just sum the per-cluster values."""
+    df = df.filter(F.col(vec_col).isNotNull())  # same policy as kmeans_fit
     centroids = kmeans_fit(df, id_col, vec_col, k, iterations)
     assigned = _with_assignment(
         df.select(F.col(vec_col).alias("v")), "v", centroids

@@ -38,6 +38,7 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train m sub-codebooks (each k x d/m). The vector dim must divide
     evenly by m (standard PQ constraint)."""
+    df = df.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
     dim = len(df.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -61,6 +62,7 @@ def pq_encode(
     scan, pure expressions, no shuffle."""
     from ..functions.vectors import literal_matrix
 
+    df = df.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     code_cols = []
@@ -93,6 +95,7 @@ def pq_reconstruction_mse_ppm(
     division results at different scales in the last digit."""
     from ..functions.vectors import literal_matrix
 
+    df = df.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     per_sub_err = []

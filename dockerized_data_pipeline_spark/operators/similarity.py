@@ -31,7 +31,10 @@ def cosine_topk(
     Scores are rounded before ordering so ranking is stable across engines
     and runs; ties broken by id. Returns (id, cos_sim DECIMAL(18,4))."""
     q = literal_vector(query_vec)
-    scored = df.select(
+    # NULL vectors have no similarity to anything: excluded (r10 NULL-tier
+    # policy, shared across this module and operators/kmeans.py; oracles
+    # mirror it with WHERE embedding IS NOT NULL)
+    scored = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), round_digits)
         .cast(f"decimal(18,{round_digits})")
@@ -60,9 +63,11 @@ def cosine_neardup_pairs(
     oracle's expression."""
     from ..functions.vectors import dot, norm
 
-    side = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
+    side = (
+        df.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
     side = side.localCheckpoint(eager=True)
     a = side.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -101,6 +106,8 @@ def ivf_assignments(
 
     from ..functions.vectors import dot, norm
 
+    df = df.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
+
     # The codebook travels as broadcast DATA (1-row frame, cross-joined),
     # not as plan literals (r9, same rationale as kmeans._with_assignment:
     # literal constants force a whole-stage-codegen recompile per distinct
@@ -119,10 +126,17 @@ def ivf_assignments(
           [float(n) for n in norms])],
         "__cb array<array<double>>, __cn array<double>",
     )
+    # try_divide + coalesce-to-0 (r10 NULL tier): a ZERO vector (e.g. the
+    # hash-embed of a NULL text) has no direction -- its cosine against
+    # every centroid is NULL (try_divide mirrors DuckDB x/0 -> NULL), and
+    # the argmax falls back to the first centroid, the same
+    # tie-to-lowest-cid rule the oracle's ROW_NUMBER replay applies.
     sims = F.zip_with(
         F.col("__cb"),
         F.col("__cn"),
-        lambda c, nc: dot(F.col(vec_col), c) / (norm(F.col(vec_col)) * nc),
+        lambda c, nc: F.try_divide(
+            dot(F.col(vec_col), c), norm(F.col(vec_col)) * nc
+        ),
     )
     return (
         df.crossJoin(F.broadcast(cb))
@@ -130,7 +144,10 @@ def ivf_assignments(
         .select(
             F.col(id_col),
             F.col(vec_col),
-            (F.array_position("__sims", F.array_max("__sims")) - 1)
+            F.coalesce(
+                F.array_position("__sims", F.array_max("__sims")) - 1,
+                F.lit(0),
+            )
             .cast("int")
             .alias("cluster_id"),
         )
@@ -204,7 +221,7 @@ def lsh_neardup_pairs(
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    vecs = df.select(
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
     )
@@ -286,6 +303,7 @@ def centroid_purity(
     nearest_label, n_vecs, min_cos_ppm, max_cos_ppm)."""
     from pyspark.sql import Window
 
+    emb = emb.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
     comp = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
@@ -559,6 +577,7 @@ def unit_assigned(
     the transform lambda never re-evaluates the O(dim) fold per element."""
     from ..functions.vectors import norm
 
+    df = df.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
     assigned = (
         df if centroids is None else ivf_assignments(df, centroids, id_col, vec_col)
     )
@@ -567,8 +586,11 @@ def unit_assigned(
         .select(
             F.col(id_col),
             F.col("cluster_id"),
+            # try_divide: a zero-norm vector normalizes to all-NULL (its
+            # pair scores go NULL and fail every threshold), matching
+            # DuckDB x/0 -> NULL where ANSI `/` raises (r10 NULL tier)
             F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("__n")
+                F.col(vec_col), lambda x: F.try_divide(x.cast("double"), F.col("__n"))
             ).alias("u"),
         )
     )

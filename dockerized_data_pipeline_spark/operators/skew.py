@@ -171,15 +171,34 @@ def bucketed_running_sum(
         .orderBy(bkt)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # eqNullSafe join (r10, found by the NULL-injected oracle tier): the
+    # partition key and the bucket are both nullable (NULL event_type
+    # partitions; to_date(NULL ts) buckets), and a plain-equality join
+    # drops their offset rows -- every NULL-keyed running sum silently
+    # restarted at 0 (the repo-wide NULL-key discipline; see merge.py).
+    keys = [*partition_cols, bkt]
+    ren = {c: _free_name(f"__o{i}", df) for i, c in enumerate(keys)}
     offsets = totals.withColumn(off, F.sum("__tot").over(w_off)).select(
-        *partition_cols, bkt, off
+        *[F.col(c).alias(ren[c]) for c in keys], off
     )
-    joined = local.join(F.broadcast(offsets), [*partition_cols, bkt], "left")
+    cond = F.lit(True)
+    for c in keys:
+        cond = cond & F.col(c).eqNullSafe(F.col(ren[c]))
+    joined = local.join(F.broadcast(offsets), cond, "left").drop(
+        *ren.values()
+    )
     zero = F.lit(0).cast(dict(offsets.dtypes)[off])  # exact type match
-    return (
-        joined.withColumn(out_col, F.coalesce(F.col(off), zero) + F.col(loc))
-        .drop(bkt, loc, off)
-    )
+    # NULL-value semantics (r10, found by the NULL-injected oracle tier):
+    # a plain-window running SUM is NULL only while the frame holds NO
+    # non-NULL value yet. The split form must reproduce that: `loc` is
+    # NULL whenever the row's in-bucket prefix is all-NULL (even though
+    # earlier BUCKETS contributed real values), so `off + loc` poisoned
+    # the total to NULL mid-partition. NULL only when BOTH parts are.
+    run = F.when(
+        F.col(off).isNull() & F.col(loc).isNull(),
+        F.lit(None).cast(dict(offsets.dtypes)[off]),
+    ).otherwise(F.coalesce(F.col(off), zero) + F.coalesce(F.col(loc), zero))
+    return joined.withColumn(out_col, run).drop(bkt, loc, off)
 
 
 def hot_key_salted_join(

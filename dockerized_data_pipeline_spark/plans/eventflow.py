@@ -245,14 +245,152 @@ def diff_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: customer-name pairs within edit distance 1 via
     the SymSpell deletion-neighborhood join (operators/fuzzyjoin.py) --
-    recall-complete for one edit, no cross join, bucket keys are near-full
-    strings so the low-entropy shared prefix creates no hot buckets."""
+    recall-complete for one edit, no cross join. r10: the key join runs
+    over DISTINCT names only (the r9 row-level form was the scale
+    report's one super-linear entry -- 21.9x time for 12x output at
+    sf10, quadratic in name-duplicate density); identical-name pairs
+    come from a direct name-equality join (pure output
+    materialization), so join cost tracks distinct names, output cost
+    tracks the answer."""
     from ..operators.fuzzyjoin import symspell_pairs
 
     c = load_table(spark, sf_dir, "customer")
     return symspell_pairs(c, "c_custkey", "c_name", max_distance=1).select(
         F.col("id_a"), F.col("id_b"), "name_a", "name_b", "distance"
     )
+
+
+# Deletion keys of the distinct-name table, Spark-equivalent dedup
+# (array_union) included -- shared by the three capped/cluster oracles.
+_FZ_KEYS_CTE = """
+    dn AS (
+      SELECT c_name AS name, MIN(c_custkey) AS rep
+      FROM customer WHERE c_name IS NOT NULL GROUP BY c_name
+    ),
+    k AS (
+      SELECT name, rep,
+             unnest(list_distinct(list_prepend(name,
+               list_transform(range(1, LENGTH(name) + 1),
+                 i -> SUBSTRING(name, 1, i - 1) || SUBSTRING(name, i + 1)
+               )))) AS key
+      FROM dn
+    )"""
+
+_FZ_KEY_CAP = 8  # drops the hottest zero-padded-prefix deletion buckets
+# at sf0.01 (sizes 24/29) while keeping digit-substitution keys -- real
+# drop accounting on the driver fixture, not a no-op cap
+
+
+@query(
+    "fuzzy_name_pairs_capped",
+    oracle=f"""
+    WITH {_FZ_KEYS_CTE},
+    kk AS (
+      SELECT name, key FROM k
+      QUALIFY COUNT(*) OVER (PARTITION BY key) <= {_FZ_KEY_CAP}
+    ),
+    ne AS (
+      SELECT DISTINCT a.name AS nx, b.name AS ny
+      FROM kk a JOIN kk b ON a.key = b.key AND a.name < b.name
+    ),
+    ver AS (
+      SELECT nx, ny, CAST(levenshtein(nx, ny) AS BIGINT) AS distance
+      FROM ne WHERE levenshtein(nx, ny) <= 1
+    ),
+    intra AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS name_a, b.c_name AS name_b,
+             CAST(0 AS BIGINT) AS distance
+      FROM customer a JOIN customer b
+        ON a.c_name = b.c_name AND a.c_custkey < b.c_custkey
+    ),
+    crossed AS (
+      SELECT LEAST(x.c_custkey, y.c_custkey) AS id_a,
+             GREATEST(x.c_custkey, y.c_custkey) AS id_b,
+             CASE WHEN x.c_custkey < y.c_custkey THEN v.nx ELSE v.ny END AS name_a,
+             CASE WHEN x.c_custkey < y.c_custkey THEN v.ny ELSE v.nx END AS name_b,
+             v.distance
+      FROM ver v
+      JOIN customer x ON x.c_name = v.nx
+      JOIN customer y ON y.c_name = v.ny
+    )
+    SELECT * FROM intra UNION ALL SELECT * FROM crossed
+    """,
+)
+def fuzzy_name_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-capped fuzzy join (r10, VERDICT task 4): deletion keys
+    shared by more than {cap} distinct names are dropped before the key
+    join, bounding it at n_keys * cap^2 however degenerately names
+    collide (the zero-padded fixture prefix is itself such a
+    degeneracy). Recall tradeoff, never precision; drops are first-class
+    observable via fuzzy_key_bucket_profile."""
+    from ..operators.fuzzyjoin import symspell_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return symspell_pairs(
+        c, "c_custkey", "c_name", max_distance=1,
+        max_key_bucket_size=_FZ_KEY_CAP,
+    ).select(F.col("id_a"), F.col("id_b"), "name_a", "name_b", "distance")
+
+
+@query(
+    "fuzzy_key_bucket_profile",
+    oracle=f"""
+    WITH {_FZ_KEYS_CTE}
+    SELECT CAST(bs AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           bs > {_FZ_KEY_CAP} AS dropped_at_cap
+    FROM (SELECT COUNT(*) AS bs FROM k GROUP BY key)
+    GROUP BY bs
+    """,
+)
+def fuzzy_key_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_size, n_keys, dropped_at_cap) histogram of the
+    distinct-name deletion-key table -- the drop-accounting diagnostic
+    paired with fuzzy_name_pairs_capped (same design as
+    x2_lsh_bucket_skew_profile)."""
+    from ..operators.fuzzyjoin import deletion_key_profile
+
+    c = load_table(spark, sf_dir, "customer")
+    return deletion_key_profile(c, "c_name", _FZ_KEY_CAP)
+
+
+@query(
+    "fuzzy_name_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_FZ_KEYS_CTE},
+    ne AS (
+      SELECT DISTINCT a.rep AS rx, b.rep AS ry, a.name AS nx, b.name AS ny
+      FROM k a JOIN k b ON a.key = b.key AND a.name < b.name
+    ),
+    ver AS (SELECT rx, ry FROM ne WHERE levenshtein(nx, ny) <= 1),
+    edges AS (
+      SELECT rx AS s, ry AS t FROM ver UNION SELECT ry, rx FROM ver
+    ),
+    reach(n, r) AS (
+      SELECT rep, rep FROM dn
+      UNION
+      SELECT reach.n, e.t FROM reach JOIN edges e ON reach.r = e.s
+    ),
+    labels AS (SELECT n AS rep, MIN(r) AS root FROM reach GROUP BY n)
+    SELECT c.c_custkey AS id, COALESCE(l.root, c.c_custkey) AS cluster_id
+    FROM customer c
+    LEFT JOIN dn ON c.c_name = dn.name
+    LEFT JOIN labels l ON dn.rep = l.rep
+    """,
+)
+def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output entity resolution (r10, VERDICT task 4): connected
+    components over the NAME edge graph -- one (id, cluster_id) row per
+    customer, cluster_id = min custkey of the fuzzy-connected group.
+    The 100-TB posture for dense-duplicate corpora: pair output is
+    quadratic in duplicate density, cluster output never materializes
+    pairs at all (operators/fuzzyjoin.py symspell_clusters +
+    operators/dedup.py neardup_clusters min-label propagation)."""
+    from ..operators.fuzzyjoin import symspell_clusters
+
+    c = load_table(spark, sf_dir, "customer")
+    return symspell_clusters(c, "c_custkey", "c_name", max_distance=1)
 
 
 @query(

@@ -337,7 +337,14 @@ def _duck_sq_dist(a: str, b: str) -> str:
     )
 
 
-_DUCK_EMB_V = "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+# WHERE embedding IS NOT NULL: the r10 NULL-vector policy (operators/
+# kmeans.py, operators/similarity.py) -- NULL vectors are excluded from
+# every vector operator on the Spark side, so every oracle built on this
+# CTE excludes them too.
+_DUCK_EMB_V = (
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    " WHERE embedding IS NOT NULL)"
+)
 
 
 def _duck_kmeans_ctes(
@@ -421,6 +428,7 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT {k}
 
 _IVF_FIXED_CENTS = """v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ), cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv
   FROM v WHERE vec_id < 8
@@ -442,6 +450,7 @@ _IVF_FIXED_ORACLE = _duck_ivf_topk_sql(_IVF_FIXED_CENTS, "cents", k=10, n_probe=
              / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(qv, qv))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS cos_sim
     FROM embeddings, q
+    WHERE embedding IS NOT NULL
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
 )
@@ -2801,6 +2810,7 @@ _TRUNC_DIM = 16
       FROM embeddings WHERE vec_id = {_PROBE_VEC_ID}
     ), full_top AS (
       SELECT vec_id FROM embeddings, q
+      WHERE embedding IS NOT NULL
       ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv)
                / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) DESC,
@@ -2808,6 +2818,7 @@ _TRUNC_DIM = 16
       LIMIT 10
     ), trunc_top AS (
       SELECT vec_id FROM embeddings, q
+      WHERE embedding IS NOT NULL
       ORDER BY list_dot_product(CAST(embedding[1:{_TRUNC_DIM}] AS DOUBLE[]), qt)
                / sqrt(list_dot_product(CAST(embedding[1:{_TRUNC_DIM}] AS DOUBLE[]),
                                        CAST(embedding[1:{_TRUNC_DIM}] AS DOUBLE[]))) DESC,
@@ -2917,7 +2928,8 @@ reach(n, r) AS (
   SELECT reach.n, e.t FROM reach JOIN edges e ON reach.r = e.s
 ),
 labels AS (SELECT n AS vec_id, MIN(r) AS root FROM reach GROUP BY n)
-SELECT vec_id FROM labels WHERE root = vec_id
+SELECT e.vec_id FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.vec_id
+WHERE l.vec_id IS NULL OR l.root = l.vec_id
 """
 
 
@@ -3384,6 +3396,7 @@ def _persisted_semantic_index(spark: SparkSession, sf_dir: str) -> str:
 _SEM_INC_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ), cents AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv
   FROM v WHERE vec_id % 10 != 0 AND vec_id < 9
@@ -3457,6 +3470,7 @@ v AS (
   SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
   FROM embeddings e
   WHERE e.vec_id IN (SELECT doc_id FROM deduped)
+    AND e.embedding IS NOT NULL
 ),
 {ctes},
 asg AS (
@@ -3485,11 +3499,15 @@ reach(n, r) AS (
   SELECT reach.n, e.t FROM reach JOIN edges e ON reach.r = e.s
 ),
 kept AS (
+  -- LEFT JOIN (r10): labels only cover docs with a non-NULL embedding
+  -- (the NULL-vector policy); docs WITHOUT one can never be semantic
+  -- duplicates, so they survive -- same as the Spark side's left_semi
+  -- against semantic_dedup survivors, which keeps NULL-vector rows.
   SELECT d.lang, d.n_tokens, d.doc_id
   FROM deduped d
-  JOIN (SELECT n AS vec_id, MIN(r) AS root FROM reach GROUP BY n) l
+  LEFT JOIN (SELECT n AS vec_id, MIN(r) AS root FROM reach GROUP BY n) l
     ON d.doc_id = l.vec_id
-  WHERE l.root = l.vec_id
+  WHERE l.vec_id IS NULL OR l.root = l.vec_id
 ),
 split_assigned AS (
   SELECT lang, n_tokens, doc_id,

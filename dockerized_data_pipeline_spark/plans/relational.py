@@ -479,7 +479,7 @@ def window_topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT event_id, event_type,
            CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER (
-             PARTITION BY event_type ORDER BY ts, event_id
+             PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_value
     FROM events
@@ -550,7 +550,7 @@ def window_rank_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(CAST(value AS DECIMAL(12,4)) - LAG(CAST(value AS DECIMAL(12,4))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
            ) AS DOUBLE) AS delta
     FROM events
     """,
@@ -570,7 +570,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(CAST(AVG(CAST(value AS DECIMAL(12,4))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
            ) AS DECIMAL(38,8)) AS DOUBLE) AS avg3_value
     FROM events
@@ -694,10 +694,17 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_hourly_delta",
     oracle="""
     WITH h AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      -- CASE wrap (r10): DuckDB 1.0 infers date_trunc as non-nullable,
+      -- so its NULL outputs carry garbage through sorts/filters/windows
+      -- (nondeterministic wrong results on the NULL tier); the explicit
+      -- CASE restores correct nullability. Spark needs no wrap.
+      SELECT event_type,
+             CASE WHEN ts IS NULL THEN NULL
+                  ELSE date_trunc('hour', ts) END AS hour,
+             COUNT(*) AS n
       FROM events GROUP BY 1, 2)
     SELECT event_type, hour, n,
-           n - LAG(n) OVER (PARTITION BY event_type ORDER BY hour) AS delta
+           n - LAG(n) OVER (PARTITION BY event_type ORDER BY hour NULLS FIRST) AS delta
     FROM h
     """,
 )
@@ -832,7 +839,7 @@ def join_partial_salted_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTH_VALUE(event_id, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING) AS second_event
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def window_dist_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:

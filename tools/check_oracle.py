@@ -97,6 +97,14 @@ def main() -> int:
         os.makedirs(spill, exist_ok=True)
         con.execute(f"SET memory_limit='{duck_mem}'")
         con.execute(f"SET temp_directory='{spill}'")
+    # DuckDB 1.0's PARALLEL window operator returns nondeterministically
+    # WRONG results when partition/order keys contain NULLs (observed on
+    # the r10 NULL-injected tier: 6 runs of the same windowed CTE -> 6
+    # different outputs; single-threaded execution is stable and honors
+    # NULLS FIRST). NULL-bearing tiers must set SPARK_GRAFT_DUCK_THREADS=1.
+    duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+    if duck_threads:
+        con.execute(f"SET threads={int(duck_threads)}")
     for t in TABLES:
         # gen_scale tiers store each table as a DIRECTORY of part files;
         # the driver fixtures are single files. Glob directories for duck.
