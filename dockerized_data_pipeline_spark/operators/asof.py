@@ -55,7 +55,16 @@ def asof_join(
         F.lit(0).alias("__is_right"),
         *[F.lit(None).cast(rtypes[p]).alias(f"__p_{p}") for p in payload_cols],
     )
-    r = right.select(
+    # SQL join-key semantics (r10 NULL tier): a right row with a NULL key
+    # or NULL timestamp can never be the as-of match (NULL = NULL is not
+    # true in a join; DuckDB's native ASOF agrees), so it is excluded
+    # before the union -- otherwise the keyed window would happily carry
+    # NULL-key right payloads onto NULL-key left rows.
+    r_src = right
+    for k in key_cols:
+        r_src = r_src.filter(F.col(k).isNotNull())
+    r_src = r_src.filter(F.col(right_ts).isNotNull())
+    r = r_src.select(
         *[
             F.lit(None).cast(ltypes.get(c, "string")).alias(c)
             if c not in key_cols
@@ -82,6 +91,19 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the whole payload as ONE struct (r10, found by the NULL tier):
+    # per-column last(ignorenulls) skipped a matched right row's
+    # legitimately-NULL payload column and substituted the PREVIOUS right
+    # row's value -- a silent cross-row chimera. The when() wrapper makes
+    # left rows NULL (skipped), while every right row carries a non-NULL
+    # struct whose fields may be NULL -- exactly the matched row, whole.
+    pay_struct = F.last(
+        F.when(
+            F.col("__is_right") == 1,
+            F.struct(*[F.col(f"__p_{p}").alias(p) for p in payload_cols]),
+        ),
+        ignorenulls=True,
+    ).over(w)
     carried = u.select(
         *lcols,
         "__t",
@@ -90,11 +112,28 @@ def asof_join(
         .over(w)
         .alias("__match_t"),
         *[
-            F.last(F.col(f"__p_{p}"), ignorenulls=True).over(w).alias(f"{payload_prefix}{p}")
+            pay_struct.getField(p).alias(f"{payload_prefix}{p}")
             for p in payload_cols
         ],
     )
     out = carried.filter(F.col("__is_right") == 0)
+    # A left row with a NULL timestamp is always unmatched (its ts
+    # inequality is unknowable). Backward order already guarantees this
+    # (NULLS FIRST -> nothing carried yet); forward order sorts NULL ts
+    # last, where the window would wrongly carry the earliest right row,
+    # so the payload is masked explicitly.
+    out = out.select(
+        *lcols,
+        "__t",
+        "__is_right",
+        F.when(F.col("__t").isNotNull(), F.col("__match_t")).alias("__match_t"),
+        *[
+            F.when(F.col("__t").isNotNull(), F.col(f"{payload_prefix}{p}")).alias(
+                f"{payload_prefix}{p}"
+            )
+            for p in payload_cols
+        ],
+    )
     if tolerance is not None:
         bound = F.expr(f"INTERVAL {tolerance}")
         in_tol = (

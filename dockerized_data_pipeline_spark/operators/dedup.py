@@ -250,8 +250,13 @@ def collapse_neardups(
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """X2 (SimHash flavor): 64-bit signature per document; near-dups have
-    small hamming distance. Per-row compute only."""
-    staged = df.select(
+    small hamming distance. Per-row compute only.
+
+    NULL text has no signature: the row is excluded (r10 NULL tier; the
+    vote fold would otherwise emit a meaningless all-zero signature that
+    "matches" every other NULL-text doc at hamming 0). Same policy as
+    MinHash, where a NULL text simply yields no shingles."""
+    staged = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), simhash_token_hashes(F.col(text_col)).alias("__sh_hashes")
     )
     return staged.select(

@@ -24,11 +24,20 @@ from .registry import query
 @query(
     "asof_click_to_purchase",
     oracle="""
+    -- NULL-ts handling (r10): DuckDB's native ASOF sorts a NULL left ts
+    -- as GREATEST and matches it to the latest right row, where SQL
+    -- inequality semantics (and the engine) say unmatched -- so NULL-ts
+    -- left rows bypass the ASOF and return unmatched; NULL-ts right rows
+    -- are excluded (they can never satisfy the inequality).
     SELECT l.event_id, l.user_id, l.ts,
            r.event_id AS asof_event_id, r.value AS asof_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    FROM (SELECT * FROM events WHERE event_type = 'click' AND ts IS NOT NULL) l
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'purchase' AND ts IS NOT NULL) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
+    UNION ALL
+    SELECT event_id, user_id, ts, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'click' AND ts IS NULL
     """,
 )
 def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,14 +63,19 @@ def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "asof_forward_next_purchase",
     oracle="""
+    -- NULL-ts handling (r10): see asof_click_to_purchase.
     SELECT l.event_id, l.user_id, l.ts,
            CASE WHEN r.ts <= l.ts + INTERVAL 2 HOUR THEN r.event_id END
                AS asof_event_id,
            CASE WHEN r.ts <= l.ts + INTERVAL 2 HOUR THEN r.value END
                AS asof_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    FROM (SELECT * FROM events WHERE event_type = 'click' AND ts IS NOT NULL) l
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type = 'purchase' AND ts IS NOT NULL) r
       ON l.user_id = r.user_id AND l.ts <= r.ts
+    UNION ALL
+    SELECT event_id, user_id, ts, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'click' AND ts IS NULL
     """,
 )
 def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,11 +142,11 @@ def range_join_click_in_purchase_window(spark: SparkSession, sf_dir: str) -> Dat
              SUM(CASE WHEN prev_ts IS NULL
                         OR epoch_us(ts) - epoch_us(prev_ts) > CAST(3600 AS BIGINT) * 1000000
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM (
         SELECT event_id, user_id, ts,
-               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_ts
         FROM events
       )
     )

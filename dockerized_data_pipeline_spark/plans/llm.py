@@ -154,10 +154,14 @@ def x5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# COALESCE(.., 0) (r10 NULL tier): NULL text scores 0 on every marker set,
+# so the CASE's GREATEST()=0 arm yields 'und' -- the Spark side's
+# lang_guess already treats NULL scores as "no hit" (its conditions are
+# NULL -> false), so both engines answer 'und' for absent text.
 _LANG_SCORE_SQL = {
-    lang: f"LEN(list_filter(string_split(text, ' '), t -> t IN ('"
+    lang: f"COALESCE(LEN(list_filter(string_split(text, ' '), t -> t IN ('"
     + "','".join(markers)
-    + "')))"
+    + "'))), 0)"
     for lang, markers in TX.LANG_MARKERS.items()
 }
 
@@ -193,12 +197,12 @@ def x5_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x5_doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           list_reduce(
+           CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ' '),
                               t -> CAST(LENGTH(t) * 17 + ascii(t[1:1]) AS BIGINT))),
              (acc, v) -> (acc * 31 + v) % {TX.FINGERPRINT_MOD}
-           ) AS fingerprint
+           ) END AS fingerprint
     FROM documents
     """,
 )
@@ -1640,13 +1644,16 @@ def x5_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(c * c) AS sum_sq, MAX(c) AS top
       FROM cnt GROUP BY doc_id
     )
-    SELECT doc_id,
+    -- LEFT JOIN from documents (r10 NULL tier): the unnest silently drops
+    -- NULL-text docs; Spark's higher-order functions keep the row with
+    -- NULL metrics, so the oracle must too.
+    SELECT dd.doc_id,
            CAST(n AS BIGINT) AS n_tokens,
            CAST(d AS BIGINT) AS distinct_tokens,
            CAST(d * 1000000 // n AS BIGINT) AS ttr_ppm,
            CAST(1000000 - (sum_sq * 1000000 // (n * n)) AS BIGINT) AS gini_ppm,
            CAST(top * 1000000 // n AS BIGINT) AS top_share_ppm
-    FROM agg
+    FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
     """,
 )
 def x5_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2199,6 +2206,7 @@ _OPENING_TOKENS = 8
              md5(array_to_string(string_split(text, ' ')[1:{_OPENING_TOKENS}], ' ')) AS fp,
              source
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(COUNT(*) AS BIGINT) AS shared_openings
@@ -2217,7 +2225,11 @@ def x8_shared_openings(spark: SparkSession, sf_dir: str) -> DataFrame:
     so candidate cost tracks shared-boilerplate density, never n^2 over
     docs."""
     d = load_table(spark, sf_dir, "documents")
-    h = d.select(
+    # text IS NOT NULL (r10 NULL tier): concat_ws SWALLOWS a NULL token
+    # array, so every NULL-text doc fingerprinted to md5('') and all
+    # sources spuriously "shared" the empty opening. Absent text is not
+    # a shared opening.
+    h = d.filter(F.col("text").isNotNull()).select(
         F.md5(
             F.concat_ws(" ", F.slice(TX.tokens(F.col("text")), 1, _OPENING_TOKENS))
         ).alias("fp"),

@@ -23,8 +23,18 @@ def _cents() -> F.Column:
     return F.round(F.col("value") * 100).cast("bigint")
 
 
+def _ts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events restricted to rows WITH a timestamp (r10 NULL-tier policy:
+    a time series is indexed by time -- a row with NULL ts has no
+    position on the axis, and every bucketing/windowing query here would
+    otherwise manufacture a meaningless NULL bucket). Oracles carry the
+    matching WHERE ts IS NOT NULL. Also sidesteps DuckDB 1.0's broken
+    non-NULL inference for date_trunc (see plans/relational.py)."""
+    return load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+
 def _hourly_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    events = _ts_events(spark, sf_dir).withColumn("cents", _cents())
     return TS.resample_last(
         events, ["event_type"], "ts", "cents", unit="hour", tiebreak_cols=["event_id"]
     ).withColumnRenamed("value", "close_cents")
@@ -34,7 +44,7 @@ def _raw_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap span source for the grid branch: a narrow scan + min/max
     partial agg instead of re-running the resample window (same span --
     every event lands in a bucket)."""
-    return load_table(spark, sf_dir, "events").select(
+    return _ts_events(spark, sf_dir).select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     )
 
@@ -44,7 +54,7 @@ _ORACLE_OBS_GRID = """
     WITH obs AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
              CAST(ROUND(value * 100) AS BIGINT) AS close_cents
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       QUALIFY ROW_NUMBER() OVER (
           PARTITION BY event_type, date_trunc('hour', ts)
           ORDER BY ts DESC, event_id DESC) = 1
@@ -146,7 +156,7 @@ def ts_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts, event_id) AS rn_a,
              ROW_NUMBER() OVER (PARTITION BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
                                 ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type, bucket,
            MAX(CASE WHEN rn_a = 1 THEN cents END) AS open,
@@ -163,7 +173,7 @@ def ts_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (README.md:143-152) derived from raw ticks in one partial+final
     hash aggregation; open/close picked by min_by/max_by on (ts, event_id)
     so ties are deterministic."""
-    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    events = _ts_events(spark, sf_dir).withColumn("cents", _cents())
     return TS.resample_ohlc(
         events, ["event_type"], "ts", "cents", unit="day", tiebreak_cols=["event_id"]
     )
@@ -175,7 +185,7 @@ def ts_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT event_type, ts, event_id,
              CAST(ROUND(value * 100) AS BIGINT) AS cents
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), p AS (
       SELECT event_type, ts, cents,
              MAX(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
@@ -200,7 +210,7 @@ def ts_drawdown_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     store; this one recovers it with a single per-key ordered window."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    events = _ts_events(spark, sf_dir).withColumn("cents", _cents())
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -458,9 +468,9 @@ def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT type_a, type_b,
              ROW_NUMBER() OVER (PARTITION BY type_a, type_b
-                                ORDER BY ca, bucket) AS ra,
+                                ORDER BY ca NULLS FIRST, bucket) AS ra,
              ROW_NUMBER() OVER (PARTITION BY type_a, type_b
-                                ORDER BY cb, bucket) AS rb
+                                ORDER BY cb NULLS FIRST, bucket) AS rb
       FROM matched
     )
     SELECT type_a, type_b,
@@ -594,7 +604,7 @@ def ts_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH closes AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(ROUND(value * 100) AS BIGINT) AS cents
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       QUALIFY ROW_NUMBER() OVER (
         PARTITION BY event_type, date_trunc('day', ts)
         ORDER BY ts DESC, event_id DESC) = 1
@@ -625,7 +635,7 @@ def ts_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides). Daily close resample -> lag -> per-day ranking."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events").withColumn("cents", _cents())
+    events = _ts_events(spark, sf_dir).withColumn("cents", _cents())
     closes = TS.resample_last(
         events, ["event_type"], "ts", "cents", unit="day", tiebreak_cols=["event_id"]
     ).withColumnRenamed("value", "cents").withColumnRenamed("bucket", "day")
