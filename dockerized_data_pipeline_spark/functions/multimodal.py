@@ -103,20 +103,24 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_bytes = pdf["blob"].map(lambda b: len(b) if b is not None else 0)
-            dims = n_bytes.map(_fake_dims)
-            width = dims.map(lambda d: d[0]).astype("int32")
-            height = dims.map(lambda d: d[1]).astype("int32")
+            # NULL blob -> NULL decode (r10 NULL tier): an absent blob has
+            # no byte length or dimensions; SQL strlen(NULL) agrees.
+            n_bytes = pdf["blob"].map(lambda b: len(b) if b is not None else None)
+            dims = n_bytes.map(lambda n: _fake_dims(n) if n is not None else (None, None))
+            width = dims.map(lambda d: d[0])
+            height = dims.map(lambda d: d[1])
+            aspect = [
+                w * 1_000_000 // h if w is not None else None
+                for w, h in zip(width, height)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": n_bytes.astype("int64"),
+                    "n_bytes": n_bytes,
                     "width": width,
                     "height": height,
-                    "aspect_ppm": (width.astype("int64") * 1_000_000 // height).astype(
-                        "int64"
-                    ),
+                    "aspect_ppm": aspect,
                 }
             )
 
@@ -131,7 +135,9 @@ def sample_frames(media: DataFrame) -> DataFrame:
         for pdf in it:
             out = {"media_id": [], "frame_idx": [], "frame_bytes": []}
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                n = len(blob) if blob is not None else 0
+                if blob is None:  # no container -> no frames (r10 NULL tier)
+                    continue
+                n = len(blob)
                 for idx in range(1 + n % 4):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
@@ -159,23 +165,25 @@ def resize_media(media: DataFrame, box_w: int = 224, box_h: int = 224) -> DataFr
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_bytes = pdf["blob"].map(lambda b: len(b) if b is not None else 0)
-            dims = n_bytes.map(_fake_dims)
-            width = dims.map(lambda d: d[0]).astype("int32")
-            height = dims.map(lambda d: d[1]).astype("int32")
-            scale = (box_w / width).combine(box_h / height, min)
-            out_w = (width * scale).astype("int64").clip(lower=1).astype("int32")
-            out_h = (height * scale).astype("int64").clip(lower=1).astype("int32")
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": width,
-                    "height": height,
-                    "out_width": out_w,
-                    "out_height": out_h,
-                    "out_bytes": (out_w.astype("int64") * out_h * 3),
-                }
-            )
+            rows = {
+                "media_id": pdf["media_id"], "width": [], "height": [],
+                "out_width": [], "out_height": [], "out_bytes": [],
+            }
+            for b in pdf["blob"]:
+                if b is None:  # NULL blob -> NULL geometry (r10 NULL tier)
+                    for k in ("width", "height", "out_width", "out_height", "out_bytes"):
+                        rows[k].append(None)
+                    continue
+                w, h = _fake_dims(len(b))
+                scale = min(box_w / w, box_h / h)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_bytes"].append(ow * oh * 3)
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
 
@@ -188,7 +196,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                [((len(b or b"") * 31 + i * 7) % 1000) / 1000.0 for i in range(FEATURE_DIM)]
+                [None] * FEATURE_DIM  # NULL blob: per-component NULL, like
+                # the oracle's list_transform over strlen(NULL)
+                if b is None
+                else [((len(b) * 31 + i * 7) % 1000) / 1000.0 for i in range(FEATURE_DIM)]
                 for b in pdf["blob"]
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
@@ -231,7 +242,15 @@ def audio_frame_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFram
         for pdf in it:
             out = {"media_id": [], "window_idx": [], "n_samples": [], "energy": []}
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                samples = np.frombuffer(blob or b"", dtype=np.uint8).astype(np.int64)
+                if blob is None:
+                    # one empty window with NULL sample count (the oracle's
+                    # GREATEST(strlen, 1) / strlen(NULL) / COALESCE chain)
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(0)
+                    out["n_samples"].append(None)
+                    out["energy"].append(0)
+                    continue
+                samples = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
                 for w in range(0, max(len(samples), 1), window):
                     chunk = samples[w : w + window]
                     out["media_id"].append(mid)
@@ -506,8 +525,9 @@ def decode_media_arrow(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in it:
             blob = rb.column(rb.schema.get_field_index("blob"))
+            # NULL blob stays NULL end-to-end (r10 NULL tier): all the
+            # arithmetic kernels below propagate validity bitmaps natively
             n_bytes = pc.binary_length(blob).cast(pa.int64())
-            n_bytes = pc.coalesce(n_bytes, pa.scalar(0, pa.int64()))
             # width = 64 + n % 192 ; height = 64 + (n*7) % 192 (fake header
             # parse, arithmetic identical to _fake_dims)
             width = pc.add(

@@ -377,8 +377,16 @@ def unicode_nfc_profile(
                 "changed": [], "nfc_md5": [],
             }
             for did, s in zip(pdf[id_col], pdf[text_col]):
-                n = unicodedata.normalize("NFC", s)
                 out["doc_id"].append(did)
+                if s is None:  # NULL text -> NULL profile (r10 NULL tier:
+                    # matches SQL propagation -- length(NULL)/md5(NULL)
+                    # are NULL in both engines)
+                    out["raw_chars"].append(None)
+                    out["nfc_chars"].append(None)
+                    out["changed"].append(None)
+                    out["nfc_md5"].append(None)
+                    continue
+                n = unicodedata.normalize("NFC", s)
                 out["raw_chars"].append(len(s))
                 out["nfc_chars"].append(len(n))
                 out["changed"].append(n != s)

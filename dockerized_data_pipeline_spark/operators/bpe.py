@@ -201,6 +201,13 @@ def bpe_apply(
         for pdf in it:
             out = {"doc_id": [], "n_tokens": [], "tokens_md5": []}
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    # NULL text -> NULL tokenization (r10 NULL tier): the
+                    # oracle's length/md5 chain propagates NULL the same way
+                    out["doc_id"].append(did)
+                    out["n_tokens"].append(None)
+                    out["tokens_md5"].append(None)
+                    continue
                 toks: list[str] = []
                 for w in split_words(text):
                     got = memo.get(w)

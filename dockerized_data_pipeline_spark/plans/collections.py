@@ -54,7 +54,9 @@ def f_array_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            LEN(json_keys(props)) AS n_keys,
            json_keys(props)[1] AS first_key,
-           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+           CASE WHEN props IS NULL THEN NULL
+                ELSE (json_extract_string(props, '$.k') IS NOT NULL)
+           END AS has_k,
            COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default
     FROM events
     """,

@@ -189,8 +189,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE
           WHEN o.o_orderkey IS NULL THEN 'added'
           WHEN s.o_orderkey IS NULL THEN 'removed'
-          WHEN o.o_totalprice = s.o_totalprice
-               AND o.o_orderstatus = s.o_orderstatus THEN 'same'
+          WHEN o.o_totalprice IS NOT DISTINCT FROM s.o_totalprice
+               AND o.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+               THEN 'same'
           ELSE 'changed'
         END AS change_type
       FROM orders o FULL OUTER JOIN snap s ON o.o_orderkey = s.o_orderkey

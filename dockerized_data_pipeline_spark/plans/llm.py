@@ -3233,7 +3233,12 @@ def x3_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, rk FROM (
       SELECT event_id, user_id,
              ROW_NUMBER() OVER (
-               PARTITION BY user_id, date_trunc('hour', ts)
+               -- CASE wrap: DuckDB 1.0 mis-infers date_trunc as
+               -- non-nullable and hash-partitions its NULLs by garbage
+               -- (see plans/relational.py window_hourly_delta)
+               PARTITION BY user_id,
+                            CASE WHEN ts IS NULL THEN NULL
+                                 ELSE date_trunc('hour', ts) END
                ORDER BY ts, event_id) AS rk
       FROM events) WHERE rk <= 5
     """,
@@ -3662,11 +3667,21 @@ def x8_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dropped"),
     )
-    return stats.join(emitted, "source", "left").select(
-        "source",
-        "n_docs",
-        F.coalesce("total_copies", F.lit(0)).cast("bigint").alias("total_copies"),
-        "n_dropped",
+    # eqNullSafe (r10 NULL tier): source is a nullable grouping key -- a
+    # plain-equality join dropped the NULL-source group's emitted count
+    # and reported 0 copies for rows that were in fact replicated.
+    return (
+        stats.join(
+            emitted.withColumnRenamed("source", "__e_src"),
+            stats["source"].eqNullSafe(F.col("__e_src")),
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("total_copies", F.lit(0)).cast("bigint").alias("total_copies"),
+            "n_dropped",
+        )
     )
 
 

@@ -55,9 +55,15 @@ def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, width, height, out_width, out_height,
            CAST(out_width AS BIGINT) * out_height * 3 AS out_bytes
     FROM (
+      -- CASE: duck GREATEST IGNORES NULLs (returns 1 for a NULL dim);
+      -- the engine's NULL geometry must stay NULL (r10 NULL tier)
       SELECT media_id, width, height,
-             GREATEST(1, CAST(FLOOR(width * scale) AS INTEGER)) AS out_width,
-             GREATEST(1, CAST(FLOOR(height * scale) AS INTEGER)) AS out_height
+             CASE WHEN width IS NULL THEN NULL
+                  ELSE GREATEST(1, CAST(FLOOR(width * scale) AS INTEGER))
+             END AS out_width,
+             CASE WHEN height IS NULL THEN NULL
+                  ELSE GREATEST(1, CAST(FLOOR(height * scale) AS INTEGER))
+             END AS out_height
       FROM (
         SELECT media_id, width, height,
                LEAST(224.0 / width, 224.0 / height) AS scale
@@ -145,10 +151,14 @@ def _duck_multimodal_pipeline_sql() -> str:
     sqd = _duck_sq_dist("a.v", "c.cv")
     return f"""
 WITH v AS (
+  -- undecodable (NULL-blob) media are dropped before clustering (r10
+  -- NULL tier) -- their features have no position in the space; the
+  -- Spark side applies the same gate
   SELECT doc_id AS vec_id,
          list_transform(range(0, 8), i ->
            CAST((strlen(text) * 31 + i * 7) % 1000 AS DOUBLE) / 1000.0) AS v
   FROM documents
+  WHERE text IS NOT NULL
 ),
 {ctes},
 assigned AS (
@@ -179,7 +189,12 @@ def x4_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import kmeans as KM
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(media_from_documents(docs))
+    # undecodable (NULL-blob) media are dropped before clustering -- their
+    # features have no position in the space (mirrors the oracle's
+    # WHERE text IS NOT NULL)
+    feats = extract_features(
+        media_from_documents(docs.filter(F.col("text").isNotNull()))
+    )
     cents = KM.kmeans_fit(feats, "media_id", "feature", k=4, iterations=2)
     assigned = KM._with_assignment(
         feats.select("media_id", F.col("feature").alias("v")), "v", cents

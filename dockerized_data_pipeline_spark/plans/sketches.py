@@ -56,6 +56,11 @@ def _cms_oracle(depth: int = 4, width: int = 256) -> str:
 
     s = DH.Steps("c")
     hh = DH.xxh64_ascii(s, "k", DH.SEED42)
+    # NULL-key rule (r10 NULL tier): Spark's xxhash64 SKIPS a NULL column
+    # (the running hash stays at the 42 seed before the seed-index mixes
+    # in), so a NULL key lands in real buckets and gets a real estimate;
+    # the ascii chain instead yields NULL. Pin the Spark semantics.
+    hh = f"(CASE WHEN k IS NULL THEN {DH.SEED42} ELSE {hh} END)"
     mixed = DH.xxh64_int_batch(s, [str(i) for i in range(depth)], hh)
     buckets = ", ".join(
         f"({m}) % {DH._c(width)} AS b{i}" for i, m in enumerate(mixed)

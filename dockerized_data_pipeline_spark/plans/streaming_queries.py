@@ -19,7 +19,7 @@ from .registry import query
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def t_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +50,7 @@ def t_tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
@@ -91,7 +91,7 @@ def t_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + INTERVAL '30 minutes'
              ]) AS window_start,
              event_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ) GROUP BY 1, 2
     """,
 )
