@@ -22,6 +22,7 @@ iteration, row-multiplying frame sampling -- is real and tested. Codecs:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -589,9 +590,21 @@ Y4M_DECODED_SCHEMA = (
 Y4M_FRAME_SCHEMA = "media_id long, frame_idx int, y_sum long"
 
 
+# Media-scale knob (r10, VERDICT task 5): multiplies synthesized codec
+# dimensions for the throughput probe (tools/media_scale_probe.py). The
+# registered ORACLES assume scale 1 (default; dims re-derived in SQL
+# from doc_id), so correctness runs never set this -- the probe's scaled
+# series checks the real container parsers structurally (a dims bug
+# breaks the parse) and verifies y4m plane sums against an independent
+# numpy reference. Read at import so Spark's reused Python workers (same
+# env in local mode) agree with the driver.
+_MEDIA_DIM_SCALE = int(os.environ.get("SPARK_GRAFT_MEDIA_DIM_SCALE", "1"))
+
+
 def _y4m_dims(media_id: int) -> tuple[int, int]:
     # even dims (C420 subsamples chroma 2x2): w in {4,6,8,10}, h likewise
-    return 2 * (2 + media_id % 4), 2 * (2 + (media_id * 3) % 4)
+    s = _MEDIA_DIM_SCALE
+    return 2 * s * (2 + media_id % 4), 2 * s * (2 + (media_id * 3) % 4)
 
 
 def _y4m_frame_count(media_id: int) -> int:
@@ -1148,7 +1161,8 @@ _JPEG_PROG_AC_SYMBOLS = (
 
 
 def _jpeg_dims(media_id: int) -> tuple[int, int]:
-    return 16 + media_id % 17, 16 + (media_id * 5) % 17
+    s = _MEDIA_DIM_SCALE
+    return s * (16 + media_id % 17), s * (16 + (media_id * 5) % 17)
 
 
 def _jpeg_block_params(media_id: int, bx: int, by: int) -> tuple[int, int]:
@@ -1835,7 +1849,8 @@ def _jpeg_color_dims(media_id: int) -> tuple[int, int]:
     """16..32 on both axes: spans images needing 1x1 to 2x2 MCU grids,
     including non-multiple-of-16 dims that force padded edge MCUs in
     BOTH the luma and chroma planes."""
-    return 16 + media_id % 17, 16 + (media_id * 5) % 17
+    s = _MEDIA_DIM_SCALE
+    return s * (16 + media_id % 17), s * (16 + (media_id * 5) % 17)
 
 
 def _jpeg_chroma_params(media_id: int, comp: int, bx: int, by: int):

@@ -192,18 +192,27 @@ def xxh64_int(s: Steps, i_u32: str, seed_u: str) -> str:
 
 def xxh64_ascii(s: Steps, txt: str, seed_u: str) -> str:
     """Steps for Spark hashBytes over the UTF-8 bytes of ``txt``, valid
-    for byte length < 32 (no stripe loop) and ASCII content (byte ==
-    code point). Returns the unsigned result column name.
+    for byte length < 32 (no stripe loop). Returns the unsigned result
+    column name.
 
-    The input is padded with 32 chr(1) bytes so every word/byte read is
-    in range; rounds are gated by length so pad bytes never contribute
-    (the gating CASE, not evaluation-order luck, is the correctness
-    argument)."""
-    sp = s.add(f"({txt}) || repeat(chr(1), 32)")
-    ln = s.add(f"CAST(length({txt}) AS UBIGINT)")
+    r10 (found by the Unicode tier): byte access goes through
+    ``hex(encode(txt))`` -- two hex digits per UTF-8 BYTE -- instead of
+    per-CHARACTER ``ord``, which returned full code points (e.g. 128102
+    for an emoji) and both diverged from Spark's byte-wise hash and
+    overflowed the UINT64 word assembly. The hex string is padded with
+    32 '01' byte pairs so every read is in range; rounds are gated by
+    BYTE length so pad bytes never contribute (the gating CASE, not
+    evaluation-order luck, is the correctness argument)."""
+    sp = s.add(f"hex(encode({txt})) || repeat('01', 32)")
+    ln = s.add(f"CAST(octet_length(encode({txt})) AS UBIGINT)")
 
-    def byte(pos_expr: str) -> str:  # 1-based position in padded string
-        return f"CAST(ord(substring({sp}, CAST({pos_expr} AS INTEGER), 1)) AS UBIGINT)"
+    def byte(pos_expr: str) -> str:  # 1-based BYTE position
+        hx1 = f"substring({sp}, CAST(2 * ({pos_expr}) - 1 AS INTEGER), 1)"
+        hx2 = f"substring({sp}, CAST(2 * ({pos_expr}) AS INTEGER), 1)"
+        return (
+            f"CAST((strpos('0123456789ABCDEF', {hx1}) - 1) * 16"
+            f" + (strpos('0123456789ABCDEF', {hx2}) - 1) AS UBIGINT)"
+        )
 
     h = s.add(_wadd(_wadd(seed_u, _c(P5)), ln))
     for j in range(3):  # full 8-byte LE words (len < 32 -> at most 3)

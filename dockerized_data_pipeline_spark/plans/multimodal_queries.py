@@ -107,22 +107,33 @@ def x4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x4_audio_frame_energy",
     oracle="""
-    WITH w AS (
-      SELECT doc_id AS media_id, text,
-             unnest(range(0, GREATEST(strlen(text), 1), 256)) AS w0
+    -- BYTE-wise replay (r10, found by the Unicode tier): the stub PCM
+    -- decode reads UTF-8 BYTES as samples; ord(substr(...)) read CODE
+    -- POINTS and overflowed INT32 squaring an emoji. hex(encode(text))
+    -- exposes the true byte stream (two hex digits per byte).
+    WITH b AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
       FROM documents),
-    c AS (
-      SELECT media_id, CAST(w0 / 256 AS INT) AS window_idx,
-             substr(text, CAST(w0 AS INT) + 1, 256) AS chunk
-      FROM w)
-    SELECT media_id, window_idx,
-           CAST(strlen(chunk) AS INT) AS n_samples,
+    w AS (
+      SELECT media_id, hx, n, unnest(range(0, GREATEST(n, 1), 256)) AS w0
+      FROM b)
+    SELECT media_id, CAST(w0 // 256 AS INT) AS window_idx,
+           CAST(CASE WHEN n IS NULL THEN NULL
+                     ELSE LEAST(256, n - w0) END AS INT) AS n_samples,
            CAST(COALESCE(list_sum(list_transform(
-                  range(1, strlen(chunk) + 1),
-                  i -> ord(substr(chunk, CAST(i AS INT), 1))
-                       * ord(substr(chunk, CAST(i AS INT), 1)))), 0) AS BIGINT)
-               AS energy
-    FROM c
+                  range(1, CAST(CASE WHEN n IS NULL THEN 0
+                                ELSE LEAST(256, n - w0) END AS BIGINT) + 1),
+                  i -> ((strpos('0123456789ABCDEF',
+                                substr(hx, CAST(2*(w0+i)-1 AS INT), 1)) - 1) * 16
+                        + (strpos('0123456789ABCDEF',
+                                  substr(hx, CAST(2*(w0+i) AS INT), 1)) - 1))
+                       * ((strpos('0123456789ABCDEF',
+                                  substr(hx, CAST(2*(w0+i)-1 AS INT), 1)) - 1) * 16
+                          + (strpos('0123456789ABCDEF',
+                                    substr(hx, CAST(2*(w0+i) AS INT), 1)) - 1)))),
+                0) AS BIGINT) AS energy
+    FROM w
     """,
 )
 def x4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,7 +24,15 @@ progress, starve the box, nor sink the whole report -- it shows up as a
 TIMEOUT line instead.
 
 Usage: python tools/scale_oracle.py [sf ...] [--out DIR] [--timeout SEC]
+           [--queries all|headline] [--batch N]
        default sfs: 1 10; output: SCALE_ORACLE_r9/check_oracle_sf{sf}.txt
+
+``--queries all`` (r10, VERDICT task 3) runs the FULL oracled registry
+at the given sf instead of the headline+heavy set: queries are batched
+N-per-subprocess (one Spark startup per batch, per-query verdict lines
+parsed from incremental stdout; a batch timeout marks only the
+not-yet-reported queries), with the documented quadratic-by-design
+oracles excluded via MAX_SF.
 """
 
 from __future__ import annotations
@@ -95,6 +103,20 @@ MAX_SF = {
     "x3_semantic_dedup": 1.0,
     "x7_corpus_prep_semantic": 1.0,
     "graph_pagerank_trade": 1.0,
+    # --queries all additions (r10): documented quadratic-by-design
+    # verification baselines stay at the driver tier -- the scalable
+    # twins (LSH/IVF/banded) are what the scale oracle exercises.
+    "x3_cosine_neardup_pairs": 0.1,   # O(n^2) pair dots (module doc)
+    "graph_triangle_count": 0.1,      # dense-graph 3-join oracle: 138M
+    # wedges at sf0.1 already; the bitset engine side scales, the SQL
+    # replay does not
+    "x3_neardup_collapse": 0.1,       # BRP buckets degenerate on the
+    # near-orthogonal synthetic tier (see HEAVY_10 note)
+    "fuzzy_name_pairs": 1.0,          # duck replay is row-level
+    # quadratic in duplicate density; engine re-verified at sf10 by the
+    # capped/cluster variants
+    "fuzzy_name_clusters": 1.0,       # RECURSIVE closure replay
+    "x2_simhash_neardup_pairs": 1.0,  # 64-bit banding replay cost
 }
 
 
@@ -134,6 +156,16 @@ def main() -> int:
         i = args.index("--timeout")
         per_query_timeout = int(args[i + 1])
         del args[i : i + 2]
+    query_mode = "headline"
+    if "--queries" in args:
+        i = args.index("--queries")
+        query_mode = args[i + 1]
+        del args[i : i + 2]
+    batch_n = 8
+    if "--batch" in args:
+        i = args.index("--batch")
+        batch_n = int(args[i + 1])
+        del args[i : i + 2]
     sfs = [float(a) for a in args] or [1.0, 10.0]
     os.makedirs(out_dir, exist_ok=True)
     env = dict(os.environ)
@@ -145,41 +177,85 @@ def main() -> int:
     rc = 0
     for sf in sfs:
         tier = ensure_tier(sf)
-        queries = [
-            q for q in HEADLINE_15 + HEAVY_10 if sf <= MAX_SF.get(q, 1e9)
-        ]
+        if query_mode == "all":
+            sys.path.insert(0, REPO)
+            import __spark_entry__ as entry_mod
+
+            oracles = set(entry_mod.oracle_sql())
+            ordered = list(entry_mod.queries())
+            # priority families first (scale changes their semantics:
+            # RANGE-frame tie density, multiset set-ops, rollup/cube,
+            # x8 bin boundaries, remaining x2/x3) -- so a wall-clock
+            # cutoff still covers the highest-value entries
+            def prio(q):
+                fams = ("window_", "set_", "agg_rollup", "agg_cube",
+                        "agg_grouping", "x8_", "x2_", "x3_")
+                return (0 if q.startswith(fams) else 1, q)
+
+            queries = sorted(
+                (q for q in ordered
+                 if q in oracles and sf <= MAX_SF.get(q, 1e9)),
+                key=prio,
+            )
+        else:
+            queries = [
+                q for q in HEADLINE_15 + HEAVY_10 if sf <= MAX_SF.get(q, 1e9)
+            ]
         report = os.path.join(out_dir, f"check_oracle_sf{sf:g}.txt")
-        print(f"== sf{sf:g} -> {report}", flush=True)
+        print(f"== sf{sf:g} -> {report} ({len(queries)} queries)", flush=True)
         n_pass = n_fail = n_timeout = 0
+        batches = [
+            queries[i : i + batch_n] for i in range(0, len(queries), batch_n)
+        ] if query_mode == "all" else [[q] for q in queries]
         with open(report, "w") as f:
-            for name in queries:
+            for batch in batches:
                 t0 = time.time()
                 try:
                     p = subprocess.run(
                         [sys.executable,
                          os.path.join(REPO, "tools", "check_oracle.py"),
-                         tier, name],
+                         tier, *batch],
                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                        text=True, env=env, timeout=per_query_timeout,
+                        text=True, env=env,
+                        timeout=per_query_timeout * (1 if len(batch) == 1
+                                                     else 2),
                     )
-                    # keep only the per-query verdict lines (drop summary)
-                    lines = [
-                        ln for ln in p.stdout.splitlines()
-                        if ln.startswith(("PASS", "FAIL", "ROWS"))
-                    ]
-                    out = "\n".join(lines) or f"FAIL  {name}: no output"
-                    if any(ln.startswith("FAIL") for ln in lines) or not lines:
+                    stdout = p.stdout
+                    timed_out = False
+                except subprocess.TimeoutExpired as exc:
+                    stdout = (exc.stdout or b"")
+                    if isinstance(stdout, bytes):
+                        stdout = stdout.decode(errors="replace")
+                    timed_out = True
+                # keep only the per-query verdict lines (drop summary)
+                lines = [
+                    ln for ln in stdout.splitlines()
+                    if ln.startswith(("PASS", "FAIL", "ROWS"))
+                ]
+                reported = {
+                    ln.split()[1].rstrip(":") for ln in lines if len(ln.split()) > 1
+                }
+                out_lines = list(lines)
+                for name in batch:
+                    if name not in reported:
+                        if timed_out:
+                            out_lines.append(
+                                f"TIMEOUT  {name}: batch exceeded "
+                                f"{per_query_timeout * 2}s "
+                                f"[{time.time()-t0:.0f}s]"
+                            )
+                            n_timeout += 1
+                        else:
+                            out_lines.append(f"FAIL  {name}: no output")
+                            n_fail += 1
+                        rc = 1
+                for ln in lines:
+                    if ln.startswith("FAIL"):
                         n_fail += 1
                         rc = 1
-                    else:
+                    elif ln.startswith(("PASS", "ROWS")):
                         n_pass += 1
-                except subprocess.TimeoutExpired:
-                    out = (
-                        f"TIMEOUT  {name}: exceeded {per_query_timeout}s "
-                        f"[{time.time()-t0:.0f}s]"
-                    )
-                    n_timeout += 1
-                    rc = 1
+                out = "\n".join(out_lines)
                 print(out, flush=True)
                 f.write(out + "\n")
                 f.flush()
