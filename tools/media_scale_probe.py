@@ -75,9 +75,11 @@ def _run_single(cfg: dict) -> None:
 
     import duckdb
 
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(doc_path):
+        doc_path = os.path.join(doc_path, "*.parquet")
     n_blobs = duckdb.sql(
-        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet'"
-        f"{'/*.parquet' if os.path.isdir(os.path.join(sf_dir, 'documents.parquet')) else ''})"
+        f"SELECT COUNT(*) FROM read_parquet('{doc_path}')"
     ).fetchone()[0]
 
     result = {**cfg, "n_blobs": int(n_blobs), "times_sec": times,
