@@ -112,6 +112,10 @@ MAX_SF = {
     # replay does not
     "x3_neardup_collapse": 0.1,       # BRP buckets degenerate on the
     # near-orthogonal synthetic tier (see HEAVY_10 note)
+    "x3_lsh_neardup_pairs": 0.1,      # same BRP degeneracy (confirmed:
+    # the first --queries all sf1 run timed it out at 1200s -- every
+    # synthetic vector projects near 0, one mega-bucket; planted-dup
+    # tests cover the spreading regime)
     "fuzzy_name_pairs": 1.0,          # duck replay is row-level
     # quadratic in duplicate density; engine re-verified at sf10 by the
     # capped/cluster variants
