@@ -275,3 +275,32 @@ def test_scrub_zero_sign_classifier_unit():
     assert scrub_zero_sign(s) == scrub_zero_sign(d)
     d2 = Counter({("a", "-0.0", 3): 2, ("b", "1.6", 1): 1})
     assert scrub_zero_sign(s) != scrub_zero_sign(d2)
+
+
+def test_duck_datetrunc_nullability_divergence_is_pinned():
+    """r10 (NULL tier; fuzzer seed 990102 #88): DuckDB 1.0 mis-infers
+    date_trunc as NON-NULLABLE, so `WHERE DATE_TRUNC('hour', ts) IS NOT
+    NULL` over a NULL-bearing ts is constant-true (returns every row),
+    and the NULL buckets carry garbage through sorts/window partitions.
+    The CASE-wrap repair restores correct semantics. Pinned so a DuckDB
+    upgrade that fixes the inference flags the classifier (and the
+    CASE-wrapped oracles) for re-examination."""
+    import duckdb
+
+    con = duckdb.connect()
+    src = "/root/repo/fixtures/sf0.01-nulls/events.parquet"
+    total, with_ts = con.execute(
+        f"SELECT COUNT(*), COUNT(ts) FROM '{src}'"
+    ).fetchone()
+    assert with_ts < total  # the tier really has NULL timestamps
+    buggy = con.execute(
+        f"SELECT COUNT(*) FROM '{src}' "
+        "WHERE DATE_TRUNC('hour', ts) IS NOT NULL"
+    ).fetchone()[0]
+    assert buggy == total  # the bug: the filter is constant-true
+    repaired = con.execute(
+        f"SELECT COUNT(*) FROM '{src}' "
+        "WHERE (CASE WHEN ts IS NULL THEN NULL "
+        "       ELSE DATE_TRUNC('hour', ts) END) IS NOT NULL"
+    ).fetchone()[0]
+    assert repaired == with_ts  # the CASE-wrap repair is exact

@@ -1143,6 +1143,39 @@ def classify_divergence(spark, con, q, m):
                 return None
             if not s_rows:
                 return "rollup_empty_input"
+
+    # duck_datetrunc_nullability (r10; found by the NULL tier and
+    # independently re-found by this fuzzer at seed 990102 #88): DuckDB
+    # 1.0 mis-infers date_trunc as NON-NULLABLE, so NULL-sensitive
+    # contexts over DATE_TRUNC(nullable_ts) return wrong results --
+    # e.g. WHERE DATE_TRUNC('hour', ts) IS NOT NULL is constant-true
+    # (SWEEP_NULLS_r10/CLASSIFICATION.md D2). Classified by REPAIR:
+    # CASE-wrapping every DATE_TRUNC in the duck SQL restores correct
+    # nullability; if spark(original) == duck(wrapped), the divergence
+    # is exactly this bug (direction-safe: any other difference keeps
+    # the mismatch un-classified).
+    sql = render(q)
+    if m["kind"] in ("rowcount", "values") and "DATE_TRUNC" in sql.upper():
+        import re as _re
+
+        wrapped = _re.sub(
+            r"DATE_TRUNC\('(\w+)',\s*([A-Za-z0-9_.]+)\)",
+            r"CASE WHEN \2 IS NULL THEN NULL ELSE DATE_TRUNC('\1', \2) END",
+            sql,
+        )
+        if wrapped != sql:
+            try:
+                s_cols, s_rows = run_spark(spark, sql)
+                d_cols, d_rows, d_float = run_duck(con, wrapped)
+            except Exception:
+                return None
+            if len(s_rows) == len(d_rows) and len(s_rows) <= ROW_CAP:
+                s_ms, s_sorted = rows_multiset(s_cols, s_rows)
+                d_ms, d_sorted = rows_multiset(
+                    d_cols, d_rows, duck=True, float_cols=d_float
+                )
+                if s_sorted == d_sorted and s_ms == d_ms:
+                    return "duck_datetrunc_nullability"
     return None
 
 
@@ -1255,6 +1288,12 @@ def main() -> int:
     # keep the JVM from dumping a full stack per generated type error
     spark.sparkContext.setLogLevel("OFF")
     con = duckdb.connect()
+    # NULL-bearing tiers need single-threaded duck: its parallel window
+    # operator returns nondeterministically wrong results when keys
+    # contain NULLs (r10, SWEEP_NULLS_r10/CLASSIFICATION.md)
+    duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+    if duck_threads:
+        con.execute(f"SET threads={int(duck_threads)}")
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         con.execute(
