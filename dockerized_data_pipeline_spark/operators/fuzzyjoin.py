@@ -10,35 +10,35 @@ for distance <= 1 (unlike frequency-capped q-gram blocking, which silently
 drops pairs in low-entropy regions -- e.g. names sharing a long constant
 prefix).
 
-Scale design (r10, VERDICT task 4 -- the one plan marked weak): the r9
-row-level implementation joined deletion keys of every ROW, so a corpus
-with heavy name duplication (the operational norm -- the sf10 tier grew
-21.9x in time for 12x output) paid the bucket join quadratically in
-duplicate density AND deduplicated an (L+1)-times-inflated candidate set.
-The join now runs over DISTINCT names only:
+Scale design (r10, VERDICT task 4 -- the one plan marked weak). Two
+costs are unbounded in the uncapped pair enumeration, with a guard for
+each, mirroring the r9 LSH design:
 
-  1. collapse rows to distinct names (one hash-agg; at 100 TB the
-     distinct-name table is orders of magnitude smaller than the corpus),
-  2. deletion-key self-join + exact ``levenshtein`` verification at NAME
-     granularity -> name-level edge list,
-  3. expand name edges back to row pairs with two name-keyed joins
-     (output-bound work: every produced row IS an output row).
-
-Identical-name pairs never enter the key join at all -- they come from a
-direct name-equality self-join, which is pure output materialization.
-
-Remaining unbounded costs and their guards, mirroring the r9 LSH design:
-  * a deletion key shared by more than ``max_key_bucket_size`` distinct
-    names turns the key join quadratic in that bucket ->
-    ``max_key_bucket_size`` drops those keys (recall tradeoff, never
-    precision), observable via ``deletion_key_profile``;
+  * hot deletion keys (the zero-padded fixture prefix makes digit-
+    deletion buckets grow LINEARLY with the corpus, so the bucket join
+    grows quadratically -- the measured sf1->sf10 21.9x) ->
+    ``max_key_bucket_size`` drops keys shared by more than the cap
+    (recall tradeoff, never precision; sf10 capped: 36s vs 952s
+    uncapped in r9), observable via ``deletion_key_profile``;
   * the PAIR OUTPUT itself is quadratic in duplicate density (inherent
     to pair semantics) -> ``symspell_clusters`` is the linear-output
     form: connected components over the name-edge graph, one
-    (id, cluster_id) row per input row.
+    (id, cluster_id) row per input row (sf10: 54s).
 
-All built-in expressions; no UDFs; shuffles: distinct names, key join,
-two expansion joins (each keyed on name).
+The capped and cluster paths work at NAME granularity: collapse rows to
+distinct names (one hash-agg), deletion-key self-join + exact
+``levenshtein`` verification per distinct NAME PAIR, then expand back by
+name-keyed joins -- join cost tracks distinct names (cap semantics are
+defined on them), expansion is output-bound, and identical-name pairs
+never enter the key join at all (pure output materialization). The
+UNCAPPED pair form keeps the direct row-level join: on low-duplicate
+corpora it avoids the expansion joins entirely (sf1: 43s vs 112s
+measured for the name-collapsed form), and on dense-duplicate corpora
+its output is quadratic anyway -- it is the exhaustive verification
+baseline, the same role x3_cosine_neardup_pairs plays for ANN; the
+capped/cluster forms are the 100 TB paths.
+
+All built-in expressions; no UDFs.
 """
 
 from __future__ import annotations
@@ -102,9 +102,14 @@ def _name_edges(
     granularity, exact levenshtein verification."""
     dn = _distinct_names(base)
     keyed = _keyed_names(dn, max_key_bucket_size)
-    if max_key_bucket_size is None:
-        # self-join below: materialize the explode subtree once
-        keyed = keyed.localCheckpoint(eager=False)
+    # NO materialization of the uncapped keyed table: the explode is a
+    # cheap, narrow map over the (already tiny) distinct-name agg, and
+    # checkpointing ~(L+1) x names rows costs more I/O than recomputing
+    # the explode per join side (the repo's self-join rule targets
+    # EXPENSIVE subtrees; measured: materializing here was the
+    # difference between 43s and 110s+ at sf1). The capped path still
+    # materializes inside _keyed_names -- there the hot-list agg is a
+    # third consumer.
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(
@@ -123,6 +128,37 @@ def _name_edges(
     dist = F.levenshtein(F.col("name_x"), F.col("name_y"))
     return cand.withColumn("distance", dist.cast("bigint")).filter(
         F.col("distance") <= max_distance
+    )
+
+
+def _row_level_pairs(base: DataFrame, max_distance: int) -> DataFrame:
+    """The direct (uncapped) form: explode deletion keys per ROW, bucket
+    self-join, dedup candidates, exact levenshtein -- see the module doc
+    for when this beats the name-collapsed form and why the capped/
+    cluster forms replace it at scale."""
+    keyed = base.select(
+        F.col("id"),
+        F.col("name"),
+        F.explode(_deletion_keys(F.col("name"))).alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.filter(dist <= max_distance).withColumn(
+        "distance", dist.cast("bigint")
     )
 
 
@@ -152,6 +188,8 @@ def symspell_pairs(
     # lateral column alias and trips an analyzer bug inside the transform
     # lambda (Resolved plan should not contain LateralColumnAliasReference)
     base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    if max_key_bucket_size is None:
+        return _row_level_pairs(base, max_distance)
     edges = _name_edges(base, max_distance, max_key_bucket_size)
 
     ba, bb = base.alias("ba"), base.alias("bb")

@@ -360,9 +360,13 @@ def fuzzy_key_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_name_clusters",
     oracle=f"""
     WITH RECURSIVE {_FZ_KEYS_CTE},
+    kk AS (
+      SELECT name, rep, key FROM k
+      QUALIFY COUNT(*) OVER (PARTITION BY key) <= {_FZ_KEY_CAP}
+    ),
     ne AS (
       SELECT DISTINCT a.rep AS rx, b.rep AS ry, a.name AS nx, b.name AS ny
-      FROM k a JOIN k b ON a.key = b.key AND a.name < b.name
+      FROM kk a JOIN kk b ON a.key = b.key AND a.name < b.name
     ),
     ver AS (SELECT rx, ry FROM ne WHERE levenshtein(nx, ny) <= 1),
     edges AS (
@@ -387,11 +391,20 @@ def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100-TB posture for dense-duplicate corpora: pair output is
     quadratic in duplicate density, cluster output never materializes
     pairs at all (operators/fuzzyjoin.py symspell_clusters +
-    operators/dedup.py neardup_clusters min-label propagation)."""
+    operators/dedup.py neardup_clusters min-label propagation). Runs
+    WITH the hot-key cap (r10: the uncapped name-edge set OOMed a 32g
+    heap at sf10 -- the zero-padded fixture prefix makes deletion-key
+    buckets grow linearly with the corpus, so candidate generation must
+    be bounded for the cluster form to BE the scale path; the capped
+    edge graph is what production would cluster, drops accounted by
+    fuzzy_key_bucket_profile)."""
     from ..operators.fuzzyjoin import symspell_clusters
 
     c = load_table(spark, sf_dir, "customer")
-    return symspell_clusters(c, "c_custkey", "c_name", max_distance=1)
+    return symspell_clusters(
+        c, "c_custkey", "c_name", max_distance=1,
+        max_key_bucket_size=_FZ_KEY_CAP,
+    )
 
 
 @query(
