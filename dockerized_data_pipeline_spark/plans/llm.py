@@ -3516,12 +3516,15 @@ reach(n, r) AS (
   SELECT reach.n, e.t FROM reach JOIN edges e ON reach.r = e.s
 ),
 kept AS (
-  -- LEFT JOIN (r10): labels only cover docs with a non-NULL embedding
-  -- (the NULL-vector policy); docs WITHOUT one can never be semantic
-  -- duplicates, so they survive -- same as the Spark side's left_semi
-  -- against semantic_dedup survivors, which keeps NULL-vector rows.
+  -- Survival rule mirroring the Spark pipeline exactly (r10, refined by
+  -- the sf0.1 sweep): a doc must HAVE an embeddings row (the pipeline's
+  -- left_semi -- at sf0.1 only 2000 of 5000 docs are embedded, the rest
+  -- drop out before semantic dedup), but a row whose VECTOR is NULL
+  -- survives dedup untouched (the NULL-vector policy keeps it out of
+  -- the labels, and absence from every pair means it is never a loser).
   SELECT d.lang, d.n_tokens, d.doc_id
   FROM deduped d
+  JOIN embeddings e ON e.vec_id = d.doc_id
   LEFT JOIN (SELECT n AS vec_id, MIN(r) AS root FROM reach GROUP BY n) l
     ON d.doc_id = l.vec_id
   WHERE l.vec_id IS NULL OR l.root = l.vec_id
