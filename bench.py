@@ -82,6 +82,29 @@ _CALIBRATION_ROWS = 4_000_000_000  # ~1.1s/run (r10: doubled from 2B --
 # at 0.6s the +-0.05s scheduler jitter alone spread the 12-probe
 # whole-run envelope past 20%; averaging over twice the work halves the
 # relative jitter for ~25s of extra probe time per run)
+# PINNED as of r11 (VERDICT r10 task 2): changing the op size silently
+# re-scales queries_normalized and breaks the round-over-round
+# comparability the channel exists for. If the size ever MUST change,
+# keep _CALIBRATION_REF_S_PER_ROW fixed -- normalization is expressed in
+# s-per-row so the unit survives an op resize.
+
+# Quiet-machine reference cost of the calibration op, in seconds per row:
+# the round-stable normalization constant. Derived from the two committed
+# quiet-bracket rounds (r9: ~0.60s/2B rows; r10: ~1.16s/4B rows -- both
+# 2.9e-10 s/row). queries_normalized = raw_sec * ref_probe_sec /
+# measured_bracket_sec, i.e. "seconds this query would take on the
+# reference quiet machine" -- dimensionful, pinned, comparable across
+# rounds regardless of ambient load or future op resizes.
+_CALIBRATION_REF_S_PER_ROW = 2.9e-10
+_CALIBRATION_REF_SEC = _CALIBRATION_REF_S_PER_ROW * _CALIBRATION_ROWS
+
+# A chunk measured on a sustained load plateau shows BOTH probes equally
+# elevated -- bracket drift stays under the retry threshold while every
+# query in the chunk is inflated. Flag (not retry) any chunk whose
+# bracket mean sits >10% above the run's minimum bracket mean, and
+# surface the run's own floor vs the pinned reference so a whole-run
+# plateau (every probe elevated) is visible too.
+PLATEAU_PCT = 10.0
 
 
 def calibration_probe(spark) -> float:
@@ -256,11 +279,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     normalized: dict[str, float] = {}
-    for m in measured:
-        bracket_mean = (m["probes"][0] + m["probes"][1]) / 2.0
+    bracket_means = [(m["probes"][0] + m["probes"][1]) / 2.0 for m in measured]
+    min_bracket = min(bracket_means)
+    plateau_flags = [
+        round(100.0 * (b / min_bracket - 1.0), 1) > PLATEAU_PCT
+        for b in bracket_means
+    ]
+    for m, bracket_mean in zip(measured, bracket_means):
         for k, v in m["queries"].items():
             timings[k] = v
-            normalized[k] = round(v / bracket_mean, 3)
+            # quiet-reference-equivalent seconds (pinned unit, see
+            # _CALIBRATION_REF_S_PER_ROW)
+            normalized[k] = round(v * _CALIBRATION_REF_SEC / bracket_mean, 3)
     total = sum(timings.values())
     adopted_probes = [p for m in measured for p in m["probes"]]
     cal = {
@@ -270,6 +300,13 @@ def main() -> None:
         "chunk_probes": [list(m["probes"]) for m in measured],
         "chunk_drift_pct": [m["drift_pct"] for m in measured],
         "chunk_queries": [list(m["queries"]) for m in measured],
+        "calibration_rows": _CALIBRATION_ROWS,
+        "ref_s_per_row": _CALIBRATION_REF_S_PER_ROW,
+        "probe_s_per_row": [round(p / _CALIBRATION_ROWS, 14) for p in adopted_probes],
+        # run floor vs the pinned quiet reference: >1.0 means even the
+        # quietest moment of this run was load-elevated (whole-run plateau)
+        "load_floor_vs_ref": round(min_bracket / _CALIBRATION_REF_SEC, 3),
+        "chunk_plateau_flags": plateau_flags,
     }
 
     # Driver contract (VERDICT r8 item 1): the driver tail-captures only the
@@ -297,6 +334,12 @@ def main() -> None:
         "first15_total": first15,
         "drift_pct": cal["drift_pct"],
         "chunk_drift_max_pct": max(cal["chunk_drift_pct"]),
+        # normalized_total: the headline in pinned quiet-reference units --
+        # THE round-over-round comparison number (raw `value` still moves
+        # with ambient load; this one cancels it)
+        "normalized_total": round(sum(normalized.values()), 3),
+        "load_floor_vs_ref": cal["load_floor_vs_ref"],
+        "plateau_chunks": sum(cal["chunk_plateau_flags"]),
     }
     if n_files > 0:
         compact["layout_files"] = n_files

@@ -97,42 +97,40 @@ def asof_join(
     # row's value -- a silent cross-row chimera. The when() wrapper makes
     # left rows NULL (skipped), while every right row carries a non-NULL
     # struct whose fields may be NULL -- exactly the matched row, whole.
+    #
+    # r11 perf: the matched timestamp rides INSIDE the same struct, so the
+    # window computes exactly ONE running aggregate (r9 ran N payload
+    # aggs + one ts agg; r10 ran struct + ts). The struct is materialized
+    # once in its own projection and fields are extracted in the next one
+    # -- Catalyst dedupes the repeated window expression either way, but
+    # the explicit split keeps the executed plan at a single Window node
+    # with a single last() regardless of payload arity.
     pay_struct = F.last(
         F.when(
             F.col("__is_right") == 1,
-            F.struct(*[F.col(f"__p_{p}").alias(p) for p in payload_cols]),
+            F.struct(
+                F.col("__t").alias("__mt"),
+                *[F.col(f"__p_{p}").alias(p) for p in payload_cols],
+            ),
         ),
         ignorenulls=True,
     ).over(w)
     carried = u.select(
-        *lcols,
-        "__t",
-        "__is_right",
-        F.last(F.when(F.col("__is_right") == 1, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__match_t"),
-        *[
-            pay_struct.getField(p).alias(f"{payload_prefix}{p}")
-            for p in payload_cols
-        ],
-    )
-    out = carried.filter(F.col("__is_right") == 0)
+        *lcols, "__t", "__is_right", pay_struct.alias("__carry")
+    ).filter(F.col("__is_right") == 0)
     # A left row with a NULL timestamp is always unmatched (its ts
     # inequality is unknowable). Backward order already guarantees this
     # (NULLS FIRST -> nothing carried yet); forward order sorts NULL ts
-    # last, where the window would wrongly carry the earliest right row,
-    # so the payload is masked explicitly.
-    out = out.select(
+    # last, where the window would wrongly carry the earliest right row.
+    # Mask the carried STRUCT once (one CASE per row, not one per output
+    # column -- subexpression elimination shares the repeated getFields).
+    masked = F.when(F.col("__t").isNotNull(), F.col("__carry"))
+    out = carried.select(
         *lcols,
         "__t",
         "__is_right",
-        F.when(F.col("__t").isNotNull(), F.col("__match_t")).alias("__match_t"),
-        *[
-            F.when(F.col("__t").isNotNull(), F.col(f"{payload_prefix}{p}")).alias(
-                f"{payload_prefix}{p}"
-            )
-            for p in payload_cols
-        ],
+        masked.getField("__mt").alias("__match_t"),
+        *[masked.getField(p).alias(f"{payload_prefix}{p}") for p in payload_cols],
     )
     if tolerance is not None:
         bound = F.expr(f"INTERVAL {tolerance}")
