@@ -247,6 +247,146 @@ def lsh_neardup_pairs(
     )
 
 
+def brp_bucket_table(
+    df: DataFrame,
+    unit_vectors: list[list[float]],
+    bucket_length: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection LSH band table (doc, band, sig) -- the embedding
+    analog of dedup.banded_signatures, and deliberately the SAME column
+    names so dedup's band_bucket_profile / _drop_hot_buckets compose.
+
+    Native expression arithmetic, no pyspark.ml: p=2 normalization with
+    the forward-order fold (bit-identical to DuckDB list_reduce -- the
+    cross-engine contract pinned in plans/mllsh.py), then per table j
+    bucket = floor(dot(u, r_j) / bucket_length). The projection matrix
+    ships as ONE nested literal and the per-table loop runs inside a
+    transform lambda, so the plan tree stays constant-size regardless of
+    numTables x dim (the literal_matrix lesson, functions/vectors.py).
+    One narrow projection per row, no shuffle; 24-byte band rows (the
+    slim persistable-index posture of dedup.banded_signatures)."""
+    normed = brp_normalized(df, id_col, vec_col)
+    proj = F.transform(
+        F.lit([[float(v) for v in r] for r in unit_vectors]),
+        lambda r: F.floor(
+            F.aggregate(
+                F.zip_with(F.col("u"), r, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.lit(float(bucket_length))
+        ).cast("long"),
+    )
+    return normed.select("doc", F.posexplode(proj).alias("band", "sig"))
+
+
+def brp_normalized(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(doc, u): p=2-normalized double vectors, forward-fold norm --
+    the shared arithmetic base of bucketing and exact re-distance (both
+    engines, see plans/mllsh.py _normalized_cte). NULL vectors excluded
+    (the r10 NULL-vector policy)."""
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, b: a + b)
+    )
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), F.transform(raw, lambda x: x / nrm).alias("u")
+    )
+
+
+def brp_neardup_pairs_capped(
+    df: DataFrame,
+    threshold_euclidean: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit_vectors: list[list[float]] | None = None,
+    bucket_length: float = 0.02,
+    max_bucket_size: int = 128,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Random-projection LSH near-neighbor pairs with a HOT-BUCKET CAP --
+    the 100x-scale form of lsh_neardup_pairs (VERDICT r10 task 3).
+
+    Why the cap exists: pyspark.ml's approxSimilarityJoin has no bound on
+    bucket size, so a near-orthogonal corpus (every vector projects near
+    0) degenerates to one mega-bucket and a quadratic join -- observed as
+    the sf1 timeout in SCALE_ORACLE_r10. This port of the MinHash design
+    (operators/dedup.py _drop_hot_buckets) drops band rows in buckets
+    larger than ``max_bucket_size`` BEFORE the self-join, bounding
+    per-bucket work at cap^2 -- a recall tradeoff, never precision (the
+    exact re-distance still filters every surviving candidate). Dropping
+    is first-class, not silent: run band_bucket_profile on
+    brp_bucket_table's output (the x3_brp_bucket_skew_profile query) to
+    see exactly which bucket sizes exceeded the cap.
+
+    The finer default bucket_length (0.02 vs the ml path's 0.5) spreads
+    an isotropic cloud over ~150 buckets/table instead of ~2, so capped
+    candidate generation keeps real recall on the tail buckets instead
+    of dropping the whole corpus as one hot bucket.
+
+    Fully deterministic and ORACLE-ABLE at scale: projections are frozen
+    literals (plans/mllsh.py UNIT_VECTORS), arithmetic is the pinned
+    forward-fold contract, so the whole flow -- cap included -- replays
+    in DuckDB SQL (plans/mllsh.py brp_pairs_capped_sql).
+    Returns (id_a, id_b, cos_sim_approx) with exact dist < threshold.
+    """
+    if unit_vectors is None:
+        from ..plans.mllsh import UNIT_VECTORS
+
+        unit_vectors = UNIT_VECTORS
+    banded = brp_bucket_table(df, unit_vectors, bucket_length, id_col, vec_col)
+    # materialize once: the hot-list agg + both join sides are three
+    # consumers of the normalize+project subtree (same rule as the
+    # MinHash capped path; eager=False keeps build-no-actions).
+    banded = banded.localCheckpoint(eager=False)
+    from .dedup import _drop_hot_buckets
+
+    kept = _drop_hot_buckets(banded, max_bucket_size)
+    a = kept.alias("a")
+    b_ = kept.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    u = brp_normalized(df, id_col, vec_col)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__ua"), F.col("__ub"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        cand.join(u.select(F.col("doc").alias("id_a"), F.col("u").alias("__ua")), "id_a")
+        .join(u.select(F.col("doc").alias("id_b"), F.col("u").alias("__ub")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("__dist"),
+        )
+        .filter(F.col("__dist") < threshold_euclidean)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(1 - F.col("__dist") * F.col("__dist") / 2, round_digits)
+            .cast(f"decimal(18,{round_digits})")
+            .alias("cos_sim_approx"),
+        )
+    )
+
+
 def verified_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -666,6 +666,65 @@ def x3_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _brp_capped_oracle() -> str:
+    from .mllsh import brp_pairs_capped_sql
+
+    return brp_pairs_capped_sql(1.3)
+
+
+@query("x3_brp_pairs_bucket_capped", oracle=_brp_capped_oracle())
+def x3_brp_pairs_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100x-SCALE form of x3_lsh_neardup_pairs (VERDICT r10 task 3):
+    native random-projection LSH with a hot-bucket cap. The ml-backed
+    path above has no bucket bound, so a near-orthogonal corpus (every
+    synthetic vector projects near 0) collapses into one mega-bucket and
+    a quadratic join -- the SCALE_ORACLE_r10 sf1 timeout. This variant
+    ports the MinHash capped design (operators/dedup.py
+    _drop_hot_buckets): finer buckets (0.02 vs 0.5) spread the cloud,
+    band rows in buckets > 128 are dropped BEFORE the self-join
+    (bounded at cap^2 per bucket -- recall tradeoff, never precision:
+    the exact re-distance filters every surviving candidate), and
+    x3_brp_bucket_skew_profile below is the first-class drop
+    accounting. Oracled end-to-end (cap included) via the frozen
+    projection literals in plans/mllsh.py.
+
+    Threshold 1.3 (cos ~= 0.155), wider than the ml path's 0.9: the
+    synthetic corpus is isotropic with no planted embedding near-dups
+    (gen_scale.py draws every component uniform), so at 0.9 the
+    survivor set is empty by construction and the differential would
+    prove nothing. At 1.3 thousands of candidate pairs flow through
+    normalize -> bucket -> cap -> join -> exact re-distance on both
+    engines -- a meaningful hash-match of the whole pipeline."""
+    return SIM.brp_neardup_pairs_capped(
+        load_table(spark, sf_dir, "embeddings"), threshold_euclidean=1.3
+    )
+
+
+def _brp_profile_oracle() -> str:
+    from .mllsh import brp_bucket_profile_sql
+
+    return brp_bucket_profile_sql()
+
+
+@query("x3_brp_bucket_skew_profile", oracle=_brp_profile_oracle())
+def x3_brp_bucket_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_size, n_buckets) histogram of the native BRP band table:
+    run BEFORE (or beside) x3_brp_pairs_bucket_capped to see exactly
+    which bucket sizes the cap drops -- the same pairing as
+    x2_minhash_pairs_bucket_capped / x2_lsh_bucket_skew_profile. Tiny
+    output, one map-side-combined aggregation."""
+    from ..operators.dedup import band_bucket_profile
+    from .mllsh import UNIT_VECTORS
+
+    banded = SIM.brp_bucket_table(
+        load_table(spark, sf_dir, "embeddings"), UNIT_VECTORS, 0.02
+    )
+    return band_bucket_profile(banded).select(
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+    )
+
+
 def _neardup_collapse_oracle() -> str:
     from .duckhash import neardup_collapse_sql
 

@@ -154,6 +154,78 @@ SELECT id_a, id_b,
 FROM d WHERE dist < {threshold_euclidean}"""
 
 
+def _capped_ctes(bucket_length: float, max_bucket_size: int) -> str:
+    """CTE chain for the CAPPED native BRP path (r11, VERDICT task 3):
+    parametrized bucket length (the finer 0.02 default spreads an
+    isotropic cloud across ~150 buckets/table instead of ~2), bucket
+    counts, the cap filter, then candidates from surviving band rows
+    only -- the exact mirror of operators/similarity.py
+    brp_neardup_pairs_capped."""
+    return f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+     WHERE embedding IS NOT NULL),
+nn AS (
+  SELECT vec_id, raw,
+         sqrt(list_reduce(list_transform(raw, x -> x * x), (a, b) -> a + b))
+           AS nrm
+  FROM v
+),
+n AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS u FROM nn),
+bk AS MATERIALIZED (
+  SELECT vec_id, u,
+         {", ".join(
+             f"CAST(FLOOR({_dot('u', _vec_lit(v))} / {bucket_length}) AS BIGINT) AS b{j}"
+             for j, v in enumerate(UNIT_VECTORS))}
+  FROM n
+),
+bands AS MATERIALIZED ({" UNION ALL ".join(
+    f"SELECT vec_id, {j} AS tbl, b{j} AS bucket FROM bk"
+    for j in range(NUM_TABLES))}),
+bc AS (SELECT tbl, bucket, COUNT(*) AS c FROM bands GROUP BY tbl, bucket),
+kept AS (
+  SELECT bands.vec_id, bands.tbl, bands.bucket
+  FROM bands JOIN bc USING (tbl, bucket) WHERE bc.c <= {max_bucket_size}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)"""
+
+
+def brp_pairs_capped_sql(
+    threshold_euclidean: float = 0.9,
+    bucket_length: float = 0.02,
+    max_bucket_size: int = 128,
+) -> str:
+    """Oracle for x3_brp_pairs_bucket_capped: capped candidates + exact
+    euclidean re-distance on normalized vectors (strict < threshold),
+    cosine reported as 1 - d^2/2 at 4 decimals."""
+    return f"""
+WITH {_capped_ctes(bucket_length, max_bucket_size)},
+d AS (
+  SELECT c.id_a, c.id_b,
+         sqrt(list_reduce(list_transform(list_zip(na.u, nb.u),
+                p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)) AS dist
+  FROM cand c JOIN n na ON c.id_a = na.vec_id
+              JOIN n nb ON c.id_b = nb.vec_id
+)
+SELECT id_a, id_b,
+       CAST(CAST(ROUND(1 - dist * dist / 2, 4) AS DECIMAL(18,4)) AS DOUBLE)
+         AS cos_sim_approx
+FROM d WHERE dist < {threshold_euclidean}"""
+
+
+def brp_bucket_profile_sql(bucket_length: float = 0.02) -> str:
+    """Oracle for x3_brp_bucket_skew_profile: the (bucket_size,
+    n_buckets) histogram of the native BRP band table -- the drop
+    accounting that makes the cap first-class instead of silent."""
+    return f"""
+WITH {_capped_ctes(bucket_length, 1)}
+SELECT CAST(c AS BIGINT) AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM bc GROUP BY c"""
+
+
 def brp_collapse_sql(
     cos_threshold: float = 0.9, threshold_euclidean: float = 0.5
 ) -> str:

@@ -278,6 +278,48 @@ def test_lsh_neardup_recall_vs_exact_baseline(spark, sf_dir):
     assert recall == 1.0  # identical vectors always share every bucket
 
 
+def test_brp_capped_finds_clones_and_caps_hot_buckets(spark, sf_dir):
+    """The native capped BRP path (r11): planted exact clones are always
+    recovered (identical vectors share every bucket regardless of bucket
+    width), and the hot-bucket cap provably removes band rows -- the
+    bounded-cost behavior pyspark.ml's approxSimilarityJoin lacks."""
+    from dockerized_data_pipeline_spark.operators.dedup import _drop_hot_buckets
+    from dockerized_data_pipeline_spark.operators.similarity import (
+        brp_bucket_table,
+        brp_neardup_pairs_capped,
+    )
+    from dockerized_data_pipeline_spark.plans.mllsh import UNIT_VECTORS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(100000)).cast("long")
+    )
+    corpus = emb.unionByName(clones)
+    found = {
+        (r.id_a, r.id_b)
+        for r in brp_neardup_pairs_capped(
+            corpus, threshold_euclidean=0.1, max_bucket_size=1000
+        ).collect()
+    }
+    assert {(i, i + 100000) for i in range(5)} <= found
+    # cap drops rows: with a tiny cap, the kept band table is strictly
+    # smaller and no surviving bucket exceeds the cap
+    banded = brp_bucket_table(corpus, UNIT_VECTORS, 0.02)
+    kept = _drop_hot_buckets(banded, 3)
+    assert kept.count() < banded.count()
+    assert (
+        kept.groupBy("band", "sig").count().filter(F.col("count") > 3).count() == 0
+    )
+    # exact clones score cos_sim_approx 1.0 (distance 0)
+    scored = {
+        (r.id_a, r.id_b): float(r.cos_sim_approx)
+        for r in brp_neardup_pairs_capped(
+            corpus, threshold_euclidean=0.1, max_bucket_size=1000
+        ).collect()
+    }
+    assert all(abs(v - 1.0) < 1e-9 for k, v in scored.items() if k[1] - k[0] == 100000)
+
+
 def test_repetition_metrics_manual_values(spark):
     from dockerized_data_pipeline_spark.operators.quality import repetition_metrics
 
