@@ -116,6 +116,64 @@ def gen_documents(n: int) -> pa.Table:
     )
 
 
+# ---- Unicode-realistic customer names (r11, VERDICT r10 task 4) ----
+# The r10 tier rewrote documents.text only; customer names stayed ASCII,
+# so the fuzzy-join family (SymSpell deletion keys, codepoint
+# levenshtein, cluster collapse) had never matched a multibyte name.
+# Name pool spans CJK, emoji (incl. a ZWJ sequence), combining marks,
+# RTL, Greek/Cyrillic -- plus plain ASCII rows so the zero-padded-prefix
+# hot-key degeneracy the cap exists for is still present.
+NAME_STEMS = [
+    "山田太郎", "佐藤花子", "王小明", "李雷", "张伟", "陈静",
+    "Müller", "Bäcker", "Größe", "Φίλιππος", "Αλέξανδρος",
+    "Иванов", "Петрова", "محمد", "فاطمة", "כהן", "לוי",
+    "José", "García", "François", "Renée", "Ñandú",
+    "😀Smith", "Lee🚀", "👩‍👧Park",
+]
+NFD_STEMS = ["José", "Renée", "François", "Müller"]  # NFC here; NFD twin planted
+
+
+def gen_customer_names(src_path: str) -> pa.Table:
+    """Clone the customer table, replacing c_name with a deterministic
+    multilingual name column containing planted structure:
+
+      * exact duplicate names  (every 31st row copies row-1's name)
+      * codepoint 1-EDIT pairs (every 23rd row: substitute ONE codepoint
+        of row-1's name with '子'; every 29th: append one emoji
+        codepoint) -- these MUST fuzzy-match at distance 1
+      * NFC/NFD control pairs  (every 43rd row: NFD form of row-1's
+        name) -- different codepoints, usually distance 2: must NOT
+        match at distance 1 (and exact dedup must keep both)
+      * ~half the rows keep the ASCII 'Customer#...' zero-padded form,
+        preserving the hot-deletion-key degeneracy the cap targets
+    """
+    src = pq.read_table(src_path)
+    keys = src.column("c_custkey").to_pylist()
+    names: list[str] = []
+    for pos, key in enumerate(keys):
+        rng = random.Random(770_300 + (key if key is not None else -1))
+        if pos % 2 == 0:
+            names.append(f"Customer#{key:09d}" if key is not None else "Customer#?")
+            continue
+        stem = rng.choice(NAME_STEMS)
+        names.append(f"{stem}#{rng.randrange(100, 1000)}")
+    for pos in range(1, len(names)):
+        prev = names[pos - 1]
+        if pos % 31 == 0:
+            names[pos] = prev
+        elif pos % 23 == 0:
+            cps = list(prev)
+            cps[len(cps) // 2] = "子"
+            names[pos] = "".join(cps)
+        elif pos % 29 == 0:
+            names[pos] = prev + "🚀"
+        elif pos % 43 == 0:
+            names[pos] = unicodedata.normalize("NFD", prev)
+    cols = {c: src.column(c) for c in src.column_names}
+    cols["c_name"] = pa.array(names, pa.string())
+    return pa.table(cols)
+
+
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = (
@@ -130,6 +188,10 @@ def main() -> int:
         dst = os.path.join(out, f"{table}.parquet")
         if table == "documents":
             pq.write_table(gen_documents(n_docs), dst)
+        elif table == "customer":
+            pq.write_table(
+                gen_customer_names(os.path.join(src, "customer.parquet")), dst
+            )
         else:
             shutil.copyfile(os.path.join(src, f"{table}.parquet"), dst)
     docs = pq.read_table(os.path.join(out, "documents.parquet"))
