@@ -230,8 +230,8 @@ def _cp_one_edit(x: str, y: str) -> str:
     duck, 1 in Spark; NFC 'café' vs NFD = 3 vs 2), so the Unicode-names
     tier needs the verification predicate rebuilt from primitives both
     engines agree on -- SUBSTRING and LENGTH are codepoint-indexed in
-    both (verified; duck's string_split('', '') would NOT work: it
-    groups grapheme clusters). Uses the standard one-edit identity:
+    both (verified, incl. combining marks and ZWJ emoji).
+    Uses the standard one-edit identity:
     dist(x,y) <= 1  <=>  |len(x)-len(y)| <= 1  AND
                          lcp(x,y) + lcs(x,y) >= max(len) - 1
     where lcp/lcs are longest common prefix/suffix in codepoints, found

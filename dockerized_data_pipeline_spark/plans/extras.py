@@ -228,8 +228,15 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f_string_gallery",
     oracle="""
+    -- UPPER(ß) is a pinned engine divergence (r11 unicode-names tier):
+    -- Spark applies the Java/Unicode FULL case mapping (ß -> SS, also
+    -- ligature fi -> FI), DuckDB the simple 1:1 mapping (ß -> U+1E9E
+    -- CAPITAL SHARP S). Pre-folding ß -> ss replicates Spark exactly
+    -- (UPPER('ss') = 'SS' in both); lower('ẞ') -> 'ß' agrees, Greek
+    -- final sigma agrees, and no other full-mapping codepoint appears
+    -- in the fixtures.
     SELECT c_custkey,
-           UPPER(c_name) AS uname,
+           UPPER(REPLACE(c_name, 'ß', 'ss')) AS uname,
            LOWER(c_mktsegment) AS lseg,
            SUBSTR(c_name, 10, 6) AS name_mid,
            LENGTH(c_name) AS name_len,

@@ -147,3 +147,55 @@ def test_double_to_string_is_shortest_repr(spark):
         "SELECT CAST(CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS STRING) s"
     ).collect()[0]
     assert row.s == "0.30000000000000004"
+
+
+def test_levenshtein_is_codepoint_based_in_spark(spark):
+    """Spark levenshtein counts CODEPOINT edits; DuckDB's counts BYTE
+    edits (r11 unicode-names tier). The fuzzy-join oracles therefore
+    verify distance<=1 with the codepoint one-edit predicate
+    (plans/eventflow.py _cp_one_edit) instead of duck levenshtein."""
+    row = spark.sql(
+        "SELECT levenshtein('中文处理', '中文処理') a, "
+        "levenshtein('caf\u00e9', 'cafe\u0301') b"  # NFC vs NFD
+    ).collect()[0]
+    assert row.a == 1 and row.b == 2
+
+
+def test_duckdb_levenshtein_is_byte_based_and_list_position_zero():
+    """DuckDB-side halves: levenshtein('中文处理','中文処理') = 2 (bytes),
+    and list_position returns 0 -- not NULL -- when absent (why
+    _cp_one_edit wraps it in NULLIF(.., 0)). string_split('', ''),
+    SUBSTRING, and LENGTH all index CODEPOINTS (NFD cafe = 5 elements,
+    the lone combining mark its own element)."""
+    import duckdb
+
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT levenshtein('中文处理', '中文処理')"
+    ).fetchone()[0] == 2
+    assert con.execute("SELECT list_position([true, true], false)").fetchone()[0] == 0
+    # NFD built via chr() -- editors/heredocs silently NFC-normalize
+    # pasted literals
+    assert con.execute(
+        "SELECT LENGTH(string_split('cafe' || chr(769), ''))"
+    ).fetchone()[0] == 5
+    assert con.execute("SELECT LENGTH('cafe' || chr(769))").fetchone()[0] == 5
+    assert con.execute(
+        "SELECT SUBSTRING('cafe' || chr(769), 5, 1) = chr(769)"
+    ).fetchone()[0]
+    con.close()
+
+
+def test_upper_sharp_s_full_vs_simple_case_mapping(spark):
+    """Spark UPPER applies the full Unicode case mapping (ß -> SS,
+    ligature fi -> FI); DuckDB applies the simple 1:1 mapping
+    (ß -> U+1E9E). f_string_gallery's oracle pre-folds ß -> ss. LOWER
+    of U+1E9E agrees ('ß' both), as does Greek final sigma."""
+    import duckdb
+
+    row = spark.sql("SELECT upper('ß') a, upper('ﬁ') b").collect()[0]
+    assert row.a == "SS" and row.b == "FI"
+    con = duckdb.connect()
+    assert con.execute("SELECT UPPER('ß')").fetchone()[0] == "ẞ"
+    assert con.execute("SELECT UPPER(REPLACE('ß', 'ß', 'ss'))").fetchone()[0] == "SS"
+    con.close()

@@ -112,9 +112,128 @@ def _run_single(cfg: dict) -> None:
     spark.stop()
 
 
+def _run_mb(cfg: dict) -> None:
+    """MB-blob tier (r11, VERDICT task 9): real media corpora carry
+    MB-scale blobs, where Arrow batch sizing is what bounds executor
+    memory (a 10k-row default batch of 2 MB blobs is 20 GB in flight).
+    Generates N y4m blobs at SPARK_GRAFT_MEDIA_DIM_SCALE large enough
+    for MB payloads, decodes through the SAME mapInPandas path the
+    registered queries use, under a CONSTRAINED driver heap + small
+    maxRecordsPerBatch -- proving the spill/memory floor holds and
+    per-byte decode cost stays flat as blobs grow 3 orders of magnitude
+    past the fixture sizes. Blob bytes are derived analytically from the
+    deterministic generator (no double-encode)."""
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", cfg.get("driver_mem", "6g"))
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(cfg.get("arrow_batch", 16)),
+        )
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from dockerized_data_pipeline_spark.functions import multimodal as MM
+
+    n = cfg["n_blobs"]
+    ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    media = MM.y4m_media(ids, "doc_id")
+
+    def materialize():
+        MM.decode_y4m(media).write.format("noop").mode("overwrite").save()
+
+    total_bytes = 0
+    for mid in range(n):
+        w, h = MM._y4m_dims(mid)
+        total_bytes += MM._y4m_frame_count(mid) * (w * h * 3 // 2 + 6)
+    materialize()  # warm
+    times = []
+    for _ in range(cfg.get("reps", 2)):
+        t0 = time.perf_counter()
+        materialize()
+        times.append(round(time.perf_counter() - t0, 3))
+    # numpy self-check on a small sample (same as the dims axis)
+    import numpy as np
+
+    rows = MM.decode_y4m(media.filter("media_id < 8")).orderBy("media_id").collect()
+    for r in rows:
+        w, h = MM._y4m_dims(r.media_id)
+        nf = MM._y4m_frame_count(r.media_id)
+        ys = uvs = 0
+        for t in range(nf):
+            y, u, v = MM._y4m_planes(r.media_id, t)
+            ys += int(y.astype(np.int64).sum())
+            uvs += int(u.astype(np.int64).sum() + v.astype(np.int64).sum())
+        assert (r.width, r.height, r.n_frames) == (w, h, nf), r
+        assert (r.y_sum, r.uv_sum) == (ys, uvs), r
+    result = {
+        **cfg,
+        "total_mb": round(total_bytes / 1e6, 1),
+        "avg_blob_mb": round(total_bytes / n / 1e6, 3),
+        "times_sec": times,
+        "best_sec": min(times),
+        "mb_per_sec": round(total_bytes / 1e6 / min(times), 1),
+        "selfcheck_blobs": len(rows),
+    }
+    print("RESULT " + json.dumps(result), flush=True)
+    spark.stop()
+
+
+MB_CONFIGS = [
+    # ~1.5 MB avg blobs, ~600 MB corpus, 6g heap, tiny batches
+    {"mode": "mb", "n_blobs": 400, "dim_scale": 64, "arrow_batch": 8,
+     "driver_mem": "6g", "label": "mb1.5-batch8"},
+    # same tier, 64-row batches: ~32 blobs x 1.5 MB in flight per slot
+    {"mode": "mb", "n_blobs": 400, "dim_scale": 64, "arrow_batch": 64,
+     "driver_mem": "6g", "label": "mb1.5-batch64"},
+    # ~6 MB avg blobs -- the "single large asset" regime
+    {"mode": "mb", "n_blobs": 100, "dim_scale": 128, "arrow_batch": 4,
+     "driver_mem": "6g", "label": "mb6-batch4"},
+]
+
+
 def main() -> int:
     if "--single" in sys.argv:
-        _run_single(json.loads(sys.argv[sys.argv.index("--single") + 1]))
+        cfg = json.loads(sys.argv[sys.argv.index("--single") + 1])
+        if cfg.get("mode") == "mb":
+            _run_mb(cfg)
+        else:
+            _run_single(cfg)
+        return 0
+    if "--mb" in sys.argv:
+        results = []
+        for cfg in MB_CONFIGS:
+            env = dict(os.environ)
+            env["SPARK_GRAFT_MEDIA_DIM_SCALE"] = str(cfg["dim_scale"])
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single",
+                 json.dumps(cfg)],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+                env=env, timeout=3600,
+            )
+            line = next(
+                (ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")),
+                None,
+            )
+            if line is None:
+                results.append({**cfg, "error": f"rc={p.returncode}"})
+                print(f"FAIL {cfg}", flush=True)
+                continue
+            r = json.loads(line[len("RESULT "):])
+            results.append(r)
+            print(f"OK {r['label']}: {r['best_sec']}s ({r['mb_per_sec']} MB/s, "
+                  f"{r['avg_blob_mb']} MB/blob)", flush=True)
+        out = os.path.join(REPO, "MEDIA_MB_r11.json")
+        with open(out, "w") as f:
+            json.dump({"results": results}, f, indent=1)
+        print(f"written {out}")
         return 0
 
     configs = []

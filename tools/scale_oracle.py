@@ -170,6 +170,15 @@ def main() -> int:
         i = args.index("--batch")
         batch_n = int(args[i + 1])
         del args[i : i + 2]
+    limit = None
+    if "--limit" in args:
+        # run only the first N prioritized queries (r11: the sf10 tier
+        # is minutes-per-query; --queries all --limit 64 covers the
+        # families whose physical behavior changes at sf10 without
+        # committing to a full-registry multi-hour run)
+        i = args.index("--limit")
+        limit = int(args[i + 1])
+        del args[i : i + 2]
     sfs = [float(a) for a in args] or [1.0, 10.0]
     os.makedirs(out_dir, exist_ok=True)
     env = dict(os.environ)
@@ -193,7 +202,7 @@ def main() -> int:
             # cutoff still covers the highest-value entries
             def prio(q):
                 fams = ("window_", "set_", "agg_rollup", "agg_cube",
-                        "agg_grouping", "x8_", "x2_", "x3_")
+                        "agg_grouping", "x8_", "x2_", "x3_", "fuzzy_")
                 return (0 if q.startswith(fams) else 1, q)
 
             queries = sorted(
@@ -201,6 +210,8 @@ def main() -> int:
                  if q in oracles and sf <= MAX_SF.get(q, 1e9)),
                 key=prio,
             )
+            if limit is not None:
+                queries = queries[:limit]
         else:
             queries = [
                 q for q in HEADLINE_15 + HEAVY_10 if sf <= MAX_SF.get(q, 1e9)
