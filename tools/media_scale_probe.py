@@ -193,9 +193,15 @@ MB_CONFIGS = [
     # same tier, 64-row batches: ~32 blobs x 1.5 MB in flight per slot
     {"mode": "mb", "n_blobs": 400, "dim_scale": 64, "arrow_batch": 64,
      "driver_mem": "6g", "label": "mb1.5-batch64"},
-    # ~6 MB avg blobs -- the "single large asset" regime
-    {"mode": "mb", "n_blobs": 100, "dim_scale": 128, "arrow_batch": 4,
+    # ~6 MB avg blobs -- the "single large asset" regime. 192 blobs =
+    # 6 per local[32] slot: a 100-blob first run read 183 MB/s purely
+    # from slot under-fill (3 blobs/slot, dim-skewed), not decode cost.
+    {"mode": "mb", "n_blobs": 192, "dim_scale": 128, "arrow_batch": 4,
      "driver_mem": "6g", "label": "mb6-batch4"},
+    # same tier, 16-row batches (110 MB Arrow batches): separates
+    # per-batch transfer overhead from per-byte decode cost
+    {"mode": "mb", "n_blobs": 192, "dim_scale": 128, "arrow_batch": 16,
+     "driver_mem": "6g", "label": "mb6-batch16"},
 ]
 
 
