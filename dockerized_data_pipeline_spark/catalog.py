@@ -74,12 +74,45 @@ def _prepare_session(spark: SparkSession) -> None:
     ensure_package_on_workers(spark)
 
 
+# Per-session DataFrame-HANDLE cache (r11 perf). A DataFrame is an
+# immutable plan fragment, not data: caching the handle memoizes the
+# driver-side py4j construction (reader creation, file listing, footer
+# schema read, the nano-ts dtype probe -- measured ~0.12 s per call on
+# this host, paid by EVERY query build since queries are rebuilt per run)
+# while every materialization still scans parquet from disk. Keyed by
+# (path, mtime_ns, size) so any rewrite of the fixture file invalidates
+# the entry -- the InMemoryFileIndex inside a stale handle would
+# otherwise pin the old file list. Keyed weakly by the SparkSession
+# object so handles never leak across sessions (a DataFrame is bound to
+# the session that built it) and die with their session.
+from weakref import WeakKeyDictionary
+
+_TABLE_HANDLES: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+# _prepare_session is idempotent (two conf.set calls + a shipped-package
+# flag check) but each call is py4j round trips; run it once per session.
+_PREPARED: "WeakKeyDictionary[SparkSession, bool]" = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _prepare_session(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    if not _PREPARED.get(spark):
+        _prepare_session(spark)
+        _PREPARED[spark] = True
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # directory-style/missing path: build uncached
+    cache = _TABLE_HANDLES.setdefault(spark, {})
+    if key is not None and key in cache:
+        return cache[key]
+    df = spark.read.parquet(path)
     for col in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(_NANOS_TO_NTZ.format(col=col)))
+    if key is not None:
+        cache[key] = df
     return df
 
 

@@ -125,7 +125,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+    return media.select("media_id", "kind", "blob").mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 def sample_frames(media: DataFrame) -> DataFrame:
@@ -145,7 +145,7 @@ def sample_frames(media: DataFrame) -> DataFrame:
                     out["frame_bytes"].append(n // (idx + 1))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -186,7 +186,7 @@ def resize_media(media: DataFrame, box_w: int = 224, box_h: int = 224) -> DataFr
                 rows["out_bytes"].append(ow * oh * 3)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -205,7 +205,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 ENERGY_SCHEMA = "media_id long, window_idx int, n_samples int, energy long"
@@ -260,7 +260,7 @@ def audio_frame_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFram
                     out["energy"].append(int((chunk * chunk).sum()))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=ENERGY_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=ENERGY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -330,36 +330,43 @@ def wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
+def _wav_stats(rows) -> pd.DataFrame:
+    """Decode an iterable of (media_id, wav_blob) to exact signal stats
+    (the shared body of decode_wav and synth_decode_wav)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out = {k: [] for k in (
+        "media_id", "n_channels", "sample_width", "sample_rate",
+        "n_frames", "peak", "energy",
+    )}
+    for mid, blob in rows:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            frames = w.readframes(w.getnframes())
+            samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            out["media_id"].append(mid)
+            out["n_channels"].append(w.getnchannels())
+            out["sample_width"].append(w.getsampwidth())
+            out["sample_rate"].append(w.getframerate())
+            out["n_frames"].append(w.getnframes())
+            out["peak"].append(int(np.abs(samples).max(initial=0)))
+            out["energy"].append(int((samples * samples).sum()))
+    return pd.DataFrame(out)
+
+
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL decode: parse the RIFF/WAVE header and PCM16 frames with stdlib
     ``wave`` + numpy, emitting exact integer signal stats (peak = max |s|,
     energy = sum s^2). Same distributed shape as decode_media: Arrow-batched
     mapInPandas, zero shuffle, scan-speed parallelism."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in it:
-            out = {k: [] for k in (
-                "media_id", "n_channels", "sample_width", "sample_rate",
-                "n_frames", "peak", "energy",
-            )}
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                with wave.open(io.BytesIO(blob), "rb") as w:
-                    frames = w.readframes(w.getnframes())
-                    samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
-                    out["media_id"].append(mid)
-                    out["n_channels"].append(w.getnchannels())
-                    out["sample_width"].append(w.getsampwidth())
-                    out["sample_rate"].append(w.getframerate())
-                    out["n_frames"].append(w.getnframes())
-                    out["peak"].append(int(np.abs(samples).max(initial=0)))
-                    out["energy"].append(int((samples * samples).sum()))
-            yield pd.DataFrame(out)
+            yield _wav_stats(zip(pdf["media_id"], pdf["blob"]))
 
-    return media.mapInPandas(batches, schema=WAV_DECODED_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=WAV_DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -463,31 +470,38 @@ def pgm_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
+def _pgm_stats(rows) -> pd.DataFrame:
+    """(media_id, pgm_blob) rows -> exact pixel stats (shared body of
+    decode_pgm and synth_decode_pgm)."""
+    import numpy as np
+
+    out = {k: [] for k in (
+        "media_id", "width", "height", "maxval",
+        "n_pixels", "pixel_sum", "pixel_max",
+    )}
+    for mid, blob in rows:
+        w, h, maxval, px = _pgm_parse(bytes(blob))
+        s = px.astype(np.int64)
+        out["media_id"].append(mid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["maxval"].append(maxval)
+        out["n_pixels"].append(w * h)
+        out["pixel_sum"].append(int(s.sum()))
+        out["pixel_max"].append(int(s.max(initial=0)))
+    return pd.DataFrame(out)
+
+
 def decode_pgm(media: DataFrame) -> DataFrame:
     """REAL image decode: parse the P5 header and pixel payload, emit exact
     integer stats (sum/max over real pixel bytes). Arrow-batched
     mapInPandas, zero shuffle."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "media_id", "width", "height", "maxval",
-                "n_pixels", "pixel_sum", "pixel_max",
-            )}
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, maxval, px = _pgm_parse(bytes(blob))
-                s = px.astype(np.int64)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["maxval"].append(maxval)
-                out["n_pixels"].append(w * h)
-                out["pixel_sum"].append(int(s.sum()))
-                out["pixel_max"].append(int(s.max(initial=0)))
-            yield pd.DataFrame(out)
+            yield _pgm_stats(zip(pdf["media_id"], pdf["blob"]))
 
-    return media.mapInPandas(batches, schema=PGM_DECODED_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=PGM_DECODED_SCHEMA)
 
 
 def resize_pgm(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
@@ -511,7 +525,7 @@ def resize_pgm(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
                 out["pixel_sum"].append(int(resized.sum()))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=PGM_RESIZED_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=PGM_RESIZED_SCHEMA)
 
 
 def decode_media_arrow(media: DataFrame) -> DataFrame:
@@ -567,7 +581,7 @@ def decode_media_arrow(media: DataFrame) -> DataFrame:
                 names=["media_id", "kind", "n_bytes", "width", "height", "aspect_ppm"],
             )
 
-    return media.mapInArrow(batches, schema=DECODED_SCHEMA)
+    return media.select("media_id", "kind", "blob").mapInArrow(batches, schema=DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -697,38 +711,45 @@ def y4m_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
+def _y4m_stats(rows) -> pd.DataFrame:
+    """(media_id, y4m_blob) rows -> exact per-stream YUV stats (shared
+    body of decode_y4m and synth_decode_y4m)."""
+    import numpy as np
+
+    out = {k: [] for k in (
+        "media_id", "width", "height", "n_frames",
+        "y_sum", "uv_sum", "y_max",
+    )}
+    for mid, blob in rows:
+        w, h, frames = _y4m_parse(bytes(blob))
+        y_sum = uv_sum = 0
+        y_max = 0
+        for y, u, v in frames:
+            y_sum += int(y.astype(np.int64).sum())
+            uv_sum += int(u.astype(np.int64).sum()) + int(
+                v.astype(np.int64).sum()
+            )
+            y_max = max(y_max, int(y.max(initial=0)))
+        out["media_id"].append(mid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_frames"].append(len(frames))
+        out["y_sum"].append(y_sum)
+        out["uv_sum"].append(uv_sum)
+        out["y_max"].append(y_max)
+    return pd.DataFrame(out)
+
+
 def decode_y4m(media: DataFrame) -> DataFrame:
     """REAL video decode: parse the stream header, walk the FRAME markers,
     decode every YUV plane, emit exact integer stats. Arrow-batched
     mapInPandas, zero shuffle."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "media_id", "width", "height", "n_frames",
-                "y_sum", "uv_sum", "y_max",
-            )}
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, frames = _y4m_parse(bytes(blob))
-                y_sum = uv_sum = 0
-                y_max = 0
-                for y, u, v in frames:
-                    y_sum += int(y.astype(np.int64).sum())
-                    uv_sum += int(u.astype(np.int64).sum()) + int(
-                        v.astype(np.int64).sum()
-                    )
-                    y_max = max(y_max, int(y.max(initial=0)))
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_frames"].append(len(frames))
-                out["y_sum"].append(y_sum)
-                out["uv_sum"].append(uv_sum)
-                out["y_max"].append(y_max)
-            yield pd.DataFrame(out)
+            yield _y4m_stats(zip(pdf["media_id"], pdf["blob"]))
 
-    return media.mapInPandas(batches, schema=Y4M_DECODED_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=Y4M_DECODED_SCHEMA)
 
 
 def sample_y4m_frames(media: DataFrame, stride: int = 2) -> DataFrame:
@@ -749,7 +770,7 @@ def sample_y4m_frames(media: DataFrame, stride: int = 2) -> DataFrame:
                     out["y_sum"].append(int(frames[t][0].astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=Y4M_FRAME_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=Y4M_FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -949,30 +970,37 @@ def png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
+def _png_stats(rows) -> pd.DataFrame:
+    """(media_id, png_blob) rows -> exact pixel stats (shared body of
+    decode_png and synth_decode_png)."""
+    import numpy as np
+
+    out = {k: [] for k in (
+        "media_id", "width", "height", "bit_depth",
+        "n_pixels", "pixel_sum", "pixel_max",
+    )}
+    for mid, blob in rows:
+        w, h, depth, px = _png_parse(bytes(blob))
+        s = px.astype(np.int64)
+        out["media_id"].append(mid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["bit_depth"].append(depth)
+        out["n_pixels"].append(w * h)
+        out["pixel_sum"].append(int(s.sum()))
+        out["pixel_max"].append(int(s.max(initial=0)))
+    return pd.DataFrame(out)
+
+
 def decode_png(media: DataFrame) -> DataFrame:
     """REAL compressed-image decode: CRC-checked chunk walk, inflate,
     unfilter, exact integer pixel stats. Arrow-batched mapInPandas."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "media_id", "width", "height", "bit_depth",
-                "n_pixels", "pixel_sum", "pixel_max",
-            )}
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, depth, px = _png_parse(bytes(blob))
-                s = px.astype(np.int64)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["bit_depth"].append(depth)
-                out["n_pixels"].append(w * h)
-                out["pixel_sum"].append(int(s.sum()))
-                out["pixel_max"].append(int(s.max(initial=0)))
-            yield pd.DataFrame(out)
+            yield _png_stats(zip(pdf["media_id"], pdf["blob"]))
 
-    return media.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=PNG_DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1018,7 +1046,7 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 out["hash_lo"].append(lo)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=AHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1072,7 +1100,7 @@ def audio_fingerprint(media: DataFrame, n_windows: int = 16) -> DataFrame:
                 out["fingerprint"].append(_audio_fp_bits(samples, n_windows))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
 
 
 Y4M_MOTION_SCHEMA = "media_id long, frame_idx int, luma_delta long"
@@ -1098,7 +1126,7 @@ def y4m_frame_motion(media: DataFrame) -> DataFrame:
                     out["luma_delta"].append(int(np.abs(cur - prev).sum()))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=Y4M_MOTION_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=Y4M_MOTION_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1699,33 +1727,41 @@ def jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
+def _jpeg_gray_stats(rows, parse_fn) -> pd.DataFrame:
+    """(media_id, jpeg_blob) rows -> exact grayscale pixel stats +
+    position-weighted checksum (shared body of the full/DC decoders and
+    their fused synth+decode forms)."""
+    import numpy as np
+
+    out = {k: [] for k in (
+        "media_id", "width", "height", "n_pixels",
+        "pixel_sum", "pixel_min", "pixel_max", "wsum",
+    )}
+    for mid, blob in rows:
+        w, h, px = parse_fn(bytes(blob))
+        flat = px.astype(np.int64).ravel()
+        weights = 1 + np.arange(flat.size, dtype=np.int64) % 251
+        out["media_id"].append(mid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_pixels"].append(w * h)
+        out["pixel_sum"].append(int(flat.sum()))
+        out["pixel_min"].append(int(flat.min(initial=255)))
+        out["pixel_max"].append(int(flat.max(initial=0)))
+        out["wsum"].append(int((flat * weights).sum()))
+    return pd.DataFrame(out)
+
+
 def _jpeg_stats_decoder(media: DataFrame, parse_fn) -> DataFrame:
     """Shared Arrow stats body for the full and DC-only decoders: exact
     integer pixel stats plus a position-weighted checksum that pins
     every pixel to its (x, y). Shuffle-free, scan-speed parallel."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "media_id", "width", "height", "n_pixels",
-                "pixel_sum", "pixel_min", "pixel_max", "wsum",
-            )}
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, px = parse_fn(bytes(blob))
-                flat = px.astype(np.int64).ravel()
-                weights = 1 + np.arange(flat.size, dtype=np.int64) % 251
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(w * h)
-                out["pixel_sum"].append(int(flat.sum()))
-                out["pixel_min"].append(int(flat.min(initial=255)))
-                out["pixel_max"].append(int(flat.max(initial=0)))
-                out["wsum"].append(int((flat * weights).sum()))
-            yield pd.DataFrame(out)
+            yield _jpeg_gray_stats(zip(pdf["media_id"], pdf["blob"]), parse_fn)
 
-    return media.mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=JPEG_DECODED_SCHEMA)
 
 
 def decode_jpeg(media: DataFrame) -> DataFrame:
@@ -2096,46 +2132,54 @@ def decode_jpeg_color(media: DataFrame) -> DataFrame:
     return _jpeg_color_stats_decoder(media, _jpeg_parse_color)
 
 
+def _jpeg_rgb_stats(rows, parse_fn) -> pd.DataFrame:
+    """(media_id, jpeg_blob) rows -> exact per-channel stats + checksums
+    (shared body of the color/progressive decoders and their fused
+    synth+decode forms)."""
+    import numpy as np
+
+    out = {k: [] for k in (
+        "media_id", "width", "height", "n_pixels",
+        "r_sum", "g_sum", "b_sum", "chan_min", "chan_max",
+        "wsum_r", "wsum_g", "wsum_b",
+    )}
+    for mid, blob in rows:
+        w, h, r, g, b = parse_fn(bytes(blob))
+        fr = r.astype(np.int64).ravel()
+        fg = g.astype(np.int64).ravel()
+        fb = b.astype(np.int64).ravel()
+        weights = 1 + np.arange(fr.size, dtype=np.int64) % 251
+        out["media_id"].append(mid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_pixels"].append(w * h)
+        out["r_sum"].append(int(fr.sum()))
+        out["g_sum"].append(int(fg.sum()))
+        out["b_sum"].append(int(fb.sum()))
+        out["chan_min"].append(
+            int(min(fr.min(initial=255), fg.min(initial=255),
+                    fb.min(initial=255)))
+        )
+        out["chan_max"].append(
+            int(max(fr.max(initial=0), fg.max(initial=0),
+                    fb.max(initial=0)))
+        )
+        out["wsum_r"].append(int((fr * weights).sum()))
+        out["wsum_g"].append(int((fg * weights).sum()))
+        out["wsum_b"].append(int((fb * weights).sum()))
+    return pd.DataFrame(out)
+
+
 def _jpeg_color_stats_decoder(media: DataFrame, parse_fn) -> DataFrame:
     """Shared Arrow stats body for the RGB-producing decoders (baseline
     color and progressive): per-channel integer stats + per-channel
     position-weighted checksums. Shuffle-free, scan-speed parallel."""
-    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "media_id", "width", "height", "n_pixels",
-                "r_sum", "g_sum", "b_sum", "chan_min", "chan_max",
-                "wsum_r", "wsum_g", "wsum_b",
-            )}
-            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, r, g, b = parse_fn(bytes(blob))
-                fr = r.astype(np.int64).ravel()
-                fg = g.astype(np.int64).ravel()
-                fb = b.astype(np.int64).ravel()
-                weights = 1 + np.arange(fr.size, dtype=np.int64) % 251
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_pixels"].append(w * h)
-                out["r_sum"].append(int(fr.sum()))
-                out["g_sum"].append(int(fg.sum()))
-                out["b_sum"].append(int(fb.sum()))
-                out["chan_min"].append(
-                    int(min(fr.min(initial=255), fg.min(initial=255),
-                            fb.min(initial=255)))
-                )
-                out["chan_max"].append(
-                    int(max(fr.max(initial=0), fg.max(initial=0),
-                            fb.max(initial=0)))
-                )
-                out["wsum_r"].append(int((fr * weights).sum()))
-                out["wsum_g"].append(int((fg * weights).sum()))
-                out["wsum_b"].append(int((fb * weights).sum()))
-            yield pd.DataFrame(out)
+            yield _jpeg_rgb_stats(zip(pdf["media_id"], pdf["blob"]), parse_fn)
 
-    return media.mapInPandas(batches, schema=JPEG_COLOR_SCHEMA)
+    return media.select("media_id", "blob").mapInPandas(batches, schema=JPEG_COLOR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2862,3 +2906,82 @@ def decode_jpeg_progressive(media: DataFrame) -> DataFrame:
     output contract and checksums as :func:`decode_jpeg_color`.
     Shuffle-free Arrow stage, parallelism = input splits."""
     return _jpeg_color_stats_decoder(media, _jpeg_parse_progressive)
+
+
+# ---------------------------------------------------------------------------
+# Fused synth+decode (r11 perf, guide section 4: eliminate JVM<->Python
+# boundary crossings). Every x4 benchmark query is "synthesize real blobs,
+# then decode them": as two chained MapInPandas stages the blob bytes cross
+# the Python<->JVM boundary twice and the pipeline pays TWO Python-stage
+# round trips -- measured ~0.35 s of pure protocol latency per stage on
+# this host even for a no-op passthrough (flat down to 1 task, workers
+# verified reused). The fused form runs encode + parse in the SAME worker:
+# the blob is still real bytes, the decoder still parses the real
+# container (the decode bodies are shared verbatim with the decode_*
+# operators via the _*_stats helpers), but nothing crosses the boundary
+# except ids in and stats out. In production terms this is the standard
+# "generate/fetch and featurize in one task" ingest shape.
+# ---------------------------------------------------------------------------
+
+
+def _synth_decode(ids: DataFrame, id_col: str, encode_fn, stats_fn, schema: str) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf[id_col].astype("int64")
+            yield stats_fn((int(m), encode_fn(int(m))) for m in mids)
+
+    return _spread_ids(ids, id_col).mapInPandas(batches, schema=schema)
+
+
+def synth_decode_wav(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_wav(wav_media(ids)) in one Arrow stage (identical rows)."""
+    return _synth_decode(ids, id_col, _wav_encode, _wav_stats, WAV_DECODED_SCHEMA)
+
+
+def synth_decode_pgm(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_pgm(pgm_media(ids)) in one Arrow stage (identical rows)."""
+    return _synth_decode(ids, id_col, _pgm_encode, _pgm_stats, PGM_DECODED_SCHEMA)
+
+
+def synth_decode_y4m(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_y4m(y4m_media(ids)) in one Arrow stage (identical rows)."""
+    return _synth_decode(ids, id_col, _y4m_encode, _y4m_stats, Y4M_DECODED_SCHEMA)
+
+
+def synth_decode_png(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_png(png_media(ids)) in one Arrow stage (identical rows)."""
+    return _synth_decode(ids, id_col, _png_encode, _png_stats, PNG_DECODED_SCHEMA)
+
+
+def synth_decode_jpeg(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_jpeg(jpeg_media(ids)) in one Arrow stage (identical rows)."""
+    return _synth_decode(
+        ids,
+        id_col,
+        _jpeg_encode,
+        lambda rows: _jpeg_gray_stats(rows, _jpeg_parse),
+        JPEG_DECODED_SCHEMA,
+    )
+
+
+def synth_decode_jpeg_color(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_jpeg_color(jpeg_color_media(ids)) in one Arrow stage."""
+    return _synth_decode(
+        ids,
+        id_col,
+        _jpeg_color_encode,
+        lambda rows: _jpeg_rgb_stats(rows, _jpeg_parse_color),
+        JPEG_COLOR_SCHEMA,
+    )
+
+
+def synth_decode_jpeg_progressive(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_jpeg_progressive(jpeg_progressive_media(ids)) in one Arrow
+    stage."""
+    return _synth_decode(
+        ids,
+        id_col,
+        _jpeg_progressive_encode,
+        lambda rows: _jpeg_rgb_stats(rows, _jpeg_parse_progressive),
+        JPEG_COLOR_SCHEMA,
+    )

@@ -444,37 +444,86 @@ def centroid_purity(
     from pyspark.sql import Window
 
     emb = emb.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
-    comp = emb.select(
+    # r11 restructure (same values, ~1/3 the plan): the r10 form exploded
+    # the corpus FOUR times (centroids, vector norms, the dot join, plus
+    # the label join re-scan) and pushed an n_vecs x dim x n_labels row
+    # stream through a hash aggregate. Here the quantized vector is kept
+    # as ONE array column: centroids still come from a single explode +
+    # hash-agg (exact integer sums, unchanged), but they collapse into a
+    # one-row broadcast codebook and every per-(vector, candidate) dot /
+    # norm is a codegen'd array fold over exact bigints -- no dot-join
+    # shuffle, no vnorm shuffle, no re-scan for the true label (it rides
+    # the row). Fold order is irrelevant: all sums are exact integers.
+    qrow = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
-        F.posexplode(F.col(vec_col)).alias("i0", "x"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("i0") + 1).alias("i"),
-        F.round(F.col("x").cast("double") * fxp, 0).cast("bigint").alias("q"),
-    )
-    cent = comp.groupBy(F.col("label").alias("cand"), "i").agg(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * fxp, 0).cast("bigint"),
+        ).alias("qv"),
+    ).filter(F.size("qv") > 0)
+    # one materialization: qrow feeds the centroid build AND the scoring
+    # pass (two scans + double quantization otherwise)
+    qrow = qrow.localCheckpoint(eager=False)
+
+    comp = qrow.select("label", F.posexplode("qv").alias("i0", "q"))
+    cent = comp.groupBy(F.col("label").alias("cand"), "i0").agg(
         F.sum("q").alias("s")
     )
-    cnorm = cent.groupBy("cand").agg(F.sum(F.col("s") * F.col("s")).alias("cn2"))
-    vnorm = comp.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("vn2"))
-    dots = (
-        comp.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "cand")
-        .agg(F.sum(F.col("q") * F.col("s")).alias("dot"))
+
+    # SQL-sum semantics for the folds: NULL terms are skipped, an all-NULL
+    # term list sums to NULL (no tier carries NULL array elements today,
+    # but the behavior must match the hash-agg original)
+    def _sqlsum(arr):
+        terms = F.filter(arr, lambda t: t.isNotNull())
+        return F.when(
+            F.size(terms) > 0,
+            F.aggregate(
+                terms, F.lit(0).cast("bigint"), lambda a, b: a + b
+            ),
+        )
+
+    # per-candidate component arrays ordered by component index; cn2 is
+    # the same skip-NULL integer fold the r10 cnorm aggregate computed,
+    # done over the collapsed array (drops a whole exchange + join from
+    # the critical path); the isNotNull filter replicates the r10 inner
+    # cnorm join's NULL-label-group drop
+    cand_vecs = (
+        cent.groupBy("cand")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "s"))),
+                lambda st: st["s"],
+            ).alias("sv")
+        )
+        .filter(F.col("cand").isNotNull())
+        .withColumn("cn2", _sqlsum(F.transform("sv", lambda s: s * s)))
     )
+    codebook = cand_vecs.agg(
+        F.collect_list(F.struct("cand", "sv", "cn2")).alias("__cb")
+    )
+
+    # Score per (vector, candidate) row: explode the tiny broadcast
+    # codebook per vector, one codegen-friendly fold per pair. (A fully
+    # window-free per-row array_max argmax was tried and measured SLOWER
+    # -- nesting the dot fold inside a transform lambda de-optimizes the
+    # higher-order-function evaluator; the explode keeps each fold a
+    # flat top-level expression.)
     scored = (
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "cand")
+        qrow.crossJoin(F.broadcast(codebook))
+        .withColumn("vn2", _sqlsum(F.transform("qv", lambda q: q * q)))
+        .select("vec_id", "label", "qv", "vn2", F.explode("__cb").alias("c"))
         .select(
             "vec_id",
-            "cand",
+            "label",
+            F.col("c.cand").alias("cand"),
             F.floor(
-                F.col("dot").cast("double")
+                _sqlsum(
+                    F.zip_with(F.col("qv"), F.col("c.sv"), lambda q, s: q * s)
+                ).cast("double")
                 / (
                     F.sqrt(F.col("vn2").cast("double"))
-                    * F.sqrt(F.col("cn2").cast("double"))
+                    * F.sqrt(F.col("c.cn2").cast("double"))
                 )
                 * 1_000_000
             )
@@ -486,20 +535,13 @@ def centroid_purity(
     nearest = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
-    return (
-        nearest.join(
-            emb.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")),
-            "vec_id",
-        )
-        .groupBy(
-            F.col("label").alias("true_label"),
-            F.col("cand").alias("nearest_label"),
-        )
-        .agg(
-            F.count("*").cast("bigint").alias("n_vecs"),
-            F.min("cos_ppm").cast("bigint").alias("min_cos_ppm"),
-            F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
-        )
+    return nearest.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("cand").alias("nearest_label"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("cos_ppm").cast("bigint").alias("min_cos_ppm"),
+        F.max("cos_ppm").cast("bigint").alias("max_cos_ppm"),
     )
 
 

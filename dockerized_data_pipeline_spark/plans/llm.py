@@ -1276,8 +1276,18 @@ def x5_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = docs.select(
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    tf = u.groupBy("source", "tok").agg(F.count("*").alias("tf"))
-    df = u.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # r11: pre-aggregate the token stream to (tok, doc_id, source) counts
+    # before the tf/df aggregates -- the partial agg collapses repeated
+    # tokens map-side, so both downstream aggregates consume the distinct
+    # (token, doc) stream instead of the raw token stream (measured
+    # 0.81 -> 0.58 s med-of-7 at sf0.1). Deliberately NOT localCheckpointed:
+    # materializing ~1M small rows through the block manager cost more
+    # than recomputing the pre-agg per consumer (measured 0.83 vs 0.58) --
+    # the checkpoint-small-intermediates-only rule. Values are unchanged:
+    # tf is the sum of per-doc counts, df still COUNT(DISTINCT doc_id).
+    g = u.groupBy("tok", "doc_id", "source").agg(F.count("*").alias("__c"))
+    tf = g.groupBy("source", "tok").agg(F.sum("__c").alias("tf"))
+    df = g.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     s = tf.join(df, "tok").select(
         "source",
         "tok",
@@ -1374,6 +1384,41 @@ def x8_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _rep_with_stop(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top_token_ppm, n_stop) in ONE token pass (r11).
+
+    The r10 x7 pipelines ran operators.quality.repetition_metrics (one
+    tokenize+explode) AND a second per-row split+filter for the stopword
+    count; folding the stopword count into the same (doc, tok) aggregation
+    -- sum(c | tok in STOPWORDS), the identical multiplicity-inclusive
+    count marker_score produced -- halves the tokenize work. The ppm
+    expression is copied verbatim from repetition_metrics so values stay
+    bit-identical."""
+    ucc = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        ucc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("__nt"),
+            F.max("c").alias("__top_c"),
+            F.sum(
+                F.when(F.col("tok").isin(*TX.STOPWORDS), F.col("c")).otherwise(0)
+            ).alias("n_stop"),
+        )
+        .select(
+            "doc_id",
+            F.col("__nt").cast("bigint").alias("n_tokens"),
+            F.floor(F.col("__top_c") * F.lit(1000000.0) / F.col("__nt"))
+            .cast("bigint")
+            .alias("top_token_ppm"),
+            "n_stop",
+        )
+    )
+
+
 @query(
     "x7_corpus_prep_full",
     oracle=f"""
@@ -1424,14 +1469,10 @@ def x7_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction (x5_pii_redact) would slot in as one more per-row projection
     before the dedup. Two shuffles total beyond the repetition metric's
     own doc-keyed agg: the dedup hash-agg and the final stats agg."""
-    from ..operators.quality import repetition_metrics
-
     d = load_table(spark, sf_dir, "documents")
-    rep = repetition_metrics(d).select("doc_id", "n_tokens", "top_token_ppm")
-    n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
+    rep = _rep_with_stop(d)  # one token pass: rep metrics + stopword count
     filtered = (
         d.join(rep, "doc_id")
-        .withColumn("n_stop", n_stop)
         .filter(
             F.col("n_tokens").between(20, 1000)
             & (F.col("n_stop") * 50 >= F.col("n_tokens"))
@@ -2653,14 +2694,10 @@ def x7_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last unverified x7 stage): the XXH64-in-SQL MinHash collapse
     replays over the gated survivors in one DuckDB statement
     (plans/duckhash.py::corpus_prep_neardup_sql)."""
-    from ..operators.quality import repetition_metrics
-
     d = load_table(spark, sf_dir, "documents")
-    rep = repetition_metrics(d).select("doc_id", "n_tokens", "top_token_ppm")
-    n_stop = TX.marker_score(F.col("text"), TX.STOPWORDS)
+    rep = _rep_with_stop(d)  # one token pass: rep metrics + stopword count
     filtered = (
         d.join(rep, "doc_id")
-        .withColumn("n_stop", n_stop)
         .filter(
             F.col("n_tokens").between(20, 1000)
             & (F.col("n_stop") * 50 >= F.col("n_tokens"))

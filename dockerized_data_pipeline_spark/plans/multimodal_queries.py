@@ -269,10 +269,12 @@ def x4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle re-derives n_frames/peak/energy arithmetically in SQL: any
     defect in the container round-trip (header fields, endianness, frame
     count, sample decode) hash-fails here."""
-    from ..functions.multimodal import decode_wav, wav_media
+    from ..functions.multimodal import synth_decode_wav
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_wav(wav_media(docs))
+    # r11: fused synth+decode -- one Arrow stage instead of two chained
+    # MapInPandas (guide section 4; see functions/multimodal._synth_decode)
+    return synth_decode_wav(docs)
 
 
 @query(
@@ -306,10 +308,10 @@ def x4_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle re-derives width/height/sum/max arithmetically: any
     defect in the container round-trip (header layout, offset math, pixel
     order) hash-fails here. The image twin of x4_wav_decode."""
-    from ..functions.multimodal import decode_pgm, pgm_media
+    from ..functions.multimodal import synth_decode_pgm
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_pgm(pgm_media(docs))
+    return synth_decode_pgm(docs)  # r11: fused synth+decode, one Arrow stage
 
 
 @query(
@@ -378,10 +380,10 @@ def x4_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum arithmetically: any header/frame-offset/plane-order bug
     hash-fails. Completes the real-codec trio (WAV audio, PGM image,
     Y4M video)."""
-    from ..functions.multimodal import decode_y4m, y4m_media
+    from ..functions.multimodal import synth_decode_y4m
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_y4m(y4m_media(docs))
+    return synth_decode_y4m(docs)  # r11: fused synth+decode, one Arrow stage
 
 
 @query(
@@ -449,10 +451,10 @@ def x4_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_id, so the oracle re-derives every stat arithmetically: any
     chunk/CRC/inflate/unfilter bug hash-fails. Upgrades the compressed-
     image path from stubbed to real alongside WAV, PGM, and Y4M."""
-    from ..functions.multimodal import decode_png, png_media
+    from ..functions.multimodal import synth_decode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_png(png_media(docs))
+    return synth_decode_png(docs)  # r11: fused synth+decode, one Arrow stage
 
 
 @query(
@@ -732,10 +734,10 @@ def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Huffman/marker/dequant/IDCT/crop bug hash-fails. Closes the last X4
     modality gap (JPEG-class lossy formats; cf. decode_png for the
     lossless sibling)."""
-    from ..functions.multimodal import decode_jpeg, jpeg_media
+    from ..functions.multimodal import synth_decode_jpeg
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_jpeg(jpeg_media(docs))
+    return synth_decode_jpeg(docs)  # r11: fused synth+decode, one Arrow stage
 
 
 @query(
@@ -862,10 +864,10 @@ def x4_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table-selection, predictor, upsample, or conversion bug hash-fails
     on the per-channel position-weighted checksums. Closes the r4
     grayscale-only gap (VERDICT r4 item 1)."""
-    from ..functions.multimodal import decode_jpeg_color, jpeg_color_media
+    from ..functions.multimodal import synth_decode_jpeg_color
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_jpeg_color(jpeg_color_media(docs))
+    return synth_decode_jpeg_color(docs)  # r11: fused synth+decode
 
 
 @query("x4_jpeg_progressive_decode", oracle=_JPEG_COLOR_ORACLE)
@@ -881,10 +883,7 @@ def x4_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is literally the x4_jpeg_color_decode oracle: any
     scan-sequencing, EOB-run, refinement-bit, predictor, or band bug
     hash-fails on the per-channel position-weighted checksums."""
-    from ..functions.multimodal import (
-        decode_jpeg_progressive,
-        jpeg_progressive_media,
-    )
+    from ..functions.multimodal import synth_decode_jpeg_progressive
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return decode_jpeg_progressive(jpeg_progressive_media(docs))
+    return synth_decode_jpeg_progressive(docs)  # r11: fused synth+decode

@@ -36,6 +36,56 @@ def _revenue_col() -> F.Column:
     return F.sum(ext * (F.lit(1).cast(RATE_DEC) - disc))
 
 
+# ---------------------------------------------------------------------------
+# Scaled-long money aggregation (r11 perf, guide section 2.3 "narrower
+# types" applied to the aggregation buffer). The r10 convention cast every
+# money double to DECIMAL per ROW and summed BigDecimals -- exact, but the
+# double->BigDecimal cast plus decimal add dominated the single-split scan
+# task of q1/q18/rollup (decimal(22,4) buffers are too wide for Spark's
+# long-backed fast path). Every money column in every fixture tier is a
+# clean 2-decimal quantity (max |x*100 - round(x*100)| < 4e-9 across
+# /root/testdata sf0.001..0.1 and all fixtures/ tiers; tools/gen_scale.py
+# emits F.round(..., 2)), so round(x*100) IS the exact decimal(„,2) value
+# as a bigint. Sums run as codegen'd long adds; each GROUP's sum is then
+# rebuilt into an exact DECIMAL (long * exact 10^-k decimal literal) so
+# every downstream expression -- floor-to-cents, casts to double -- is the
+# same correctly-rounded arithmetic as before, bit for bit.
+#
+# Range honesty: a scale-1e4 revenue long sum overflows past ~9.2e14 of
+# summed revenue (~sf 4000 in one group); ANSI mode fails loudly there,
+# and the decimal path above remains the documented fallback. Every
+# declared tier (<= sf10) is orders of magnitude inside the bound.
+_CENTS_SAFE_ABS = 1 << 45  # |x|*100 stays exactly representable far below this
+
+
+def _cents(name: str) -> F.Column:
+    """Exact cents of a clean 2-decimal money double, as bigint."""
+    return F.round(F.col(name) * 100, 0).cast("bigint")
+
+
+def _rev_fp(ext_name: str = "l_extendedprice", disc_name: str = "l_discount") -> F.Column:
+    """Per-row revenue ext*(1-disc) as an exact scale-1e4 bigint:
+    cents(ext) * (100 - cents-as-percent(disc)); disc in [0, 0.10] has two
+    decimals, so round(disc*100) in 0..10 is exact."""
+    return _cents(ext_name) * (F.lit(100).cast("bigint") - _cents(disc_name))
+
+
+def _fp_dec(col: F.Column, frac: int) -> F.Column:
+    """Rebuild the exact DECIMAL value of a scale-10^frac bigint sum:
+    multiply by the exact decimal literal 10^-frac (never a decimal
+    division, which rounds). Sums fit decimal(20,0); the product keeps
+    full precision, so the value is bit-identical to the old decimal-sum
+    path."""
+    return col.cast("decimal(20,0)") * F.lit(10 ** -frac).cast(
+        f"decimal({frac + 1},{frac})"
+    )
+
+
+def _revenue_fp_sum() -> F.Column:
+    """sum of scale-1e4 revenue longs (pair with _fp_dec(..., 4))."""
+    return F.sum(_rev_fp())
+
+
 _REVENUE_SQL = (
     "SUM(CAST(l_extendedprice AS DECIMAL(12,4))"
     " * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))))"
@@ -68,14 +118,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the TPC-H Q1 shape (multi-measure partial+final hash agg after a pushed
     scan filter)."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast(PRICE_DEC)
-    ext = F.col("l_extendedprice").cast(PRICE_DEC)
+    # r11: per-row money work is two double ops + a long cast (_cents);
+    # sums are codegen'd long adds; every group rebuilds the EXACT decimal
+    # (_fp_dec) so the final floor/cast arithmetic is unchanged bit for bit.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(ext).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(_cents("l_quantity")).alias("__qty_fp"),
+            F.sum(_cents("l_extendedprice")).alias("__ext_fp"),
+            _revenue_fp_sum().alias("__rev_fp"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _fp_dec(F.col("__qty_fp"), 2).cast("decimal(38,4)").alias("sum_qty"),
+            _fp_dec(F.col("__ext_fp"), 2).cast("decimal(38,4)").alias("sum_base_price"),
             # FLOOR to cents then divide as doubles: the exact scale-8 sum's
             # unscaled value exceeds 2^53 at sf0.1+, where a direct
             # decimal->double cast double-rounds in DuckDB (hugeint->double,
@@ -83,11 +142,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal DOWNSCALE casts are not portable either (DuckDB
             # truncates, Spark rounds half-up). FLOOR(x*100) is unambiguous
             # in both engines and cents fit a double exactly.
-            (F.floor(_revenue_col() * 100).cast("double") / F.lit(100.0)).alias(
-                "sum_disc_price"
-            ),
-            (F.sum(qty).cast("double") / F.count("*")).cast("decimal(38,6)").alias("avg_qty"),
-            F.count("*").alias("count_order"),
+            (
+                F.floor(_fp_dec(F.col("__rev_fp"), 4) * 100).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_disc_price"),
+            (
+                _fp_dec(F.col("__qty_fp"), 2).cast("double") / F.col("count_order")
+            )
+            .cast("decimal(38,6)")
+            .alias("avg_qty"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -126,8 +190,14 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(PRICE_DEC)).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(_cents("l_quantity")).alias("__qty_fp"),
             F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _fp_dec(F.col("__qty_fp"), 2).cast("decimal(38,4)").alias("sum_qty"),
+            "n",
         )
     )
 
@@ -182,8 +252,13 @@ def q3_unshipped_revenue_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_revenue_col().cast("decimal(38,8)").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_fp_sum().alias("__rev_fp"))
+        .select(
+            "l_orderkey",
+            _fp_dec(F.col("__rev_fp"), 4).cast("decimal(38,8)").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -227,7 +302,11 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(_revenue_col().cast("decimal(38,8)").alias("revenue"))
+        .agg(_revenue_fp_sum().alias("__rev_fp"))
+        .select(
+            "n_name",
+            _fp_dec(F.col("__rev_fp"), 4).cast("decimal(38,8)").alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 

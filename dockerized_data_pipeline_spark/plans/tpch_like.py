@@ -128,13 +128,24 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _cents, _fp_dec
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r11: quantity sums as exact scaled longs (see relational._cents);
+    # the HAVING threshold compares the same exact value (150.00 == 15000
+    # hundredths), and the output decimal is rebuilt exactly per group.
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_custkey", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,4)").alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        .agg(F.sum(_cents("l_quantity")).alias("__qty_fp"))
+        .filter(F.col("__qty_fp") > 150 * 100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            _fp_dec(F.col("__qty_fp"), 2).cast("decimal(38,4)").alias("total_qty"),
+        )
     )
 
 

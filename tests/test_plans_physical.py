@@ -269,12 +269,20 @@ def test_feature_hash_sparse_is_one_shuffle(spark, sf_dir):
 
 
 def test_centroid_purity_broadcasts_centroids(spark, sf_dir):
-    """Centroid tables (n_labels x dim and n_labels rows) must broadcast
-    into the dot join; no sort-merge joins anywhere in the plan."""
+    """r11 shape: the per-label codebook collapses to ONE broadcast row
+    (a BroadcastExchange feeding a single-row cross join -- bounded, not
+    a real cartesian); the dot products are per-row array folds, so there
+    is no sort-merge join and no n_vecs x dim x n_labels dot-join
+    shuffle; the quantized corpus is materialized once (one checkpoint
+    RDD feeds both the centroid build and the scoring pass)."""
     plan = _formatted_plan(spark, sf_dir, "x3_centroid_purity")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # exactly two explodes: the centroid component stream + the tiny
+    # per-row codebook explode (the r10 plan had four corpus explodes);
+    # ") Generate" counts the details section, one entry per operator
+    assert plan.count(") Generate") == 2
 
 
 def test_shared_openings_dedups_before_self_join(spark, sf_dir):
