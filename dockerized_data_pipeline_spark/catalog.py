@@ -116,6 +116,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_input(df: DataFrame, width: int | None = None) -> DataFrame:
+    """Round-robin a narrow input across the session's width WHEN the scan
+    itself cannot parallelize (guide section 2.5 "input skew: one huge
+    unsplittable file -- repartition immediately after the read").
+
+    The driver fixtures are single-row-group parquet files, so every scan
+    is one task and per-row-heavy expression pipelines (winnowing folds,
+    JSON parsing) run single-threaded. The repartition is CONDITIONAL on
+    the scan's actual partition count: on production multi-split inputs
+    (or the bench's SPARK_GRAFT_BENCH_FILES=N layout) it is a no-op, so
+    this never adds a full-corpus shuffle at scale. Select the needed
+    columns BEFORE calling -- only they cross the exchange."""
+    target = width or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_events_range(
     spark: SparkSession,
     sf_dir: str,

@@ -130,8 +130,11 @@ def bpe_train(
     """Learn up to ``num_merges`` BPE merges from the corpus. Returns
     [(left, right, pair_count)] in rank order; stops early when the best
     remaining pair's frequency drops below ``min_pair_count``."""
+    # eager=False (r11): materialization folds into the next pair-count
+    # job instead of spending a dedicated job per checkpoint -- the merge
+    # loop ran TWO jobs per merge (count + eager checkpoint); now one.
     seg = _initial_segmentation(word_vocab(docs, text_col)).localCheckpoint(
-        eager=True
+        eager=False
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
@@ -146,7 +149,7 @@ def bpe_train(
         a, b, n = best[0]["left"], best[0]["right"], int(best[0]["total"])
         merges.append((a, b, n))
         seg = seg.withColumn("seg", _merge_expr(a, b)).localCheckpoint(
-            eager=True
+            eager=False
         )
     return merges
 

@@ -216,14 +216,20 @@ def neardup_clusters(
                 ).alias("label"),
             )
         )
+        # r11: checkpoint BEFORE the convergence probe (lazily), so the
+        # probe's job both materializes the round's labels and answers
+        # convergence -- the old order evaluated `jumped` twice per round
+        # (once for the count, once again inside the eager checkpoint),
+        # i.e. one extra job + one extra evaluation every round.
+        new_ck = jumped.localCheckpoint(eager=False)  # truncate lineage
         changed = (
-            jumped.alias("n")
+            new_ck.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = jumped.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new_ck
         if changed == 0:
             converged = True
             break
@@ -256,7 +262,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     vote fold would otherwise emit a meaningless all-zero signature that
     "matches" every other NULL-text doc at hamming 0). Same policy as
     MinHash, where a NULL text simply yields no shingles."""
-    staged = df.filter(F.col(text_col).isNotNull()).select(
+    from ..catalog import spread_input
+
+    # r11: the 64-bit vote fold is heavy per-row expression work; spread
+    # a single-split input across the session width (no-op on multi-split
+    # inputs; catalog.spread_input)
+    staged = spread_input(
+        df.filter(F.col(text_col).isNotNull()).select(id_col, text_col)
+    ).select(
         F.col(id_col), simhash_token_hashes(F.col(text_col)).alias("__sh_hashes")
     )
     return staged.select(
@@ -301,6 +314,10 @@ def simhash_neardup_pairs(
     banded = sig.select(
         F.col(id_col).alias("doc"), "simhash", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc", "simhash", F.col("bs.band").alias("band"), F.col("bs.bits").alias("bits"))
+    # materialize once (r11): both self-join sides consume the band table,
+    # and an un-materialized subtree re-runs the whole signature pipeline
+    # (tokenize + 64-bit vote fold) per side
+    banded = banded.localCheckpoint(eager=False)
 
     a = banded.alias("a")
     b_ = banded.alias("b")

@@ -111,6 +111,27 @@ def kmeans_fit(
     policy applies across operators/similarity.py; oracles mirror it
     with ``WHERE embedding IS NOT NULL``."""
     df = df.filter(F.col(vec_col).isNotNull())
+    # r11: the per-iteration argmin is k x dim interpreted fold work per
+    # row, and a single-split input runs it all in ONE task (measured
+    # ~1.4 s/iteration at k=32, dim=64, 31 cores idle). Spread the
+    # projected (id, vec) frame across the session width (no-op on
+    # multi-split inputs) and persist it so each Lloyd's iteration is one
+    # cached-columnar scan instead of scan+exchange -- the exact shape
+    # the module docstring promises at 100 TB.
+    from ..catalog import spread_input
+
+    vecs = spread_input(
+        df.select(F.col(id_col), F.col(vec_col))
+    ).persist()
+    try:
+        return _kmeans_fit_cached(vecs, id_col, vec_col, k, iterations)
+    finally:
+        vecs.unpersist()
+
+
+def _kmeans_fit_cached(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iterations: int
+) -> list[list[float]]:
     centroids = seed_centroids(df, id_col, vec_col, k)
     if not centroids:
         return []
@@ -119,12 +140,17 @@ def kmeans_fit(
         assigned = _with_assignment(
             df.select(F.col(vec_col).alias("v")), "v", centroids
         )
+        # F.expr strings (r11): one py4j round trip per component sum
+        # instead of ~6 Column-API calls each -- at dim=64 the per-
+        # iteration driver build cost was larger than the job itself.
+        # v[i] is Spark SQL's 0-based array index, the same element as
+        # element_at(v, i+1), with identical ANSI out-of-range behavior.
         sums = (
             assigned.groupBy("cluster_id")
             .agg(
                 F.count("*").alias("n"),
                 *[
-                    F.sum(F.element_at("v", i + 1).cast(_ACC)).alias(f"s{i}")
+                    F.expr(f"sum(cast(v[{i}] as {_ACC})) AS s{i}")
                     for i in range(dim)
                 ],
             )
@@ -156,8 +182,11 @@ def kmeans_cluster_sizes(
     just sum the per-cluster values."""
     df = df.filter(F.col(vec_col).isNotNull())  # same policy as kmeans_fit
     centroids = kmeans_fit(df, id_col, vec_col, k, iterations)
+    # spread the final-assignment scan too (same single-task rationale)
+    from ..catalog import spread_input
+
     assigned = _with_assignment(
-        df.select(F.col(vec_col).alias("v")), "v", centroids
+        spread_input(df.select(F.col(vec_col).alias("v"))), "v", centroids
     )
     return (
         assigned.groupBy("cluster_id")

@@ -43,13 +43,26 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    codebooks = []
-    for j in range(m):
+
+    # r11 (guide section 2.6 "overlap independent jobs"): the m sub-space
+    # trainings are fully independent Lloyd's runs -- driver loops of
+    # tiny collect jobs whose wall-clock is dominated by sequential
+    # job-launch latency, not compute. Submitting them from a small
+    # thread pool lets each training's next iteration back-fill the
+    # executors the others leave idle: wall time ~= one training instead
+    # of m. Results are unchanged -- each thread trains on its own slice
+    # with the same deterministic init/means, and the codebook list is
+    # assembled in subspace order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def train(j: int) -> list[list[float]]:
         sub = df.select(
             F.col(id_col), _sub_vec(vec_col, j, d_sub).alias("__sub")
         )
-        codebooks.append(kmeans_fit(sub, id_col, "__sub", k=k, iterations=iterations))
-    return codebooks
+        return kmeans_fit(sub, id_col, "__sub", k=k, iterations=iterations)
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(train, range(m)))
 
 
 def pq_encode(

@@ -69,7 +69,14 @@ def cosine_neardup_pairs(
         .withColumn("nrm", norm(F.col("v")))
     )
     side = side.localCheckpoint(eager=True)
-    a = side.select(
+    # r11: spread the LEFT side of the cartesian across the session width
+    # -- a single-split corpus otherwise makes the n^2 scoring loop ONE
+    # task (measured 22 s at sf0.1, 32 cores idle); the cartesian's task
+    # grid is left.partitions x right.partitions, so only the left side
+    # needs spreading and only (id, v, nrm) rows cross the tiny exchange.
+    width = df.sparkSession.sparkContext.defaultParallelism
+    a_side = side if side.rdd.getNumPartitions() >= width else side.repartition(width)
+    a = a_side.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
     b = side.select(
@@ -104,9 +111,13 @@ def ivf_assignments(
     """
     import math
 
+    from ..catalog import spread_input
     from ..functions.vectors import dot, norm
 
-    df = df.filter(F.col(vec_col).isNotNull())  # r10 NULL-vector policy
+    # r11: the k x dim argmax is per-row fold work; a single-split input
+    # runs it in one task -- spread across the session width (no-op on
+    # multi-split inputs; see catalog.spread_input)
+    df = spread_input(df.filter(F.col(vec_col).isNotNull()))
 
     # The codebook travels as broadcast DATA (1-row frame, cross-joined),
     # not as plan literals (r9, same rationale as kmeans._with_assignment:

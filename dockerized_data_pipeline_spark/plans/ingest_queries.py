@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_input
 from ..operators.merge import dedup_keep_newest, merge_upsert
 from .registry import query
 
@@ -29,7 +29,9 @@ from .registry import query
     """,
 )
 def p1_json_map_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # r11: from_json is per-row parse work; spread the single-split scan
+    # (no-op on multi-split inputs; measured 0.37 -> 0.26 s at sf0.1)
+    ev = spread_input(load_table(spark, sf_dir, "events").select("event_id", "props"))
     parsed = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
     return ev.select(
         "event_id", F.explode(parsed).alias("prop_key", "prop_value")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_input
 from ..functions import text as TX
 from ..functions.vectors import cosine
 from ..operators import dedup as DD
@@ -1671,8 +1671,18 @@ def x3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_topk, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse = KM.kmeans_fit(emb, "vec_id", "embedding", k=8, iterations=2)
-    cbs = pq_train(emb, m=4, k=8, iterations=2)
+    # r11 (guide section 2.6): the coarse quantizer and the PQ codebooks
+    # are trained on the SAME raw vectors and are fully independent --
+    # overlap the two driver-loop trainings so one's job tail back-fills
+    # the other's idle executors. Identical codebooks, ~half the wall.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            KM.kmeans_fit, emb, "vec_id", "embedding", 8, 2
+        )
+        f_cbs = pool.submit(pq_train, emb, m=4, k=8, iterations=2)
+        coarse, cbs = f_coarse.result(), f_cbs.result()
     return ivfpq_topk(
         emb, _probe_vector(spark, sf_dir), coarse, cbs, k=10, n_probe=3
     )
@@ -1805,7 +1815,12 @@ def x5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint with any document that shares a token run of length
     >= k + w - 1. Portable integer rolling hash, so the oracle replays the
     identical selection in DuckDB list functions."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r11: the winnow folds are per-row expression work; spread the
+    # single-split fixture scan so they parallelize (catalog.spread_input
+    # is a no-op on multi-split inputs; measured 0.71 -> 0.39 s at sf0.1)
+    docs = spread_input(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     fped = TX.winnow_fingerprints(docs, "text", k=_WINNOW_K, w=_WINNOW_W)
     return fped.select(
         "doc_id",
@@ -2885,9 +2900,12 @@ def x5_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle-hash, id) pair, and the DF table can be digest-keyed so the
     join carries 8-byte hashes, not strings."""
     d = load_table(spark, sf_dir, "documents")
-    sh = DD.shingles(d.select("doc_id", "text"), "text", 3).select(
-        "doc_id", "shingle"
-    )
+    # r11: shingling is per-row HOF work evaluated on BOTH plan branches
+    # (the DF count and the join side); spread the single-split scan so
+    # each evaluation parallelizes (no-op on multi-split inputs)
+    sh = DD.shingles(
+        spread_input(d.select("doc_id", "text")), "text", 3
+    ).select("doc_id", "shingle")
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
     return (
         sh.join(df_counts, "shingle")

@@ -20,9 +20,18 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-light distinct for 100 TB (fixed-size sketch vs exact's
     per-value shuffle)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    # r11: mixing countDistinct with another aggregate makes Catalyst plan
+    # an Expand-based 3-level aggregation (row stream doubled, the 16 KB
+    # rsd=1% HLL sketch carried through every level) -- measured 4.8 s vs
+    # ~1 s for either aggregate alone. HLL is duplicate-insensitive, so
+    # both answers come from ONE pre-deduplicated pass: identical approx
+    # sketch (same value set -> same registers -> same estimate) and the
+    # exact count is count(custkey) over the distinct pairs (count of the
+    # non-NULL keys, exactly countDistinct's NULL handling).
+    dd = o.select("o_orderstatus", "o_custkey").distinct()
+    return dd.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count("o_custkey").alias("exact_customers"),
     )
 
 
