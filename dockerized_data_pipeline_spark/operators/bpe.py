@@ -58,8 +58,11 @@ def split_words(text: str) -> list[str]:
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) corpus word frequencies -- the one corpus-wide pass."""
+    from ..catalog import spread_input
+
     return (
-        docs.select(
+        spread_input(docs.select(text_col))  # r11: parallelize the split
+        .select(
             F.explode(F.split(F.col(text_col), _WS_CLASS + "+")).alias("word")
         )
         .filter(F.col("word") != "")

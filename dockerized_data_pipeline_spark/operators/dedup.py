@@ -78,9 +78,11 @@ def ngram_jaccard_pairs_ppm(
     FLOOR(jaccard * 1e6) -- both engine-portable (no float rounding ties).
     Returns (doc_a, doc_b, jaccard_ppm BIGINT) for pairs >= num/den.
     """
-    sh = shingles(df.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("doc"), "shingle"
-    )
+    from ..catalog import spread_input
+
+    sh = shingles(
+        spread_input(df.select(id_col, text_col)), text_col, n
+    ).select(F.col(id_col).alias("doc"), "shingle")
     counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -129,9 +131,11 @@ def ngram_containment_ppm(
     Returns (corpus_doc, bench_doc, containment_ppm) for pairs with
     containment >= threshold_num/threshold_den.
     """
-    c_sh = shingles(corpus.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("corpus_doc"), "shingle"
-    )
+    from ..catalog import spread_input
+
+    c_sh = shingles(
+        spread_input(corpus.select(id_col, text_col)), text_col, n
+    ).select(F.col(id_col).alias("corpus_doc"), "shingle")
     b_sh = shingles(bench.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("bench_doc"), "shingle"
     )
@@ -370,7 +374,12 @@ def minhash_signatures(
             F.slice(tok_hashes, off + 1, m),
             lambda acc, h: F.xxhash64(acc, h),
         )
-    sh = df.select(id_col, text_col).withColumn(
+    from ..catalog import spread_input
+
+    # r11: token hashing + the n-gram fold are per-row expression work;
+    # spread a single-split input so the signature pass parallelizes
+    # (no-op on multi-split inputs; catalog.spread_input)
+    sh = spread_input(df.select(id_col, text_col)).withColumn(
         "h", F.explode(F.array_distinct(combined))
     ).select(F.col(id_col).alias("doc"), "h")
     # F.expr strings (r11): one py4j round trip per aggregate instead of

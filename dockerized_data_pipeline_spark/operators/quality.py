@@ -79,6 +79,11 @@ def repetition_metrics(
     per-row array scans: a pathological 1 GB document costs its own rows,
     not a quadratic blowup inside one task.
     """
+    from ..catalog import spread_input
+
+    # r11: spread a single-split input so the tokenize + explode pipelines
+    # parallelize (no-op on multi-split inputs; catalog.spread_input)
+    docs = spread_input(docs.select(id_col, text_col))
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
     uni = (
         toks.select(id_col, F.explode("toks").alias("tok"))

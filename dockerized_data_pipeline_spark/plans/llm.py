@@ -1273,7 +1273,7 @@ def x5_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import bucketed_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    u = docs.select(
+    u = spread_input(docs.select("doc_id", "source", "text")).select(
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     # r11: pre-aggregate the token stream to (tok, doc_id, source) counts
@@ -1395,7 +1395,8 @@ def _rep_with_stop(d: DataFrame) -> DataFrame:
     expression is copied verbatim from repetition_metrics so values stay
     bit-identical."""
     ucc = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        spread_input(d.select("doc_id", "text"))  # r11: parallelize tokenize
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
     )
