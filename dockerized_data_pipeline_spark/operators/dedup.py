@@ -186,6 +186,16 @@ def neardup_clusters(
         # and convergence count would otherwise re-evaluate from scratch
         .localCheckpoint(eager=True)
     )
+    # r12: an empty edge list converges trivially -- skip the label loop's
+    # three joins + convergence-probe job and return the empty cluster
+    # frame directly. Data-dependent control flow on an already-
+    # materialized (checkpointed) frame, same one-row probe cost as the
+    # convergence check itself; at corpus scale a high dedup threshold
+    # routinely yields zero candidate pairs, making this the common case.
+    if edges.isEmpty():
+        return edges.select(
+            F.col("src").alias("doc"), F.col("src").alias("cluster_id")
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

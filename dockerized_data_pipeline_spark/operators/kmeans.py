@@ -132,34 +132,49 @@ def kmeans_fit(
 def _kmeans_fit_cached(
     df: DataFrame, id_col: str, vec_col: str, k: int, iterations: int
 ) -> list[list[float]]:
+    from ..session import scoped_sql_conf
+
     centroids = seed_centroids(df, id_col, vec_col, k)
     if not centroids:
         return []
     dim = len(centroids[0])
-    for _ in range(iterations):
-        assigned = _with_assignment(
-            df.select(F.col(vec_col).alias("v")), "v", centroids
-        )
-        # F.expr strings (r11): one py4j round trip per component sum
-        # instead of ~6 Column-API calls each -- at dim=64 the per-
-        # iteration driver build cost was larger than the job itself.
-        # v[i] is Spark SQL's 0-based array index, the same element as
-        # element_at(v, i+1), with identical ANSI out-of-range behavior.
-        sums = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.expr(f"sum(cast(v[{i}] as {_ACC})) AS s{i}")
-                    for i in range(dim)
-                ],
+    # r12: the per-iteration aggregate is TRANSPOSED -- posexplode the
+    # vector and sum ONE decimal column grouped by (cluster_id, pos)
+    # instead of dim separate sum(v[i]) aggregates. The old shape carried
+    # 2*dim+1 aggregate buffer fields, which is past the whole-stage-
+    # codegen field limit (spark.sql.codegen.maxFields=100 at dim=64), so
+    # both aggregation stages ran INTERPRETED and the first execution paid
+    # a ~27 s codegen compile of the 64-sum monster (cold x3_semantic_dedup
+    # measured 32.7 s vs 5.4 s warm). The transposed agg is a 2-buffer
+    # codegen'd HashAggregate; partial aggregation still bounds the
+    # shuffle at partitions x k x dim rows, the same scale shape as
+    # before. Addend sets per (cluster, pos) are identical and decimal
+    # addition is associative, so every sum -- and hence every centroid --
+    # is bit-identical to the old plan's (verified, 3 iterations).
+    # AQE is scoped OFF for the loop: see session.scoped_sql_conf.
+    with scoped_sql_conf(df.sparkSession, {"spark.sql.adaptive.enabled": "false"}):
+        for _ in range(iterations):
+            assigned = _with_assignment(
+                df.select(F.col(vec_col).alias("v")), "v", centroids
             )
-            .collect()
-        )
-        new = [list(c) for c in centroids]
-        for r in sums:
-            new[r.cluster_id] = [float(r[f"s{i}"]) / r.n for i in range(dim)]
-        centroids = new
+            sums = (
+                assigned.select(
+                    "cluster_id", F.posexplode("v").alias("pos_", "x_")
+                )
+                .groupBy("cluster_id", "pos_")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.expr(f"sum(cast(x_ as {_ACC})) AS s"),
+                )
+                .collect()
+            )
+            new = [list(c) for c in centroids]
+            comps: dict[int, list] = {}
+            for r in sums:
+                comps.setdefault(r.cluster_id, [None] * dim)[r.pos_] = (r.s, r.n)
+            for cid, parts in comps.items():
+                new[cid] = [float(s) / n for (s, n) in parts]
+            centroids = new
     return centroids
 
 

@@ -580,9 +580,13 @@ def semantic_dedup_pairs(
 
     # localCheckpoint: the assignment+normalization subtree (O(n x k x
     # dim) argmin per row) feeds BOTH sides of the self-join below, and
-    # Spark computes an un-materialized subtree once per reference
+    # Spark computes an un-materialized subtree once per reference.
+    # eager=False (r12): the checkpoint RDD materializes inside the first
+    # consuming job instead of spending a dedicated job -- both join
+    # sides then read the cached partitions (same one-materialization
+    # guarantee, one fewer job round trip).
     assigned = unit_assigned(df, centroids, id_col, vec_col).localCheckpoint(
-        eager=True
+        eager=False
     )
     a = assigned.select(
         F.col("cluster_id").alias("ca"), F.col(id_col).alias("id_a"), F.col("u").alias("ua")
