@@ -49,9 +49,37 @@ FEATURE_DIM = 8
 FEATURE_SCHEMA = f"media_id long, feature array<double>"
 
 
-def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
-    """Round-robin the bare id column across the session's full width
-    before a synth/codec Arrow stage.
+# Per-codec single-blob cost (encode + decode, ms), measured by the r11
+# per-blob microbenchmarks (OPTIMIZATION_r11 "key diagnostic findings").
+# Used to size the Arrow-stage width to the WORK, not to the core count:
+# r11's unconditional full-width spread made the cheap codecs (wav, pgm)
+# FASTER ON 8 CORES THAN 32 at sf0.1 (BENCH_r11 scaling ratios 0.70/0.83)
+# because 32 Python-worker task launches dominated ~0.6 s of actual codec
+# CPU. Width = ceil(est_rows x ms_per_row / SPARK_GRAFT_MEDIA_TASK_MS),
+# capped at the session width -- heavyweight codecs still get every core,
+# and the estimate derives from the plan's size statistics, so it scales
+# with the data instead of being a constant tuned for either local mode
+# or the cluster.
+CODEC_MS_PER_BLOB = {
+    "wav": 0.12,
+    "pgm": 0.05,
+    "y4m": 0.36,
+    "png": 0.25,
+    "jpeg": 0.84,
+    "jpeg_color": 1.34,
+    "jpeg_progressive": 1.93,
+}
+
+_MEDIA_TASK_MS = float(os.environ.get("SPARK_GRAFT_MEDIA_TASK_MS", "100"))
+
+# plan-estimated bytes per bare int64 id row (8 B value + row overhead)
+_ID_ROW_BYTES = 12
+
+
+def _spread_ids(ids: DataFrame, id_col: str, ms_per_row: float = 1.0) -> DataFrame:
+    """Round-robin the bare id column across enough tasks to keep each
+    Arrow task ~SPARK_GRAFT_MEDIA_TASK_MS of codec work, capped at the
+    session's width, before a synth/codec Arrow stage.
 
     The fixture tables are small enough to arrive as ONE parquet split
     (sf0.1 documents = 1 file), and mapInPandas inherits input
@@ -61,9 +89,17 @@ def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
     shuffle moves only int64 ids, never blobs. At production scale blobs
     arrive in thousands of splits and the equivalent lever is
     spark.sql.files.maxPartitionBytes, not a repartition."""
-    return ids.select(id_col).repartition(
-        ids.sparkSession.sparkContext.defaultParallelism
-    )
+    sel = ids.select(id_col)
+    spark = ids.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    try:
+        est = int(str(sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        rows = max(1, est // _ID_ROW_BYTES)
+        need = max(1, -(-int(rows * ms_per_row) // int(_MEDIA_TASK_MS)))
+        width = max(1, min(width, need))
+    except Exception:
+        pass  # unknown stats: keep the full session width
+    return sel.repartition(width)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -327,7 +363,7 @@ def wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col, CODEC_MS_PER_BLOB["wav"]).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def _wav_stats(rows) -> pd.DataFrame:
@@ -467,7 +503,7 @@ def pgm_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col, CODEC_MS_PER_BLOB["pgm"]).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def _pgm_stats(rows) -> pd.DataFrame:
@@ -708,7 +744,7 @@ def y4m_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col, CODEC_MS_PER_BLOB["y4m"]).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def _y4m_stats(rows) -> pd.DataFrame:
@@ -967,7 +1003,7 @@ def png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col, CODEC_MS_PER_BLOB["png"]).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def _png_stats(rows) -> pd.DataFrame:
@@ -1724,7 +1760,7 @@ def jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col, CODEC_MS_PER_BLOB["jpeg"]).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def _jpeg_gray_stats(rows, parse_fn) -> pd.DataFrame:
@@ -2120,7 +2156,7 @@ def jpeg_color_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col, CODEC_MS_PER_BLOB["jpeg_color"]).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_jpeg_color(media: DataFrame) -> DataFrame:
@@ -2896,7 +2932,7 @@ def jpeg_progressive_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=WAV_SCHEMA)
+    return _spread_ids(ids, id_col, CODEC_MS_PER_BLOB["jpeg_progressive"]).mapInPandas(batches, schema=WAV_SCHEMA)
 
 
 def decode_jpeg_progressive(media: DataFrame) -> DataFrame:
@@ -2924,33 +2960,48 @@ def decode_jpeg_progressive(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _synth_decode(ids: DataFrame, id_col: str, encode_fn, stats_fn, schema: str) -> DataFrame:
+def _synth_decode(
+    ids: DataFrame, id_col: str, encode_fn, stats_fn, schema: str,
+    ms_per_row: float = 1.0,
+) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             mids = pdf[id_col].astype("int64")
             yield stats_fn((int(m), encode_fn(int(m))) for m in mids)
 
-    return _spread_ids(ids, id_col).mapInPandas(batches, schema=schema)
+    return _spread_ids(ids, id_col, ms_per_row).mapInPandas(batches, schema=schema)
 
 
 def synth_decode_wav(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """decode_wav(wav_media(ids)) in one Arrow stage (identical rows)."""
-    return _synth_decode(ids, id_col, _wav_encode, _wav_stats, WAV_DECODED_SCHEMA)
+    return _synth_decode(
+        ids, id_col, _wav_encode, _wav_stats, WAV_DECODED_SCHEMA,
+        CODEC_MS_PER_BLOB["wav"],
+    )
 
 
 def synth_decode_pgm(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """decode_pgm(pgm_media(ids)) in one Arrow stage (identical rows)."""
-    return _synth_decode(ids, id_col, _pgm_encode, _pgm_stats, PGM_DECODED_SCHEMA)
+    return _synth_decode(
+        ids, id_col, _pgm_encode, _pgm_stats, PGM_DECODED_SCHEMA,
+        CODEC_MS_PER_BLOB["pgm"],
+    )
 
 
 def synth_decode_y4m(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """decode_y4m(y4m_media(ids)) in one Arrow stage (identical rows)."""
-    return _synth_decode(ids, id_col, _y4m_encode, _y4m_stats, Y4M_DECODED_SCHEMA)
+    return _synth_decode(
+        ids, id_col, _y4m_encode, _y4m_stats, Y4M_DECODED_SCHEMA,
+        CODEC_MS_PER_BLOB["y4m"],
+    )
 
 
 def synth_decode_png(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """decode_png(png_media(ids)) in one Arrow stage (identical rows)."""
-    return _synth_decode(ids, id_col, _png_encode, _png_stats, PNG_DECODED_SCHEMA)
+    return _synth_decode(
+        ids, id_col, _png_encode, _png_stats, PNG_DECODED_SCHEMA,
+        CODEC_MS_PER_BLOB["png"],
+    )
 
 
 def synth_decode_jpeg(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2961,6 +3012,7 @@ def synth_decode_jpeg(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         _jpeg_encode,
         lambda rows: _jpeg_gray_stats(rows, _jpeg_parse),
         JPEG_DECODED_SCHEMA,
+        CODEC_MS_PER_BLOB["jpeg"],
     )
 
 
@@ -2972,6 +3024,7 @@ def synth_decode_jpeg_color(ids: DataFrame, id_col: str = "doc_id") -> DataFrame
         _jpeg_color_encode,
         lambda rows: _jpeg_rgb_stats(rows, _jpeg_parse_color),
         JPEG_COLOR_SCHEMA,
+        CODEC_MS_PER_BLOB["jpeg_color"],
     )
 
 
@@ -2984,4 +3037,5 @@ def synth_decode_jpeg_progressive(ids: DataFrame, id_col: str = "doc_id") -> Dat
         _jpeg_progressive_encode,
         lambda rows: _jpeg_rgb_stats(rows, _jpeg_parse_progressive),
         JPEG_COLOR_SCHEMA,
+        CODEC_MS_PER_BLOB["jpeg_progressive"],
     )

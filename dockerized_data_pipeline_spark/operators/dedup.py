@@ -81,7 +81,12 @@ def ngram_jaccard_pairs_ppm(
     from ..catalog import spread_input
 
     sh = shingles(
-        spread_input(df.select(id_col, text_col)), text_col, n
+        spread_input(
+            df.select(id_col, text_col),
+            width=df.sparkSession.sparkContext.defaultParallelism,
+        ),
+        text_col,
+        n,
     ).select(F.col(id_col).alias("doc"), "shingle")
     counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -134,7 +139,12 @@ def ngram_containment_ppm(
     from ..catalog import spread_input
 
     c_sh = shingles(
-        spread_input(corpus.select(id_col, text_col)), text_col, n
+        spread_input(
+            corpus.select(id_col, text_col),
+            width=corpus.sparkSession.sparkContext.defaultParallelism,
+        ),
+        text_col,
+        n,
     ).select(F.col(id_col).alias("corpus_doc"), "shingle")
     b_sh = shingles(bench.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("bench_doc"), "shingle"
@@ -282,7 +292,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # a single-split input across the session width (no-op on multi-split
     # inputs; catalog.spread_input)
     staged = spread_input(
-        df.filter(F.col(text_col).isNotNull()).select(id_col, text_col)
+        df.filter(F.col(text_col).isNotNull()).select(id_col, text_col),
+        width=df.sparkSession.sparkContext.defaultParallelism,
     ).select(
         F.col(id_col), simhash_token_hashes(F.col(text_col)).alias("__sh_hashes")
     )

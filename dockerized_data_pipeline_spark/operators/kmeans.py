@@ -120,8 +120,13 @@ def kmeans_fit(
     # the module docstring promises at 100 TB.
     from ..catalog import spread_input
 
+    # explicit full width (r12): the byte-based width cap added to
+    # spread_input is sized for text pipelines; the assignment fold here
+    # costs ~4 ms/row at k=32 x dim=64 (interpreted HOF), so even a tiny
+    # input saturates every core
     vecs = spread_input(
-        df.select(F.col(id_col), F.col(vec_col))
+        df.select(F.col(id_col), F.col(vec_col)),
+        width=df.sparkSession.sparkContext.defaultParallelism,
     ).persist()
     try:
         return _kmeans_fit_cached(vecs, id_col, vec_col, k, iterations)
@@ -201,7 +206,12 @@ def kmeans_cluster_sizes(
     from ..catalog import spread_input
 
     assigned = _with_assignment(
-        spread_input(df.select(F.col(vec_col).alias("v"))), "v", centroids
+        spread_input(
+            df.select(F.col(vec_col).alias("v")),
+            width=df.sparkSession.sparkContext.defaultParallelism,
+        ),
+        "v",
+        centroids,
     )
     return (
         assigned.groupBy("cluster_id")

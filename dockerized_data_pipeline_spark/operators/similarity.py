@@ -117,7 +117,12 @@ def ivf_assignments(
     # r11: the k x dim argmax is per-row fold work; a single-split input
     # runs it in one task -- spread across the session width (no-op on
     # multi-split inputs; see catalog.spread_input)
-    df = spread_input(df.filter(F.col(vec_col).isNotNull()))
+    # explicit full width (r12): k x dim interpreted fold per row --
+    # the byte-sized cap in spread_input is for text pipelines
+    df = spread_input(
+        df.filter(F.col(vec_col).isNotNull()),
+        width=df.sparkSession.sparkContext.defaultParallelism,
+    )
 
     # The codebook travels as broadcast DATA (1-row frame, cross-joined),
     # not as plan literals (r9, same rationale as kmeans._with_assignment:
